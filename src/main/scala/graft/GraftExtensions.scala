@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.sketches.{BloomBuildAgg, BloomMightContain, CmsBuildAgg, CmsEstimate}
+
+/**
+ * SQL-surface registration for the graft sketch functions, so
+ * `spark.sql("SELECT bloom_agg(x, 1000, 0.01) FROM t")` works alongside
+ * the Column API in [[graft.functions]].
+ *
+ * Two entry points:
+ *  - `withExtensions(new GraftExtensions)` at session build time, or
+ *    `spark.sql.extensions=graft.GraftExtensions`;
+ *  - [[Graft.register]] for an already-running session (used by the
+ *    driver-contract paths, which receive a pre-built session).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("bloom_agg",
+      info("bloom_agg", "bloom_agg(col, expectedItems, fpp) - distributed Bloom filter build, returns BINARY"),
+      (args: Seq[Expression]) => new BloomBuildAgg(args(0), args(1), args(2))
+        .toAggregateExpression()),
+    ("bloom_might_contain",
+      info("bloom_might_contain", "bloom_might_contain(sketch, value) - membership probe, no false negatives"),
+      (args: Seq[Expression]) => BloomMightContain(args(0), args(1))),
+    ("cms_agg",
+      info("cms_agg", "cms_agg(col, eps, confidence, seed) - distributed Count-Min sketch build, returns BINARY"),
+      (args: Seq[Expression]) => new CmsBuildAgg(args(0), args(1), args(2), args(3))
+        .toAggregateExpression()),
+    ("cms_estimate",
+      info("cms_estimate", "cms_estimate(sketch, value) - point frequency estimate, f <= est <= f + eps*N"),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+}
+
+/** Idempotent runtime registration for pre-built sessions. */
+object Graft {
+  def register(spark: SparkSession): SparkSession = {
+    GraftExtensions.registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    spark
+  }
+}

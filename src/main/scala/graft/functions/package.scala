@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.DoubleType
+
+import graft.sketches.{BloomBuildAgg, BloomMightContain, CmsBuildAgg, CmsEstimate}
+
+/**
+ * graft.functions — the engine's column-function surface.
+ *
+ * Everything here is built from codegen'd Catalyst expressions
+ * (`org.apache.spark.sql.functions` built-ins or the graft sketch
+ * expressions); there are no Scala UDF closures in any hot path, so every
+ * helper stays inside whole-stage codegen and is safe at 100 TB scale.
+ */
+package object functions {
+
+  // ------------------------------------------------------------------
+  // Probabilistic sketches (the reference's core — SURVEY.md §2c)
+  // ------------------------------------------------------------------
+
+  /** Build a Bloom filter over a column → BinaryType (distributed, mergeable). */
+  def bloom_agg(col: Column, expectedItems: Long, fpp: Double): Column =
+    Shims.column(BloomBuildAgg(Shims.expression(col),
+      Shims.expression(lit(expectedItems)), Shims.expression(lit(fpp)))
+      .toAggregateExpression())
+
+  /** Probe a serialized Bloom filter; no false negatives. */
+  def bloom_might_contain(sketch: Column, value: Column): Column =
+    Shims.column(BloomMightContain(Shims.expression(sketch), Shims.expression(value)))
+
+  /** Build a Count-Min Sketch over a column → BinaryType (distributed, mergeable). */
+  def cms_agg(col: Column, eps: Double, confidence: Double, seed: Int): Column =
+    Shims.column(CmsBuildAgg(Shims.expression(col), Shims.expression(lit(eps)),
+      Shims.expression(lit(confidence)), Shims.expression(lit(seed)))
+      .toAggregateExpression())
+
+  /** Point-frequency estimate from a serialized CMS: f ≤ f̂ ≤ f + ε·N. */
+  def cms_estimate(sketch: Column, value: Column): Column =
+    Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))
+
+  // ------------------------------------------------------------------
+  // Text analysis (north-star ops — SURVEY.md §2j)
+  // ------------------------------------------------------------------
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count (codegen'd, no UDF). */
+  def token_count(text: Column): Column = size(tokens(text))
+
+  /**
+   * Word n-gram shingles of the token array (each shingle joined by a
+   * single space). `sequence` + `transform` + `slice` keeps this fully
+   * inside Catalyst.
+   */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /**
+   * MinHash signature: for each of `k` hash families, the minimum
+   * xxhash64 of any shingle (hash family j = xxhash64 seeded by
+   * prefixing the shingle with j). Deterministic; two documents with
+   * Jaccard similarity s agree on each coordinate with probability s.
+   */
+  def minhash_signature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(shingleArr, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /**
+   * LSH band keys from a minhash signature: `bands` groups of `rowsPerBand`
+   * coordinates, each band hashed to one long. Near-duplicates collide on
+   * at least one band with high probability; a groupBy/join on
+   * (band_index, band_hash) replaces the O(n²) all-pairs comparison —
+   * this is the 100 TB-scale path.
+   */
+  def lsh_bands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), array_join(
+        transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string")), ","))
+    }: _*)
+
+  /**
+   * SimHash (64-bit) over a token array: per bit, majority vote of the
+   * xxhash64 of the tokens. Near-identical documents differ in few bits.
+   * Pure Catalyst: aggregate over tokens accumulating 64 signed counts.
+   */
+  def simhash64(toks: Column): Column = {
+    // bit b of the simhash = 1 iff sum over tokens of sign(bit b of hash) > 0
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(toks, lit(0L),
+        (acc, t) => acc + when((shiftright(xxhash64(t), b).bitwiseAND(lit(1L))) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Deterministic document fingerprint: order-sensitive polynomial
+   * rolling hash over tokens (acc*1000003 xor xxhash64(token)), the
+   * classic content-defined fingerprint for exact-order dedup.
+   */
+  def doc_fingerprint(toks: Column): Column =
+    aggregate(toks, lit(1469598103934665603L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /**
+   * Language-ID score: fraction of tokens that are stopwords of the given
+   * set. A pure-SQL n-gram/stopword heuristic (both Spark and the DuckDB
+   * oracle can evaluate it identically).
+   */
+  def stopword_ratio(toks: Column, stopwords: Seq[String]): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType)
+        / size(toks).cast(DoubleType))
+
+  // ------------------------------------------------------------------
+  // Vector / embedding math (similarity search — SURVEY.md §2j)
+  // ------------------------------------------------------------------
+
+  /** Dot product of two float arrays, accumulated in double, via zip_with. */
+  def vec_dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (s, x) => s + x)
+
+  /** L2 norm. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosine_sim(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** Squared Euclidean distance. */
+  def l2_sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
+    }), lit(0.0), (s, x) => s + x)
+}
