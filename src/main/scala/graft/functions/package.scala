@@ -108,13 +108,14 @@ package object functions {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * Deterministic document fingerprint: order-sensitive polynomial
-   * rolling hash over tokens (acc*1000003 xor xxhash64(token)), the
-   * classic content-defined fingerprint for exact-order dedup.
+   * Deterministic document fingerprint: order-sensitive chained hash
+   * over tokens (acc ← xxhash64(acc, token)), the content-defined
+   * fingerprint for exact-order dedup. Chaining through xxhash64 keeps
+   * the fold overflow-free under ANSI mode (a raw polynomial hash would
+   * trip ARITHMETIC_OVERFLOW).
    */
   def doc_fingerprint(toks: Column): Column =
-    aggregate(toks, lit(1469598103934665603L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+    aggregate(toks, lit(1469598103934665603L), (acc, t) => xxhash64(acc, t))
 
   /**
    * Language-ID score: fraction of tokens that are stopwords of the given

@@ -1,0 +1,459 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Relational operator inventory (SURVEY.md §2b/2d/2e/2f/2g): one named
+ * query per operator family, each with a DuckDB oracle twin.
+ *
+ * Determinism: ORDER BY on every output column set, doubles rounded to 4
+ * decimals, timestamps never emitted raw (DATE or epoch BIGINT instead —
+ * Spark writes TIMESTAMP as UTC-adjusted which DuckDB reads as
+ * TIMESTAMPTZ and the compare would see different types).
+ */
+object RelationalQueries {
+
+  private def r4(c: Column): Column = round(c, 4)
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // --- aggregation (2d) ------------------------------------------------
+    "q_agg_pricing" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_exact_counts" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")),
+
+    "q_count_distinct" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        r4(sum("value")).as("sum_value"))
+      .orderBy("event_type")),
+
+    "q_rollup" -> ((s, d) => Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q_cube" -> ((s, d) => Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_percentile_exact" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"),
+        r4(min("l_extendedprice")).as("mn"),
+        r4(max("l_extendedprice")).as("mx"))
+      .orderBy("l_returnflag")),
+
+    // --- scan / filter / projection (2b) ---------------------------------
+    "q_filter_scan" -> ((s, d) => Tables.events(s, d)
+      .filter(col("event_type") === "click" && col("value") > 100.0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .orderBy("user_id")),
+
+    "q_distinct" -> ((s, d) => Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")),
+
+    "q_tokenize_wordcount" -> ((s, d) => Tables.documents(s, d)
+      .select(explode(graft.functions.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)),
+
+    // --- joins (2e) -------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), r4(sum("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name")),
+
+    "q_join_smj" -> ((s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")),
+
+    "q_join_outer" -> ((s, d) => Tables.part(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48.0),
+        col("p_partkey") === col("l_partkey"), "left")
+      .groupBy("p_brand")
+      .agg(count(col("l_orderkey")).as("n_lines"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("p_brand")),
+
+    "q_semi_join" -> ((s, d) => Tables.part(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45.0)
+        .select(col("l_partkey")), col("p_partkey") === col("l_partkey"), "left_semi")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")),
+
+    "q_anti_join" -> ((s, d) => Tables.part(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45.0)
+        .select(col("l_partkey")), col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")),
+
+    "q_range_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"))
+      val cust = Tables.customer(s, d).select(col("c_acctbal"))
+      sup.join(cust, col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_richer_cust"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q_cross_join" -> ((s, d) => Tables.region(s, d)
+      .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
+      .select(col("r_name"), col("o_orderstatus"))
+      .orderBy("r_name", "o_orderstatus")),
+
+    // --- window functions / sort / set ops (2f) ---------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("rn"), col("rnk"), col("drnk"),
+          col("o_orderkey"), r4(col("o_totalprice")).as("price"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    "q_window_analytic" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") < 10)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(col("o_totalprice")).as("price"),
+          r4(lag("o_totalprice", 1).over(w)).as("prev_price"),
+          r4(lead("o_totalprice", 1).over(w)).as("next_price"),
+          r4(first("o_totalprice").over(w)).as("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      Tables.events(s, d).filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"),
+          r4(sum("value").over(w)).as("moving_sum"),
+          r4(avg("value").over(w)).as("moving_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_topk_orders" -> ((s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), r4(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(10)),
+
+    "q_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clickers = ev.filter(col("event_type") === "click").select("user_id")
+      val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
+      val signups = ev.filter(col("event_type") === "signup").select("user_id")
+      clickers.intersect(buyers).except(signups)
+        .union(clickers.intersect(buyers).intersect(signups))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // --- scalar function families (2g) ------------------------------------
+    "q_string_funcs" -> ((s, d) => Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_trim"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+      .orderBy("p_partkey").limit(100)),
+
+    "q_date_funcs" -> ((s, d) => Tables.events(s, d)
+      .select(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("mo"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        hour(col("ts")).cast("long").as("hr"))
+      .groupBy("day", "yr", "mo", "dom", "hr")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day", "hr")),
+
+    "q_math_funcs" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(sum(log(col("l_extendedprice") + 1.0))).as("sum_log"),
+        r4(sum(sqrt(col("l_quantity")))).as("sum_sqrt"),
+        r4(sum(pow(col("l_discount"), 2.0))).as("sum_sq"),
+        r4(sum(abs(col("l_extendedprice") - 1000.0))).as("sum_absdev"),
+        r4(sum(floor(col("l_quantity")))).as("sum_floor"),
+        r4(sum(ceil(col("l_quantity")))).as("sum_ceil"))
+      .orderBy("l_returnflag")),
+
+    "q_array_funcs" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "spark").cast("int").as("has_spark"),
+        array_join(slice(sort_array(col("toks")), 1, 3), ",").as("first3_sorted"),
+        element_at(col("toks"), 1).as("head_tok"))
+      .orderBy("doc_id").limit(200)),
+
+    "q_json_funcs" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")),
+
+    "q_map_funcs" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy("event_id").limit(200)),
+
+    // --- as-of join (2e; composed — no native as-of in Spark) -------------
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // latest click at-or-before each purchase, per user
+      purchases.join(clicks,
+          col("user_id") === col("c_user") && col("c_ts") <= col("ts"), "left")
+        .groupBy("event_id", "user_id")
+        .agg(max(unix_micros(col("c_ts"))).as("last_click_us"))
+        .orderBy("event_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_exact_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_percentile_exact" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(min(l_extendedprice), 4) AS mn,
+        |  round(max(l_extendedprice), 4) AS mx
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_filter_scan" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_type = 'click' AND value > 100.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_tokenize_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_cust, round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_smj" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_outer" ->
+      """SELECT p_brand, count(l_orderkey) AS n_lines, count(*) AS n_rows,
+        |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched
+        |FROM part LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48.0) li
+        |  ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 45.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 45.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_richer_cust
+        |FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, o_orderstatus
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderstatus, rn, rnk, drnk, o_orderkey, price FROM (
+        |  SELECT o_orderstatus, o_orderkey, round(o_totalprice, 4) AS price,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+        |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+        |  round(first_value(o_totalprice) OVER w, 4) AS first_price
+        |FROM orders WHERE o_custkey < 10
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 4) AS moving_sum,
+        |  round(avg(value) OVER w, 4) AS moving_avg
+        |FROM events WHERE user_id < 3
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |) ORDER BY user_id""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+        |  length(p_name) AS name_len, substring(p_type, 1, 5) AS type_pfx,
+        |  concat_ws('|', p_brand, p_type) AS brand_type, trim(p_name) AS name_trim,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT date_trunc('day', ts)::DATE AS day,
+        |  extract(year FROM ts)::BIGINT AS yr, extract(month FROM ts)::BIGINT AS mo,
+        |  extract(day FROM ts)::BIGINT AS dom, extract(hour FROM ts)::BIGINT AS hr,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2, 3, 4, 5 ORDER BY day, hr""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_returnflag,
+        |  round(sum(ln(l_extendedprice + 1.0)), 4) AS sum_log,
+        |  round(sum(sqrt(l_quantity)), 4) AS sum_sqrt,
+        |  round(sum(pow(l_discount, 2.0)), 4) AS sum_sq,
+        |  round(sum(abs(l_extendedprice - 1000.0)), 4) AS sum_absdev,
+        |  round(sum(floor(l_quantity)), 4) AS sum_floor,
+        |  round(sum(ceil(l_quantity)), 4) AS sum_ceil
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id, len(toks) AS n_toks,
+        |  list_contains(toks, 'spark')::INT AS has_spark,
+        |  array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+        |  toks[1] AS head_tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT event_id, 'k' AS keys,
+        |  json_extract_string(props, '$.k')::BIGINT AS k_val
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, max(epoch_us(c.c_ts)) AS last_click_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts FROM events
+        |           WHERE event_type = 'click') c
+        |  ON p.user_id = c.c_user AND c.c_ts <= p.ts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/**
+ * Probabilistic-sketch queries (SURVEY.md §2c — the reference's core).
+ *
+ * None of these are DuckDB-expressible, so the driver records rows-only
+ * checks; their accuracy contracts (no false negatives, overestimate-only
+ * + ε·N bound, merge homomorphism) are property-tested in SketchSpec.
+ * All seeds pinned to 42 → deterministic output.
+ */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // exact count vs CMS estimate per event type (the reference's
+    // signature comparison, batch form — flagship `entry`)
+    "q_cms_event_counts" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact"))
+      val sk = ev.agg(cms_agg(col("event_type"), 0.01, 0.99, 42).as("sk"))
+      exact.join(broadcast(sk))
+        .select(col("event_type"), col("exact"),
+          cms_estimate(col("sk"), col("event_type")).as("estimate"))
+        .orderBy("event_type")
+    }),
+
+    // CMS heavy-hitter check on the small user_id domain
+    "q_cms_user_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      val sk = ev.agg(cms_agg(col("user_id"), 0.001, 0.999, 42).as("sk"))
+      exact.join(broadcast(sk))
+        .select(col("user_id"), col("exact"),
+          cms_estimate(col("sk"), col("user_id")).as("estimate"))
+        .orderBy("user_id")
+    }),
+
+    // Bloom build on the fact side, probe the dimension — membership
+    // with zero false negatives
+    "q_bloom_probe" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pt = Tables.part(s, d)
+      val sk = li.agg(bloom_agg(col("l_partkey"), 300000L, 0.01).as("bf"))
+      pt.join(broadcast(sk))
+        .select(col("p_partkey"),
+          bloom_might_contain(col("bf"), col("p_partkey")).as("might_contain"))
+        .orderBy("p_partkey")
+    }),
+
+    // Bloom as a pre-filter for a semi-join: the reference's streaming
+    // filter use-case in batch form. The bloom pass keeps all true
+    // members (no false negatives); the exact semi-join then removes
+    // the ≤fpp false positives.
+    "q_bloom_semi_filter" -> ((s, d) => {
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(s, d)
+      val sk = urgent.agg(bloom_agg(col("o_orderkey"), 100000L, 0.01).as("bf"))
+      li.join(broadcast(sk))
+        .filter(bloom_might_contain(col("bf"), col("l_orderkey")))
+        .join(urgent.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL / theta / KLL — the wider sketch family over built-ins
+    "q_approx_distinct" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("hll_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")),
+
+    "q_hll_sketch_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // per-type HLL sketches, merged back via hll_union_agg — the
+      // re-aggregatable "sketch table" pattern
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("hll"))
+      perType.agg(
+          round(hll_sketch_estimate(hll_union_agg(col("hll"))), 0)
+            .cast("long").as("users_union"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("users_exact")))
+    }),
+
+    "q_approx_quantiles" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4).as("ap50"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 10000)"), 4).as("ap99"))
+      .orderBy("l_returnflag")),
+
+    "q_theta_sketch" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy("event_type")
+        .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))").as("theta_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
+
+    "q_heavy_hitters" -> ((s, d) => {
+      // approx_top_k returns array<struct<item,count>>; explode and sort
+      // deterministically (count desc, item)
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .agg(expr("approx_top_k(word, 10, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }))
+
+  /**
+   * Oracles only where the sketch answer is provably exact-matchable:
+   * none — these are property-tested. (q_approx_distinct's exact twin
+   * column is still checked by SketchSpec.)
+   */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/**
+ * North-star text/dedup operators over `documents` (SURVEY.md §2j) —
+ * what a large-scale training-data pipeline runs: exact + near dedup,
+ * language ID, quality scoring, token stats, fingerprinting.
+ *
+ * Every operator is shuffle-parallel (groupBy/join on content keys;
+ * LSH banding replaces all-pairs comparison), so the same plan holds at
+ * 100 TB: no driver-side state, no O(n²) stage.
+ */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // tiny per-language stopword lists for the pure-SQL language-ID
+  // heuristic (expressible identically in Spark and DuckDB)
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val queries: Map[String, Q] = Map(
+
+    // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
+    "q_dedup_exact" -> ((s, d) => Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(countDistinct(col("text")).as("n_unique"),
+        count(lit(1)).as("n_total"))
+      .orderBy("lang")),
+
+    // canonical-row dedup: keep min doc_id per identical text
+    "q_dedup_canonical" -> ((s, d) => Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")),
+
+    // --- near-dup dedup via MinHash + LSH banding (the 100 TB path:
+    //     band collisions → shuffle join, no all-pairs) ------------------
+    "q_minhash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .withColumn("sig", minhash_signature(col("sh"), 16))
+        .withColumn("band", explode(lsh_bands(col("sig"), 4, 4)))
+      // pairs colliding on at least one band (band index is baked into
+      // the band hash, so a plain equi-join on `band` is the LSH bucket)
+      val a = docs.select(col("doc_id").as("id_a"), col("band"))
+      val b = docs.select(col("doc_id").as("id_b"), col("band"))
+      a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- SimHash near-dup (64-bit signature, hamming ≤ k) ---------------
+    "q_simhash_neardup" -> ((s, d) => {
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      // block on the 4 16-bit chunks (pigeonhole: hamming≤3 pairs share
+      // at least one exact chunk) → join per block, then verify distance
+      val chunks = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("blk"),
+            shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("c"))
+        .select(col("doc_id"), col("sig"), col("c.blk"), col("c.key"))
+      val l = chunks.toDF("id_a", "sig_a", "blk", "key")
+      val r = chunks.toDF("id_b", "sig_b", "blk", "key")
+      l.join(r, Seq("blk", "key")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hamming64(col("sig_a"), col("sig_b")).as("dist"))
+        .filter(col("dist") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- n-gram Jaccard verification of LSH candidates ------------------
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+      val cand = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+      cand.select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value (oracle too)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // --- document fingerprint (order-sensitive rolling hash) ------------
+    "q_doc_fingerprint" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+      .filter(col("n") > 1)
+      .orderBy("first_id")),
+
+    // --- language ID (stopword-ratio heuristic, pure SQL) ---------------
+    "q_lang_id" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        round(stopword_ratio(tokens(col("text")), enStops), 4).as("en_score"))
+      .withColumn("pred_en", (col("en_score") >= 0.05).cast("int"))
+      .orderBy("doc_id").limit(300)),
+
+    // --- quality scoring (length / punct / stopword / dedup ratios) -----
+    "q_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(
+          col("doc_id"),
+          col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          round(length(col("text")).cast("double")
+            / size(split(col("text"), " ")).cast("double"), 4).as("avg_tok_len"),
+          round(size(array_distinct(split(col("text"), " "))).cast("double")
+            / size(split(col("text"), " ")).cast("double"), 4).as("uniq_ratio"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3, 1).otherwise(0))
+        .orderBy("doc_id").limit(300)
+    }),
+
+    // --- token stats per language (text analysis aggregate) -------------
+    "q_token_stats" -> ((s, d) => Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")),
+
+    // --- TF-IDF: top term per language by tf-idf weight ------------------
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokensDf = docs.select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("term"))
+      // total doc count stays a lazy 1-row relation (broadcast), no
+      // driver round-trip — the pattern that survives 100 TB
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs_total"))
+      val tf = tokensDf.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tokensDf.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df_, "term").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs_total") / col("df")), 4))
+        .groupBy("lang")
+        // max(struct) = deterministic argmax (ties broken by term)
+        .agg(max(struct(col("tfidf"), col("term"))).as("m"))
+        .select(col("lang"), col("m.term").as("top_term"), col("m.tfidf").as("top_tfidf"))
+        .orderBy("lang")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang, en_score, (en_score >= 0.05)::INT AS pred_en
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |        / len(toks)::DOUBLE END, 4) AS en_score
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id, n_chars, n_tokens, avg_tok_len, uniq_ratio,
+        |  (n_tokens >= 20 AND uniq_ratio >= 0.3)::INT AS quality
+        |FROM (
+        |  SELECT doc_id, n_chars, len(toks)::BIGINT AS n_tokens,
+        |    round(length(text)::DOUBLE / len(toks)::DOUBLE, 4) AS avg_tok_len,
+        |    round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4) AS uniq_ratio
+        |  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+}

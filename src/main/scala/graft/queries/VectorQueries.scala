@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/**
+ * Similarity search over embeddings (SURVEY.md §2j).
+ *
+ * Brute-force cosine top-k is the exact baseline (✦, DuckDB-checkable
+ * with identical double arithmetic). The IVF variant is the scale path:
+ * centroids are computed distributedly (posexplode + per-dimension avg),
+ * the query probes only its nearest cell — at 100 TB the full scan
+ * becomes a cell-pruned scan, the same plan shape as a real IVF index.
+ */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The fixed query vector: embedding of vec_id 0 (1-row broadcast). */
+  private def queryVec(s: SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+
+  val queries: Map[String, Q] = Map(
+
+    "q_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      emb.crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF-style ANN: 1) per-label centroids via posexplode + avg,
+    // 2) nearest centroid to the query, 3) brute-force inside that cell
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg("v").as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+      val best = centroids.crossJoin(broadcast(queryVec(s, d)))
+        .select(col("label"), cosine_sim(col("centroid"), col("qv")).as("csim"))
+        .orderBy(col("csim").desc, col("label")).limit(1)
+        .select(col("label").as("best_label"))
+      emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(best), col("label") === col("best_label"))
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // embedding-space near-dup detection, label-blocked (the blocking
+    // replaces all-pairs: at scale this is a shuffle join on the cell key)
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = emb.toDF("id_a", "label", "e_a")
+      val b = emb.toDF("id_b", "label", "e_b")
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine_sim(col("e_a"), col("e_b")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(vec_norm(col("embedding"))), 4).as("avg_norm"),
+        round(avg(element_at(col("embedding"), 1)), 4).as("avg_c0"))
+      .orderBy("label")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_knn_brute" ->
+      """SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS cos_sim
+        |FROM embeddings e,
+        |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_vector_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+        |    AS avg_norm,
+        |  round(avg(embedding[1]), 4) AS avg_c0
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin)
+}

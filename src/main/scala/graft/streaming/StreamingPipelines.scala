@@ -1,0 +1,161 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/**
+ * Structured-Streaming rebuild of the reference's DStream surface
+ * (SURVEY.md §2h/§3.1): file-replayed event stream → windowed/stateful
+ * transforms → sink. `Trigger.AvailableNow` + memory sink make each
+ * pipeline synchronously testable against its batch twin; swapping the
+ * source for a live one (socket/rate/kafka-on-a-real-cluster) changes
+ * nothing downstream — that is the point of the declarative model.
+ */
+object StreamingPipelines {
+
+  /** events schema with ts as nanos-long (how the file stream reads it). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-replayed event stream with proper TimestampType `ts`. */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob (not a bare file path): the file source requires basePath to
+    // be a directory; the glob keeps basePath = sfDir
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the table. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-day window counts per event type (DStream
+    * `reduceByKeyAndWindow(w, w)` twin). */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToMemory(spark, agg, "stream_tumbling", OutputMode.Complete())
+      .select(col("window.start").cast("date").as("day"), col("event_type"), col("cnt"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Sliding 2-day window advancing 1 day (DStream sliding twin). */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    runToMemory(spark, agg, "stream_sliding", OutputMode.Complete())
+      .select(col("window.start").cast("date").as("win_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Session windows (6h gap) per user — no DStream equivalent; part of
+    * the engine's wider streaming surface. */
+  def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, agg, "stream_session", OutputMode.Append())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming exact dedup on (user_id, event_type) — emits first
+    * occurrence of each pair; downstream batch agg counts per type. */
+  def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, deduped, "stream_dedup", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  /** Stream filtered by a Bloom filter built from a static table — the
+    * reference's signature stream-membership pipeline (stream-static
+    * semi-join, approximated sketch-side then made exact). */
+  def bloomFilteredStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val static = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val sketchRow = static.agg(bloom_agg(col("user_id"), 100000L, 0.01).as("bf"))
+      .head()
+    val bf = lit(sketchRow.getAs[Array[Byte]]("bf"))
+    val filtered = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .filter(bloom_might_contain(bf, col("user_id")))
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    runToMemory(spark, filtered, "stream_bloom", OutputMode.Complete())
+      .orderBy("user_id")
+  }
+
+  /** Cross-batch keyed sketch state via mapGroupsWithState — the
+    * `updateStateByKey` rebuild: one serialized CMS per user survives
+    * across micro-batches; final answer = per-user click estimate. */
+  def cmsStatefulStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    import java.io.ByteArrayOutputStream
+
+    val updateFn = (userId: Long, rows: Iterator[(Long, String)],
+        state: GroupState[Array[Byte]]) => {
+      val cms =
+        if (state.exists) CountMinSketch.readFrom(state.get)
+        else CountMinSketch.create(0.001, 0.999, 42)
+      rows.foreach { case (_, et) => cms.addString(et) }
+      val out = new ByteArrayOutputStream()
+      cms.writeTo(out)
+      state.update(out.toByteArray)
+      (userId, cms.estimateCount("click"))
+    }
+
+    val est = eventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+      .toDF("user_id", "click_est")
+    runToMemory(spark, est, "stream_cms_state", OutputMode.Update())
+      .groupBy("user_id").agg(max("click_est").as("click_est"))
+      .orderBy("user_id")
+  }
+
+  /** foreachBatch sink: per-micro-batch side effect publishing batch
+    * counts (DStream `foreachRDD` twin). */
+  def foreachBatchCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = eventStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach(r => acc.add((batchId, r.getString(0), r.getLong(1))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    acc.asScala.toSeq.toDF("batch_id", "event_type", "n")
+      .groupBy("event_type").agg(sum("n").as("cnt"))
+      .orderBy("event_type")
+  }
+}
