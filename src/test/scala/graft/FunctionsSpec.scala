@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/** Unit tests for the column-function surface (graft.functions). */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  test("tokens: lower-cases, splits on whitespace, drops empties") {
+    val got = one[collection.Seq[String]](tokens(lit("  Hello   World\tFoo ")))
+    assert(got === Seq("hello", "world", "foo"))
+  }
+
+  test("shingles: 3-gram windows; short docs collapse to one shingle") {
+    val toks = array(lit("a"), lit("b"), lit("c"), lit("d"))
+    assert(one[collection.Seq[String]](shingles(toks, 3)) === Seq("a b c", "b c d"))
+    val short = array(lit("a"), lit("b"))
+    assert(one[collection.Seq[String]](shingles(short, 3)) === Seq("a b"))
+  }
+
+  test("minhash: identical token sets give identical signatures, k coordinates") {
+    val df = Seq("x y z w q", "x y z w q", "totally different text here")
+      .toDF("text")
+      .select(minhash_signature(shingles(tokens($"text"), 2), 16).as("sig"))
+    val sigs = df.collect().map(_.getAs[collection.Seq[Long]]("sig"))
+    assert(sigs.forall(_.length === 16))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+  }
+
+  test("lsh bands: equal signatures collide on every band") {
+    val df = Seq("p q r s t u", "p q r s t u").toDF("text")
+      .select(lsh_bands(minhash_signature(shingles(tokens($"text"), 2), 16), 4, 4).as("b"))
+    val bands = df.collect().map(_.getAs[collection.Seq[Long]]("b"))
+    assert(bands(0) === bands(1))
+    assert(bands(0).length === 4)
+  }
+
+  test("simhash: identical texts at distance 0, disjoint texts far apart") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta",
+        "omega psi chi phi")
+      .toDF("text").select(simhash64(tokens($"text")).as("sig"))
+    val s = df.collect().map(_.getLong(0))
+    assert(s(0) === s(1))
+    assert(java.lang.Long.bitCount(s(0) ^ s(2)) > 10)
+  }
+
+  test("hamming64: known distances") {
+    assert(one[Long](hamming64(lit(0b111L), lit(0L)).cast("long")) === 3L)
+    assert(one[Long](hamming64(lit(-1L), lit(0L)).cast("long")) === 64L)
+  }
+
+  test("doc_fingerprint: order-sensitive, deterministic") {
+    val ab = one[Long](doc_fingerprint(array(lit("a"), lit("b"))))
+    val ab2 = one[Long](doc_fingerprint(array(lit("a"), lit("b"))))
+    val ba = one[Long](doc_fingerprint(array(lit("b"), lit("a"))))
+    assert(ab === ab2)
+    assert(ab !== ba)
+  }
+
+  test("stopword_ratio: exact fraction, zero-safe on empty") {
+    val r = one[Double](stopword_ratio(
+      array(lit("the"), lit("cat"), lit("sat"), lit("on")), Seq("the", "on")))
+    assert(math.abs(r - 0.5) < 1e-12)
+    val empty = one[Double](stopword_ratio(filter(array(lit("x")), _ => lit(false)), Seq("the")))
+    assert(empty === 0.0)
+  }
+
+  test("vector math: dot, norm, cosine, l2 on known vectors") {
+    val a = array(lit(1.0f), lit(2.0f), lit(2.0f))
+    val b = array(lit(2.0f), lit(4.0f), lit(4.0f))
+    val c = array(lit(-2.0f), lit(1.0f), lit(0.0f))
+    assert(math.abs(one[Double](vec_dot(a, b)) - 18.0) < 1e-9)
+    assert(math.abs(one[Double](vec_norm(a)) - 3.0) < 1e-9)
+    assert(math.abs(one[Double](cosine_sim(a, b)) - 1.0) < 1e-9)  // parallel
+    assert(math.abs(one[Double](vec_dot(a, c))) < 1e-9)           // orthogonal
+    assert(math.abs(one[Double](cosine_sim(a, c))) < 1e-9)
+    assert(math.abs(one[Double](l2_sq(a, b)) - (1 + 4 + 4)) < 1e-9)
+  }
+
+  test("token_count matches manual count on documents") {
+    val bad = Tables.documents(spark, GraftSpark.sf)
+      .select(token_count($"text").as("n"),
+        size(filter(split(lower($"text"), "\\s+"), t => length(t) > 0)).as("m"))
+      .filter($"n" =!= $"m").count()
+    assert(bad === 0L)
+  }
+}

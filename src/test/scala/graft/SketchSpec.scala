@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+/**
+ * Property tests for the sketch core (SURVEY.md §5.1): the published
+ * accuracy contracts of Bloom (CACM 1970) and Count-Min (Cormode &
+ * Muthukrishnan 2005), plus the merge-homomorphism property that makes
+ * both sketches distributable (result independent of partitioning).
+ */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def lineitem = Tables.lineitem(spark, GraftSpark.sf)
+  private def events = Tables.events(spark, GraftSpark.sf)
+
+  // ---------------- Bloom filter ----------------
+
+  test("bloom: zero false negatives over every inserted key") {
+    val sk = lineitem.agg(bloom_agg($"l_orderkey", 10000L, 0.01).as("bf"))
+    val misses = lineitem.join(broadcast(sk))
+      .filter(!bloom_might_contain($"bf", $"l_orderkey"))
+      .count()
+    assert(misses === 0L)
+  }
+
+  test("bloom: measured FPP on a disjoint probe set stays near configured fpp") {
+    val fpp = 0.01
+    val sk = events.agg(bloom_agg($"user_id", 5000L, fpp).as("bf"))
+    // probe ids shifted far outside the inserted domain
+    val probes = spark.range(1000000, 1020000).toDF("pid")
+    val fp = probes.join(broadcast(sk))
+      .filter(bloom_might_contain($"bf", $"pid"))
+      .count()
+    val measured = fp.toDouble / 20000
+    assert(measured <= fpp * 3, s"measured FPP $measured > 3x configured $fpp")
+  }
+
+  test("bloom: merge homomorphism — sketch independent of partitioning") {
+    def build(parts: Int): Array[Byte] =
+      lineitem.repartition(parts, $"l_orderkey")
+        .agg(bloom_agg($"l_orderkey", 10000L, 0.01).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    assert(java.util.Arrays.equals(build(1), build(7)))
+  }
+
+  test("bloom: string keys round-trip (no false negatives on event_type)") {
+    val sk = events.agg(bloom_agg($"event_type", 100L, 0.01).as("bf"))
+    val misses = events.join(broadcast(sk))
+      .filter(!bloom_might_contain($"bf", $"event_type")).count()
+    assert(misses === 0L)
+  }
+
+  // ---------------- Count-Min sketch ----------------
+
+  test("cms: overestimate-only and within eps*N for every key") {
+    val eps = 0.001
+    val n = events.count()
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val sk = events.agg(cms_agg($"user_id", eps, 0.999, 42).as("sk"))
+    val checked = exact.join(broadcast(sk))
+      .select($"exact", cms_estimate($"sk", $"user_id").as("est"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val (ex, est) = (r.getLong(0), r.getLong(1))
+      assert(est >= ex, s"CMS underestimated: $est < $ex")
+      assert(est <= ex + (eps * n).ceil.toLong,
+        s"CMS above eps*N bound: $est > $ex + ${eps * n}")
+    }
+  }
+
+  test("cms: merge homomorphism — sketch independent of partitioning") {
+    def build(parts: Int): Array[Byte] =
+      events.repartition(parts, $"user_id")
+        .agg(cms_agg($"user_id", 0.01, 0.99, 42).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(build(1), build(5)))
+  }
+
+  test("cms: interoperates with Spark's built-in count_min_sketch format") {
+    val builtin = events
+      .agg(expr("count_min_sketch(event_type, 0.01d, 0.99d, 42)").as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(builtin) // same serialized format
+    val exact = events.filter($"event_type" === "click").count()
+    val est = events.agg(cms_estimate(lit(builtin), lit("click")).as("e"))
+      .head().getLong(0)
+    assert(est >= exact)
+    assert(cms.totalCount() === events.count())
+  }
+
+  test("cms: seed pinning — same seed same bytes, different seed different bytes") {
+    def build(seed: Int): Array[Byte] =
+      events.agg(cms_agg($"user_id", 0.01, 0.99, seed).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    assert(java.util.Arrays.equals(build(42), build(42)))
+    assert(!java.util.Arrays.equals(build(42), build(43)))
+  }
+
+  // ---------------- SQL registration ----------------
+
+  test("sketch functions usable from SQL via GraftExtensions") {
+    Tables.events(spark, GraftSpark.sf).createOrReplaceTempView("ev_sql")
+    val row = spark.sql(
+      """SELECT cms_estimate(cms_agg(user_id, 0.01d, 0.99d, 42), 7L) AS est,
+        |       bloom_might_contain(bloom_agg(user_id, 1000L, 0.01d), 7L) AS mc
+        |FROM ev_sql""".stripMargin).head()
+    val exact7 = spark.table("ev_sql").filter($"user_id" === 7).count()
+    assert(row.getLong(0) >= exact7)
+    if (exact7 > 0) assert(row.getBoolean(1))
+  }
+
+  // ---------------- direct library-level invariants ----------------
+
+  test("util.sketch primitives honor their merge contracts directly") {
+    val a = BloomFilter.create(1000, 0.01)
+    val b = BloomFilter.create(1000, 0.01)
+    (1L to 500L).foreach(a.putLong)
+    (400L to 900L).foreach(b.putLong)
+    a.mergeInPlace(b)
+    assert((1L to 900L).forall(a.mightContainLong))
+
+    val c1 = CountMinSketch.create(0.001, 0.99, 42)
+    val c2 = CountMinSketch.create(0.001, 0.99, 42)
+    (1L to 100L).foreach(c1.addLong)
+    (50L to 150L).foreach(c2.addLong)
+    c1.mergeInPlace(c2)
+    assert(c1.totalCount() === 201L)
+    assert(c1.estimateCount(60L) >= 2L)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingPipelines
+
+/**
+ * Batch-twin equivalence (SURVEY.md §5.4): the Structured Streaming
+ * pipelines replayed over the static events table must produce exactly
+ * the result of the equivalent batch query — the declarative-model
+ * guarantee the engine's streaming surface is built on.
+ */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("tumbling window stream == batch window aggregate") {
+    val stream = StreamingPipelines.tumblingCounts(spark, GraftSpark.sf)
+    val batch = Tables.events(spark, GraftSpark.sf)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"window.start".cast("date").as("day"), $"event_type", $"cnt")
+      .orderBy("day", "event_type")
+    assert(stream.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("streaming dedup == batch distinct") {
+    val stream = StreamingPipelines.streamDedup(spark, GraftSpark.sf)
+    val batch = Tables.events(spark, GraftSpark.sf)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+    assert(stream.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("bloom-filtered stream keeps every true member (no false negatives)") {
+    val got = StreamingPipelines.bloomFilteredStream(spark, GraftSpark.sf)
+      .select("user_id").as[Long].collect().toSet
+    val trueMembers = {
+      val ev = Tables.events(spark, GraftSpark.sf)
+      val purchasers = ev.filter($"event_type" === "purchase")
+        .select("user_id").distinct()
+      ev.filter($"event_type" === "click")
+        .join(purchasers, "user_id")
+        .select("user_id").as[Long].collect().toSet
+    }
+    assert(trueMembers.subsetOf(got), "bloom stream dropped a true member")
+  }
+
+  test("stateful CMS stream estimates >= exact per-user click counts") {
+    val est = StreamingPipelines.cmsStatefulStream(spark, GraftSpark.sf)
+      .as[(Long, Long)].collect().toMap
+    val exact = Tables.events(spark, GraftSpark.sf)
+      .filter($"event_type" === "click")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (u, c) =>
+      assert(est.getOrElse(u, 0L) >= c, s"user $u: est ${est.get(u)} < exact $c")
+    }
+  }
+}
