@@ -29,6 +29,7 @@ object SparkEntry {
     SketchQueries.queries("q_cms_event_counts")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SourceQueries.queries ++
     RelationalQueries.queries ++
     SketchQueries.queries ++
     TextQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
+    SourceQueries.oracleSql ++
     RelationalQueries.oracleSql ++
     SketchQueries.oracleSql ++
     TextQueries.oracleSql ++

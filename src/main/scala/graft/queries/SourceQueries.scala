@@ -1,0 +1,127 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Source-format coverage (SURVEY.md §2a): csv / json / text ingest with
+ * explicit schemas. Each query round-trips a testdata table through the
+ * format under test (write from parquet → read back → aggregate), so the
+ * DuckDB oracle — running on the original parquet — hash-checks that the
+ * format path is lossless. No synthetic data: testdata is the source.
+ *
+ * Plus the §2e rows not covered in RelationalQueries: full-outer join and
+ * an edit-distance (levenshtein) string query.
+ */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ioDir(name: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_io", name).toString
+
+  val queries: Map[String, Q] = Map(
+
+    // csv scan: nation → csv (header) → read with explicit schema → agg
+    "q_csv_scan" -> ((s, d) => {
+      val nat = Tables.nation(s, d)
+      val path = ioDir("nation_csv")
+      nat.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(nat.schema).option("header", "true").csv(path)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
+    // json scan: customer → json lines → read with explicit schema → agg
+    "q_json_scan" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val path = ioDir("customer_json")
+      cust.write.mode("overwrite").json(path)
+      s.read.schema(cust.schema).json(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("c_acctbal"), 4).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // text scan: part names as raw lines → read → tokenize → wordcount
+    "q_text_scan" -> ((s, d) => {
+      val path = ioDir("part_text")
+      Tables.part(s, d).select(col("p_name")).write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(explode(graft.functions.tokens(col("value"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    // full-outer join (2e): both-sided nulls via selective filters
+    "q_join_full_outer" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+        .select("c_custkey", "c_mktsegment")
+      val ord = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select("o_custkey", "o_orderkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "full")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_cust_side"),
+          count(col("o_orderkey")).as("n_order_side"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_no_cust"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_order"))
+    }),
+
+    // KLL quantile sketch (2c; rows-only — accuracy property-tested):
+    // sketch quantiles next to their exact twins
+    "q_kll_quantiles" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_kll")
+      s.sql("""SELECT l_returnflag,
+              |  round(kll_sketch_get_quantile_double(
+              |    kll_sketch_agg_double(l_extendedprice), 0.5), 4) AS kll_p50,
+              |  round(percentile(l_extendedprice, 0.25), 4) AS exact_p25,
+              |  round(percentile(l_extendedprice, 0.5), 4)  AS exact_p50,
+              |  round(percentile(l_extendedprice, 0.75), 4) AS exact_p75
+              |FROM li_kll GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // edit distance (2g string family)
+    "q_edit_distance" -> ((s, d) => Tables.part(s, d)
+      .select(col("p_partkey"),
+        levenshtein(lower(col("p_brand")), lower(substring(col("p_type"), 1, 8)))
+          .as("edit_dist"))
+      .orderBy("p_partkey").limit(200)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_scan" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_scan" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_scan" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(lower(p_name), ' ')) AS word FROM part
+        |) WHERE word <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT count(*) AS n_rows,
+        |  count(c_custkey) AS n_cust_side,
+        |  count(o_orderkey) AS n_order_side,
+        |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_cust,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_order
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |           WHERE o_totalprice > 200000.0) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_edit_distance" ->
+      """SELECT p_partkey,
+        |  levenshtein(lower(p_brand), lower(substring(p_type, 1, 8))) AS edit_dist
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)
+}

@@ -21,6 +21,7 @@ object StreamingQueries {
     "q_stream_session" -> ((s, d) => StreamingPipelines.sessionCounts(s, d)),
     "q_stream_dedup" -> ((s, d) => StreamingPipelines.streamDedup(s, d)),
     "q_stream_bloom" -> ((s, d) => StreamingPipelines.bloomFilteredStream(s, d)),
+    "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
 
@@ -35,6 +36,12 @@ object StreamingQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream-static equi-join == batch join (broadcast dim both ways)
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // foreachBatch republishes per-batch counts; summed == plain counts
     "q_stream_foreach_batch" ->

@@ -42,24 +42,48 @@ object TextQueries {
 
     // --- near-dup dedup via MinHash + LSH banding (the 100 TB path:
     //     band collisions → shuffle join, no all-pairs) ------------------
+    // Signatures are computed in exploded form — one codegen'd xxhash64
+    // per (shingle, hash-family) then a hash-aggregate min per doc —
+    // instead of a per-row higher-order function (HOFs are interpreted,
+    // CodegenFallback). Bit-identical to minhash_signature(sh, 16): min
+    // over exploded shingles == array_min over the transformed array.
     "q_minhash_neardup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-        .withColumn("sig", minhash_signature(col("sh"), 16))
-        .withColumn("band", explode(lsh_bands(col("sig"), 4, 4)))
-      // pairs colliding on at least one band (band index is baked into
-      // the band hash, so a plain equi-join on `band` is the LSH bucket)
-      val a = docs.select(col("doc_id").as("id_a"), col("band"))
-      val b = docs.select(col("doc_id").as("id_b"), col("band"))
+      val k = 16
+      val postings = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+      val sigs = postings.groupBy("doc_id")
+        .agg(min(xxhash64(lit(0), col("g"))).as("h0"),
+          (1 until k).map(j => min(xxhash64(lit(j), col("g"))).as(s"h$j")): _*)
+      // band hash = xxhash64(bandIdx, "h_i,h_i+1,...") — the same bytes
+      // lsh_bands() hashes, so the two formulations interoperate
+      val banded = sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until 4).map(r => col(s"h${b * 4 + r}").cast("string")): _*))
+      }: _*)).as("band"))
+      val a = banded.select(col("doc_id").as("id_a"), col("band"))
+      val b = banded.select(col("doc_id").as("id_b"), col("band"))
       a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
         .orderBy("id_a", "id_b")
     }),
 
     // --- SimHash near-dup (64-bit signature, hamming ≤ k) ---------------
+    // Signature via explode + 64 codegen'd conditional sums per doc
+    // (bit-identical to simhash64(), which is a per-row interpreted HOF).
     "q_simhash_neardup" -> ((s, d) => {
-      val sigs = Tables.documents(s, d)
-        .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("h", xxhash64(col("t")))
+      val votes = toks.groupBy("doc_id").agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as("v0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"v$b")): _*)
+      val sigs = votes.select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
       // block on the 4 16-bit chunks (pigeonhole: hamming≤3 pairs share
       // at least one exact chunk) → join per block, then verify distance
       val chunks = sigs.select(col("doc_id"), col("sig"),
@@ -77,16 +101,28 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // --- n-gram Jaccard verification of LSH candidates ------------------
+    // --- n-gram Jaccard near-dup, inverted-index formulation -------------
+    // |A ∩ B| via a shuffle join on the shingle key (co-occurrence count),
+    // |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing ≥1 shingle are ever
+    // materialized — identical results to all-pairs for any threshold > 0,
+    // but linear in total postings instead of O(n²) in documents; this is
+    // the formulation that survives 100 TB (the all-pairs cross join does
+    // not survive 5k docs).
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      val cand = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-          col("id_a") < col("id_b"))
-      cand.select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-            / size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+      val postings = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val inter = postings.toDF("id_a", "g")
+        .join(postings.toDF("id_b", "g"), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value (oracle too)
         .orderBy("id_a", "id_b")
     }),

@@ -107,6 +107,20 @@ object StreamingPipelines {
       .orderBy("user_id")
   }
 
+  /** Stream-static equi-join (SURVEY.md §2e ●): the event stream enriched
+    * against a broadcast dimension — the exact-join form of the
+    * membership semantics the Bloom stream approximates. */
+  def streamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventStream(spark, sfDir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(spark, joined, "stream_static_join", OutputMode.Complete())
+      .orderBy("c_mktsegment")
+  }
+
   /** Cross-batch keyed sketch state via mapGroupsWithState — the
     * `updateStateByKey` rebuild: one serialized CMS per user survives
     * across micro-batches; final answer = per-user click estimate. */

@@ -85,6 +85,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(one[Double](l2_sq(a, b)) - (1 + 4 + 4)) < 1e-9)
   }
 
+  test("exploded minhash formulation == per-row minhash_signature on documents") {
+    val docs = Tables.documents(spark, GraftSpark.sf).limit(100)
+      .select($"doc_id", shingles(tokens($"text"), 3).as("sh"))
+    val hof = docs.select($"doc_id", minhash_signature($"sh", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getAs[collection.Seq[Long]]("sig").toSeq).toMap
+    val exploded = docs.select($"doc_id", explode($"sh").as("g"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), $"g")).as("h0"),
+        (1 until 16).map(j => min(xxhash64(lit(j), $"g")).as(s"h$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(i => r.getLong(i))).toMap
+    assert(hof === exploded)
+  }
+
+  test("exploded simhash formulation == per-row simhash64 on documents") {
+    val docs = Tables.documents(spark, GraftSpark.sf).limit(100)
+    val hof = docs.select($"doc_id", simhash64(tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("t"))
+      .withColumn("h", xxhash64($"t"))
+    val votes = toks.groupBy("doc_id").agg(
+      sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as("v0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b")): _*)
+    val exploded = votes.select($"doc_id",
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof === exploded)
+  }
+
   test("token_count matches manual count on documents") {
     val bad = Tables.documents(spark, GraftSpark.sf)
       .select(token_count($"text").as("n"),

@@ -103,6 +103,15 @@ class SketchSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(build(42), build(43)))
   }
 
+  test("kll: sketch median lands inside the exact interquartile range") {
+    queries.SourceQueries.queries("q_kll_quantiles")(spark, GraftSpark.sf)
+      .collect().foreach { r =>
+        val (kll, p25, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
+        assert(kll >= p25 && kll <= p75,
+          s"kll p50 $kll outside exact [p25=$p25, p75=$p75]")
+      }
+  }
+
   // ---------------- SQL registration ----------------
 
   test("sketch functions usable from SQL via GraftExtensions") {
