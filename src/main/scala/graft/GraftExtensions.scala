@@ -18,10 +18,18 @@ import graft.sketches.{BloomBuildAgg, BloomMightContain, CmsBuildAgg, CmsEstimat
  *    driver-contract paths, which receive a pre-built session).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Bloom semi-join prefilter (SURVEY.md §4/M6) — off until
+    // spark.graft.bloomPrefilter.enabled=true. PreCBO placement: runs
+    // ONCE after the operator-optimization fixpoint, so the injected
+    // probe doesn't get re-derived by InferFiltersFromConstraints and
+    // the rule never observes its own intermediate output (the same
+    // reason Spark's InjectRuntimeFilter lives outside that batch).
+    ext.injectPreCBORule(graft.plans.BloomSemiPrefilterRule)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,99 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingPipelines
+
+/**
+ * Streaming source/sink coverage (SURVEY.md §2a): the reference's socket
+ * text intake, the rate source, and the parquet streaming sink. These are
+ * inherently wall-clock-driven, so they are tests (bounded, with
+ * timeouts) rather than deterministic contract queries.
+ */
+class StreamingSourcesSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+
+  test("socket text source: lines stream in and tokenize (reference intake)") {
+    val lines = Seq("hello world hello", "spark streams words", "hello spark")
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+      // keep the connection open until the test closes the server —
+      // closing early can race the receiver's first poll
+      Thread.sleep(30000)
+    })
+    writer.setDaemon(true)
+    writer.start()
+    try {
+      val counts = spark.readStream
+        .format("socket")
+        .option("host", "localhost").option("port", port)
+        .load()
+        .select(explode(functions.tokens(col("value"))).as("word"))
+        .groupBy("word").count()
+      val q = counts.writeStream.outputMode("complete")
+        .format("memory").queryName("socket_wordcount")
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        def total(): Long =
+          spark.table("socket_wordcount").agg(sum("count")).head().getLong(0)
+        def rows(): Long = spark.table("socket_wordcount").count()
+        while (System.currentTimeMillis() < deadline &&
+               (rows() == 0 || total() < 8)) Thread.sleep(250)
+        val got = spark.table("socket_wordcount").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got("hello") === 3L)
+        assert(got("spark") === 2L)
+        assert(got.values.sum === 8L)
+      } finally q.stop()
+    } finally server.close()
+  }
+
+  test("rate source: deterministic schema, rows flow") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50")
+      .load()
+      .writeStream.format("memory").queryName("rate_rows")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+             spark.table("rate_rows").count() == 0) Thread.sleep(200)
+      assert(spark.table("rate_rows").count() > 0)
+      assert(spark.table("rate_rows").schema.fieldNames.toSeq ===
+        Seq("timestamp", "value"))
+    } finally q.stop()
+  }
+
+  test("parquet streaming sink: file stream -> parquet out == table contents") {
+    val outDir = Files.createTempDirectory("graft_sink_parquet").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    val q = StreamingPipelines.eventStream(spark, GraftSpark.sf)
+      .select("event_id", "user_id", "event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(outDir)
+    val expected = Tables.events(spark, GraftSpark.sf)
+    assert(written.count() === expected.count())
+    assert(written.agg(sum("event_id")).head().getLong(0) ===
+      expected.agg(sum("event_id")).head().getLong(0))
+  }
+}
