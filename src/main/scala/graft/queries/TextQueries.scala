@@ -23,6 +23,30 @@ object TextQueries {
   // heuristic (expressible identically in Spark and DuckDB)
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /**
+   * (doc_id, gh) postings where gh = 64-bit hash of each word 3-gram,
+   * built by window lead over posexploded tokens — fully codegen'd, no
+   * interpreted HOF, no string allocation (only gram equality matters
+   * downstream, and 2^-64 collisions are noise). Docs shorter than one
+   * shingle window collapse to a single whole-doc gram. May contain
+   * duplicate grams per doc (callers distinct() when they need sets).
+   */
+  private def gramHashPostings(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val toks = base.select(col("doc_id"), size(col("tk")).as("ntk"),
+      posexplode(col("tk")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val g3 = toks.filter(col("ntk") >= 3)
+      .select(col("doc_id"), col("pos"), col("ntk"),
+        xxhash64(col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("gh"))
+      .filter(col("pos") <= col("ntk") - 3)
+      .select(col("doc_id"), col("gh"))
+    val gShort = base.filter(size(col("tk")) < 3)
+      .select(col("doc_id"), xxhash64(array_join(col("tk"), " ")).as("gh"))
+    g3.union(gShort)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
@@ -43,17 +67,19 @@ object TextQueries {
     // --- near-dup dedup via MinHash + LSH banding (the 100 TB path:
     //     band collisions → shuffle join, no all-pairs) ------------------
     // Signatures are computed in exploded form — one codegen'd xxhash64
-    // per (shingle, hash-family) then a hash-aggregate min per doc —
+    // per (gram, hash-family) then a hash-aggregate min per doc —
     // instead of a per-row higher-order function (HOFs are interpreted,
-    // CodegenFallback). Bit-identical to minhash_signature(sh, 16): min
-    // over exploded shingles == array_min over the transformed array.
+    // CodegenFallback). Coordinate j = min over grams of
+    // xxhash64(j, gramHash); hashing the 64-bit gram hash instead of the
+    // gram string preserves the minhash property (coordinates agree with
+    // probability = Jaccard similarity) while keeping the whole pipeline
+    // string-free.
     "q_minhash_neardup" -> ((s, d) => {
       val k = 16
-      val postings = Tables.documents(s, d)
-        .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("g"))
+      val postings = gramHashPostings(Tables.documents(s, d))
       val sigs = postings.groupBy("doc_id")
-        .agg(min(xxhash64(lit(0), col("g"))).as("h0"),
-          (1 until k).map(j => min(xxhash64(lit(j), col("g"))).as(s"h$j")): _*)
+        .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
+          (1 until k).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
       // band hash = xxhash64(bandIdx, "h_i,h_i+1,...") — the same bytes
       // lsh_bands() hashes, so the two formulations interoperate
       val banded = sigs.select(col("doc_id"), explode(array((0 until 4).map { b =>
@@ -108,18 +134,21 @@ object TextQueries {
     // but linear in total postings instead of O(n²) in documents; this is
     // the formulation that survives 100 TB (the all-pairs cross join does
     // not survive 5k docs).
+    // Shingles are 64-bit hashes, not strings: only equality matters for
+    // set intersection, so each 3-gram is xxhash64(t, t+1, t+2) built by
+    // window lead over posexploded tokens — all codegen'd, no per-row
+    // interpreted HOF, no string allocation (collision odds 2^-64 are
+    // noise next to fp rounding). Set sizes ride along the postings via a
+    // count window, so the shingle pipeline is evaluated exactly once and
+    // the self-join's two sides share one reused exchange.
     "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-      val postings = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val inter = postings.toDF("id_a", "g")
-        .join(postings.toDF("id_b", "g"), Seq("g"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("id_a", "sz_a"), "id_a")
-        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      import org.apache.spark.sql.expressions.Window
+      val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val a = postings.toDF("id_a", "gh", "sz_a")
+      val b = postings.toDF("id_b", "gh", "sz_b")
+      a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
         .select(col("id_a"), col("id_b"),
           round(col("inter").cast("double")
             / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))

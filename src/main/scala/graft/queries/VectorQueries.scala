@@ -59,15 +59,28 @@ object VectorQueries {
     }),
 
     // embedding-space near-dup detection, label-blocked (the blocking
-    // replaces all-pairs: at scale this is a shuffle join on the cell key)
+    // replaces all-pairs: at scale this is a shuffle join on the cell key).
+    // Pairwise dot products run as a posexplode + equi-join + hash
+    // aggregate — codegen'd and shuffle-parallel on (label, pos) — instead
+    // of an interpreted per-pair zip_with; per-vector norms (cheap, one
+    // per vector) keep the exact cosine arithmetic of cosine_sim().
     "q_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding"))
-      val a = emb.toDF("id_a", "label", "e_a")
-      val b = emb.toDF("id_b", "label", "e_b")
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      val norms = emb.select(col("vec_id"), vec_norm(col("embedding")).as("nrm"))
+      val dims = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val a = dims.toDF("id_a", "label", "pos", "v_a")
+      val b = dims.toDF("id_b", "label", "pos", "v_b")
+      val dots = a.join(b, Seq("label", "pos"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("v_a").cast("double") * col("v_b").cast("double")).as("dot"))
+      dots
+        .join(norms.toDF("id_a", "n_a"), "id_a")
+        .join(norms.toDF("id_b", "n_b"), "id_b")
         .select(col("id_a"), col("id_b"),
-          round(cosine_sim(col("e_a"), col("e_b")), 4).as("cos_sim"))
+          round(col("dot") / (col("n_a") * col("n_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
         .orderBy("id_a", "id_b")
     }),
