@@ -252,6 +252,17 @@ object RelationalQueries {
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id").limit(200)),
 
+    // --- custom typed UDAF (2d): Aggregator[IN,BUF,OUT] surface ----------
+    "q_typed_udaf" -> ((s, d) => {
+      val welford = udaf(new graft.functions.WelfordVariance)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4(welford(col("l_quantity"))).as("var_qty"),
+          round(welford(col("l_discount")), 8).as("var_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- as-of join (2e; composed — no native as-of in Spark) -------------
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -448,6 +459,11 @@ object RelationalQueries {
       """SELECT event_id, 'k' AS keys,
         |  json_extract_string(props, '$.k')::BIGINT AS k_val
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q_typed_udaf" ->
+      """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(var_samp(l_discount), 8) AS var_disc, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, max(epoch_us(c.c_ts)) AS last_click_us

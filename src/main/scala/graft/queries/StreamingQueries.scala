@@ -37,6 +37,17 @@ object StreamingQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // sliding 2-day/1-day windows: each event lands in exactly two
+    // epoch-aligned windows, starting at its day bucket and the day before
+    "q_stream_sliding" ->
+      """SELECT win_start, event_type, count(*) AS cnt FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '1 day', ts),
+        |                 time_bucket(INTERVAL '1 day', ts) - INTERVAL '1 day'
+        |                ])::DATE AS win_start,
+        |         event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // stream-static equi-join == batch join (broadcast dim both ways)
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events

@@ -197,6 +197,19 @@ object TextQueries {
         round(avg("n_chars"), 4).as("avg_chars"))
       .orderBy("lang")),
 
+    // --- BPE-ish regex token counting (word pieces: letter runs, digit
+    //     runs, single punctuation — the subword-tokenizer cost model) ----
+    "q_regex_tokens" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_pieces"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .groupBy("lang")
+      .agg(sum("n_pieces").as("total_pieces"),
+        sum("n_ws_tokens").as("total_ws_tokens"),
+        round(avg("n_pieces"), 4).as("avg_pieces"))
+      .orderBy("lang")),
+
     // --- TF-IDF: top term per language by tf-idf weight ------------------
     "q_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -267,6 +280,15 @@ object TextQueries {
         |  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
         |        FROM documents))
         |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "q_regex_tokens" ->
+      """SELECT lang,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')))::BIGINT
+        |    AS total_pieces,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS total_ws_tokens,
+        |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
+        |    AS avg_pieces
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
