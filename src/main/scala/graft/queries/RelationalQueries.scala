@@ -145,9 +145,10 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .withColumn("rnk", rank().over(w))
         .withColumn("drnk", dense_rank().over(w))
+        .withColumn("quartile", ntile(4).over(w))
         .filter(col("rn") <= 3)
         .select(col("o_orderstatus"), col("rn"), col("rnk"), col("drnk"),
-          col("o_orderkey"), r4(col("o_totalprice")).as("price"))
+          col("quartile"), col("o_orderkey"), r4(col("o_totalprice")).as("price"))
         .orderBy("o_orderstatus", "rn")
     }),
 
@@ -251,6 +252,20 @@ object RelationalQueries {
         array_join(map_keys(col("m")), ",").as("keys"),
         element_at(col("m"), "k").as("k_val"))
       .orderBy("event_id").limit(200)),
+
+    // --- interval / date arithmetic (2g date family) ---------------------
+    "q_interval_funcs" -> ((s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("ship_lag"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+          .cast("long").as("late90"))
+      .groupBy("l_returnflag")
+      .agg(round(avg("ship_lag"), 4).as("avg_lag_days"),
+        max("ship_lag").as("max_lag_days"),
+        sum("late90").as("n_late90"))
+      .orderBy("l_returnflag")),
 
     // --- custom typed UDAF (2d): Aggregator[IN,BUF,OUT] surface ----------
     "q_typed_udaf" -> ((s, d) => {
@@ -380,9 +395,10 @@ object RelationalQueries {
         |ORDER BY 1, 2""".stripMargin,
 
     "q_window_rank" ->
-      """SELECT o_orderstatus, rn, rnk, drnk, o_orderkey, price FROM (
+      """SELECT o_orderstatus, rn, rnk, drnk, quartile, o_orderkey, price FROM (
         |  SELECT o_orderstatus, o_orderkey, round(o_totalprice, 4) AS price,
-        |    row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
@@ -459,6 +475,16 @@ object RelationalQueries {
       """SELECT event_id, 'k' AS keys,
         |  json_extract_string(props, '$.k')::BIGINT AS k_val
         |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q_interval_funcs" ->
+      """SELECT l_returnflag,
+        |  round(avg(date_diff('day', o_orderdate::DATE, l_shipdate::DATE)), 4)
+        |    AS avg_lag_days,
+        |  max(date_diff('day', o_orderdate::DATE, l_shipdate::DATE))::BIGINT
+        |    AS max_lag_days,
+        |  sum((l_shipdate > o_orderdate + INTERVAL 90 DAY)::BIGINT)::BIGINT AS n_late90
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_typed_udaf" ->
       """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_qty,
