@@ -107,6 +107,20 @@ object SketchQueries {
         .orderBy("event_type")
     }),
 
+    // re-aggregatable top-k sketch table: per-language accumulators merged
+    // with approx_top_k_combine — the same partial/merge pattern as the
+    // hll_union sketch table (sketch state survives re-grouping)
+    "q_topk_reagg" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      val perLang = words.groupBy("lang")
+        .agg(expr("approx_top_k_accumulate(word, 10000)").as("acc"))
+      perLang.agg(expr("approx_top_k_estimate(approx_top_k_combine(acc, 10000), 5)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     "q_heavy_hitters" -> ((s, d) => {
       // approx_top_k returns array<struct<item,count>>; explode and sort
       // deterministically (count desc, item)

@@ -125,6 +125,20 @@ class SketchSpec extends AnyFunSuite {
     if (exact7 > 0) assert(row.getBoolean(1))
   }
 
+  test("null handling: null inputs are skipped in builds, null probes stay null") {
+    val withNulls = events.select(
+      when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id").as("uid"))
+    val nNonNull = withNulls.filter($"uid".isNotNull).count()
+    val sk = withNulls.agg(cms_agg($"uid", 0.01, 0.99, 42).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    assert(CountMinSketch.readFrom(sk).totalCount() === nNonNull)
+    val probes = spark.range(1).select(
+      cms_estimate(lit(sk), lit(null).cast("long")).as("ce"),
+      bloom_might_contain(lit(null).cast("binary"), lit(1L)).as("bm"))
+      .head()
+    assert(probes.isNullAt(0) && probes.isNullAt(1))
+  }
+
   // ---------------- direct library-level invariants ----------------
 
   test("util.sketch primitives honor their merge contracts directly") {
