@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.sketches.{BloomBuildAgg, BloomMightContain, CmsBuildAgg, CmsEstimate}
+import graft.sketches.{BloomBuildAgg, BloomMergeAgg, BloomMightContain, CmsBuildAgg, CmsEstimate, CmsMergeAgg}
 
 /**
  * SQL-surface registration for the graft sketch functions, so
@@ -50,7 +50,16 @@ object GraftExtensions {
         .toAggregateExpression()),
     ("cms_estimate",
       info("cms_estimate", "cms_estimate(sketch, value) - point frequency estimate, f <= est <= f + eps*N"),
-      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))))
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
+    ("cms_merge_agg",
+      info("cms_merge_agg", "cms_merge_agg(sketch) - merge serialized CMS columns (counter addition)"),
+      (args: Seq[Expression]) => new CmsMergeAgg(args(0)).toAggregateExpression()),
+    ("bloom_merge_agg",
+      info("bloom_merge_agg", "bloom_merge_agg(sketch) - merge serialized Bloom filters (bitwise OR)"),
+      (args: Seq[Expression]) => new BloomMergeAgg(args(0)).toAggregateExpression()),
+    ("vec_dot_native",
+      info("vec_dot_native", "vec_dot_native(a, b) - codegen'd dot product of float/double arrays"),
+      (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
 import org.apache.spark.sql.types.DoubleType
 
-import graft.sketches.{BloomBuildAgg, BloomMightContain, CmsBuildAgg, CmsEstimate}
+import graft.sketches.{BloomBuildAgg, BloomMergeAgg, BloomMightContain, CmsBuildAgg, CmsEstimate, CmsMergeAgg}
 
 /**
  * graft.functions — the engine's column-function surface.
@@ -40,6 +40,15 @@ package object functions {
   /** Point-frequency estimate from a serialized CMS: f ≤ f̂ ≤ f + ε·N. */
   def cms_estimate(sketch: Column, value: Column): Column =
     Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))
+
+  /** Merge serialized CMS columns (counter addition) — re-aggregate a
+    * sketch table to any coarser grouping, like `hll_union_agg`. */
+  def cms_merge_agg(sketch: Column): Column =
+    Shims.column(new CmsMergeAgg(Shims.expression(sketch)).toAggregateExpression())
+
+  /** Merge serialized Bloom filters (bitwise OR). */
+  def bloom_merge_agg(sketch: Column): Column =
+    Shims.column(new BloomMergeAgg(Shims.expression(sketch)).toAggregateExpression())
 
   // ------------------------------------------------------------------
   // Text analysis (north-star ops — SURVEY.md §2j)
@@ -131,8 +140,15 @@ package object functions {
   // Vector / embedding math (similarity search — SURVEY.md §2j)
   // ------------------------------------------------------------------
 
-  /** Dot product of two float arrays, accumulated in double, via zip_with. */
+  /** Dot product of two float/double arrays, accumulated in double —
+    * a code-generating native expression ([[VecDot]]); bit-identical to
+    * the HOF formulation [[vec_dot_hof]] but stays in whole-stage codegen. */
   def vec_dot(a: Column, b: Column): Column =
+    Shims.column(VecDot(Shims.expression(a), Shims.expression(b)))
+
+  /** Reference HOF formulation of the dot product (interpreted; kept as
+    * the differential-testing twin of [[vec_dot]]). */
+  def vec_dot_hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (s, x) => s + x)
 

@@ -107,6 +107,21 @@ object SketchQueries {
         .orderBy("event_type")
     }),
 
+    // CMS sketch table: per-type partial sketches re-aggregated to a
+    // global sketch (exact homomorphism — byte-identical to a direct
+    // build, proven in SketchSpec); estimates vs the exact counts
+    "q_cms_sketch_table" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy("event_type")
+        .agg(cms_agg(col("user_id"), 0.001, 0.999, 42).as("sk"))
+      val global = perType.agg(cms_merge_agg(col("sk")).as("sk"))
+      ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .join(broadcast(global))
+        .select(col("user_id"), col("exact"),
+          cms_estimate(col("sk"), col("user_id")).as("est_merged"))
+        .orderBy("user_id")
+    }),
+
     // re-aggregatable top-k sketch table: per-language accumulators merged
     // with approx_top_k_combine — the same partial/merge pattern as the
     // hll_union sketch table (sketch state survives re-grouping)

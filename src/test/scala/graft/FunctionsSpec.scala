@@ -118,6 +118,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(hof === exploded)
   }
 
+  test("vec_dot native codegen == HOF formulation, bit-identical on embeddings") {
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val diffs = emb.crossJoin(q)
+      .select(vec_dot($"embedding", $"qv").as("native"),
+        vec_dot_hof($"embedding", $"qv").as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("vec_dot null semantics: mismatched lengths and null arrays -> null") {
+    val r = spark.range(1).select(
+      vec_dot(array(lit(1.0f), lit(2.0f)), array(lit(1.0f))).as("mismatch"),
+      vec_dot(lit(null).cast("array<float>"), array(lit(1.0f))).as("nullarr"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("token_count matches manual count on documents") {
     val bad = Tables.documents(spark, GraftSpark.sf)
       .select(token_count($"text").as("n"),

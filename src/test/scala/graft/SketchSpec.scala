@@ -125,6 +125,30 @@ class SketchSpec extends AnyFunSuite {
     if (exact7 > 0) assert(row.getBoolean(1))
   }
 
+  test("sketch-table re-aggregation: merged partials == direct global build, byte-identical") {
+    val perType = events.groupBy("event_type")
+      .agg(cms_agg($"user_id", 0.01, 0.99, 42).as("sk"),
+        bloom_agg($"user_id", 1000L, 0.01).as("bf"))
+    val merged = perType.agg(cms_merge_agg($"sk").as("sk"),
+      bloom_merge_agg($"bf").as("bf")).head()
+    val direct = events.agg(cms_agg($"user_id", 0.01, 0.99, 42).as("sk"),
+      bloom_agg($"user_id", 1000L, 0.01).as("bf")).head()
+    assert(java.util.Arrays.equals(
+      merged.getAs[Array[Byte]]("sk"), direct.getAs[Array[Byte]]("sk")))
+    assert(java.util.Arrays.equals(
+      merged.getAs[Array[Byte]]("bf"), direct.getAs[Array[Byte]]("bf")))
+  }
+
+  test("merge aggs usable from SQL") {
+    Tables.events(spark, GraftSpark.sf).createOrReplaceTempView("ev_merge_sql")
+    val est = spark.sql(
+      """SELECT cms_estimate(cms_merge_agg(sk), 3L) AS est FROM (
+        |  SELECT event_type, cms_agg(user_id, 0.01d, 0.99d, 42) AS sk
+        |  FROM ev_merge_sql GROUP BY event_type)""".stripMargin).head().getLong(0)
+    val exact = spark.table("ev_merge_sql").filter($"user_id" === 3).count()
+    assert(est >= exact)
+  }
+
   test("null handling: null inputs are skipped in builds, null probes stay null") {
     val withNulls = events.select(
       when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id").as("uid"))
