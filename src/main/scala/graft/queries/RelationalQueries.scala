@@ -278,6 +278,64 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- pivot (2d): explicit value list keeps the schema static so the
+    // plan is a single hash-agg (no extra pass to discover pivot values) ---
+    "q_pivot" -> ((s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(r4(sum("o_totalprice")))
+      .orderBy("o_orderpriority")),
+
+    // --- subqueries (2d/2e): Catalyst decorrelates these into joins ------
+    // correlated scalar subquery → RewriteCorrelatedScalarSubquery plans an
+    // aggregate + left outer join; no per-row re-execution at any scale
+    "q_subquery_scalar" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+      s.sql("""SELECT c_custkey, round(c_acctbal, 4) AS bal
+              |FROM customer_sq c
+              |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+              |                       WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // EXISTS / NOT EXISTS → RewritePredicateSubquery plans semi/anti joins
+    "q_subquery_exists" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_sq")
+      s.sql("""SELECT o_orderkey, o_orderpriority
+              |FROM orders_sq o
+              |WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+              |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem_sq l
+              |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // --- unpivot / melt (2d): wide metrics → long (metric, val) rows ------
+    "q_unpivot" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "val")
+      .orderBy("l_returnflag", "metric")),
+
+    // --- lateral join (2e): per-outer-row correlated subquery with LIMIT —
+    // planned as a LateralJoin, the set-returning cousin of as-of
+    "q_lateral_join" -> ((s, d) => {
+      Tables.region(s, d).createOrReplaceTempView("region_lj")
+      Tables.nation(s, d).createOrReplaceTempView("nation_lj")
+      s.sql("""SELECT r.r_name, t.n_name
+              |FROM region_lj r,
+              |LATERAL (SELECT n.n_name FROM nation_lj n
+              |         WHERE n.n_regionkey = r.r_regionkey
+              |         ORDER BY n.n_name LIMIT 2) t
+              |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
     // --- as-of join (2e; composed — no native as-of in Spark) -------------
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -490,6 +548,47 @@ object RelationalQueries {
       """SELECT l_returnflag, round(var_samp(l_quantity), 4) AS var_qty,
         |  round(var_samp(l_discount), 8) AS var_disc, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS "F",
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT c_custkey, round(c_acctbal, 4) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |         round(sum(l_extendedprice), 4) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT r.r_name, t.n_name
+        |FROM region r,
+        |LATERAL (SELECT n.n_name FROM nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n.n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, max(epoch_us(c.c_ts)) AS last_click_us

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Hive-style partitioned writes + partition pruning (SURVEY.md §2a scale
+ * path): at 100 TB the events table would be laid out
+ * `events/event_type=click/date=.../part-*.parquet`, and a filter on the
+ * partition column must prune directories at PLANNING time — zero I/O for
+ * the other partitions — not scan-then-filter.
+ */
+class PartitionPruningSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private lazy val partDir: String = {
+    val dir = Files.createTempDirectory("graft_part_events").toString
+    Tables.events(spark, GraftSpark.sf)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** dim must be parquet-backed: a LocalRelation dim gets constant-folded
+   *  (ConvertToLocalRelation eats the Filter) and DPP sees no selective
+   *  predicate. */
+  private lazy val dimDir: String = {
+    val dir = Files.createTempDirectory("graft_part_dim").toString
+    Seq(("click", 1), ("purchase", 2), ("view", 2), ("signup", 2), ("error", 2))
+      .toDF("et", "grp").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("filter on partition column prunes directories at planning time") {
+    val df = spark.read.parquet(partDir).filter($"event_type" === "click")
+
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+
+    // the predicate lands in partitionFilters (planning-time) …
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"expected event_type in partitionFilters: ${scan.partitionFilters}")
+    // … and exactly ONE of the five event_type directories is read
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+
+    val expected = Tables.events(spark, GraftSpark.sf)
+      .filter($"event_type" === "click").count()
+    assert(df.count() === expected)
+  }
+
+  test("dynamic partition pruning: join against a filtered dim prunes the fact scan") {
+    // the partition of interest arrives via a join, not a literal — DPP
+    // must push the dim's filter result into the fact scan at runtime
+    val dim = spark.read.parquet(dimDir).filter($"grp" === 1)
+    val fact = spark.read.parquet(partDir)
+    val joined = fact.join(dim, fact("event_type") === dim("et"))
+      .groupBy("et").agg(count(lit(1)).as("n"))
+
+    val expected = Tables.events(spark, GraftSpark.sf)
+      .filter($"event_type" === "click").count()
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows.head.getLong(1) === expected)
+
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in fact scan:\n$planStr")
+  }
+}

@@ -96,4 +96,20 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(written.agg(sum("event_id")).head().getLong(0) ===
       expected.agg(sum("event_id")).head().getLong(0))
   }
+
+  test("console sink: the reference's print() output path runs to completion") {
+    // the reference demo prints each micro-batch to stdout; the Structured
+    // Streaming equivalent is the console sink. Demo-only (not a data
+    // path) — assert it drains a bounded stream without error.
+    val q = StreamingPipelines.eventStream(spark, GraftSpark.sf)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .writeStream
+      .format("console")
+      .outputMode("complete")
+      .option("numRows", "5")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
+  }
 }
