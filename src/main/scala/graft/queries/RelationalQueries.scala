@@ -132,6 +132,29 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Same result as q_range_join, but scale-shaped: the BNLJ inequality
+    // join is O(|sup|·|cust|); here customers are bucketed on
+    // floor(acctbal/1000), the ~11-row bucket histogram is broadcast for
+    // the strictly-higher buckets, and only the same-bucket remainder runs
+    // through a shuffled equi-join — O(n · bucket width). At 100 TB the
+    // BNLJ is unrunnable; this plan is two narrow joins.
+    "q_range_join_binned" -> ((s, d) => {
+      val bucket = (c: Column) => floor(c / 1000.0d)
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"), bucket(col("s_acctbal")).as("sb"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_acctbal"), bucket(col("c_acctbal")).as("cb"))
+      val hist = cust.groupBy("cb").agg(count(lit(1)).as("bucket_n"))
+      val coarse = sup.join(broadcast(hist), col("cb") > col("sb"))
+        .groupBy("s_suppkey").agg(sum("bucket_n").as("n"))
+      val fine = sup.join(cust,
+          col("cb") === col("sb") && col("c_acctbal") > col("s_acctbal"))
+        .groupBy("s_suppkey").agg(count(lit(1)).as("n"))
+      coarse.union(fine)
+        .groupBy("s_suppkey").agg(sum("n").as("n_richer_cust"))
+        .orderBy("s_suppkey")
+    }),
+
     "q_cross_join" -> ((s, d) => Tables.region(s, d)
       .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
       .select(col("r_name"), col("o_orderstatus"))
@@ -172,6 +195,19 @@ object RelationalQueries {
           r4(avg("value").over(w)).as("moving_avg"))
         .orderBy("user_id", "event_id")
     }),
+
+    // --- session window, batch form (2h twin): session_window() groups
+    // events closer than the gap; shuffle-parallel on user_id. The DuckDB
+    // oracle is the classic gaps-and-islands rewrite (lag + cumulative sum),
+    // proving the semantics, not just the row count.
+    "q_session_window_batch" -> ((s, d) => Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max("n_ev").as("max_session_events"))
+      .orderBy("user_id")),
 
     "q_topk_orders" -> ((s, d) => Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), r4(col("o_totalprice")).as("price"))
@@ -446,6 +482,30 @@ object RelationalQueries {
       """SELECT s_suppkey, count(*) AS n_richer_cust
         |FROM supplier JOIN customer ON c_acctbal > s_acctbal
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join_binned" ->
+      """SELECT s_suppkey, count(*) AS n_richer_cust
+        |FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_window_batch" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n_ev FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_ev) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cross_join" ->
       """SELECT r_name, o_orderstatus
