@@ -23,6 +23,7 @@ object StreamingQueries {
     "q_stream_bloom" -> ((s, d) => StreamingPipelines.bloomFilteredStream(s, d)),
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
+    "q_stream_tws" -> ((s, d) => StreamingPipelines.cmsTransformWithState(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
 
   val oracleSql: Map[String, String] = Map(

@@ -15,6 +15,35 @@ import graft.functions._
  * source for a live one (socket/rate/kafka-on-a-real-cluster) changes
  * nothing downstream — that is the point of the declarative model.
  */
+/** StatefulProcessor keeping one serialized CMS per user key: the
+  * reference's `updateStateByKey` sketch loop on the transformWithState
+  * API. State is bytes (not the sketch object) so the RocksDB store can
+  * snapshot it without custom serde. */
+class CmsStatefulProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  @transient private var cmsBytes: ValueState[Array[Byte]] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    cmsBytes = getHandle.getValueState[Array[Byte]](
+      "cms", org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    val cms =
+      if (cmsBytes.exists()) CountMinSketch.readFrom(cmsBytes.get())
+      else CountMinSketch.create(0.001, 0.999, 42)
+    rows.foreach { case (_, et) => cms.addString(et) }
+    val out = new java.io.ByteArrayOutputStream()
+    cms.writeTo(out)
+    cmsBytes.update(out.toByteArray)
+    Iterator.single((key, cms.estimateCount("click")))
+  }
+}
+
 object StreamingPipelines {
 
   /** events schema with ts as nanos-long (how the file stream reads it). */
@@ -150,6 +179,37 @@ object StreamingPipelines {
     runToMemory(spark, est, "stream_cms_state", OutputMode.Update())
       .groupBy("user_id").agg(max("click_est").as("click_est"))
       .orderBy("user_id")
+  }
+
+  /** Cross-batch keyed sketch state via `transformWithState` (Spark 4's
+    * successor to mapGroupsWithState): typed ValueState holds the
+    * serialized CMS per user, backed by the RocksDB state store — the
+    * provider a 1000-executor deployment would run, where state must
+    * spill to disk and checkpoint incrementally rather than live on the
+    * JVM heap. Same answer as [[cmsStatefulStream]] by construction. */
+  def cmsTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val est = eventStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new CmsStatefulProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF("user_id", "click_est")
+      runToMemory(spark, est, "stream_tws", OutputMode.Update())
+        .groupBy("user_id").agg(max("click_est").as("click_est"))
+        .orderBy("user_id")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   /** foreachBatch sink: per-micro-batch side effect publishing batch

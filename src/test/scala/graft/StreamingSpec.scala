@@ -59,4 +59,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(est.getOrElse(u, 0L) >= c, s"user $u: est ${est.get(u)} < exact $c")
     }
   }
+
+  test("transformWithState (RocksDB) == mapGroupsWithState CMS pipeline") {
+    // same seed, same per-key update sequence → identical estimates; this
+    // pins the Spark-4 state API + RocksDB provider to the HDFS-backed
+    // mapGroupsWithState twin
+    val tws = StreamingPipelines.cmsTransformWithState(spark, GraftSpark.sf)
+      .as[(Long, Long)].collect().toSeq
+    val mgws = StreamingPipelines.cmsStatefulStream(spark, GraftSpark.sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(tws === mgws)
+  }
 }
