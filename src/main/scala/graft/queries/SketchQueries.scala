@@ -136,6 +136,21 @@ object SketchQueries {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    // exact distinct at scale via the bitmap family: per-(group, bucket)
+    // fixed-size bitmaps built distributed, OR-merged, bit-counted. The
+    // exact re-aggregatable twin of the HLL sketch table — 100 TB pattern
+    // when the id domain is dense enough that ~4 KB/bucket beats a
+    // count(distinct) shuffle of raw ids.
+    "q_bitmap_distinct" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("event_type", "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("event_type")),
+
     "q_heavy_hitters" -> ((s, d) => {
       // approx_top_k returns array<struct<item,count>>; explode and sort
       // deterministically (count desc, item)
@@ -148,9 +163,12 @@ object SketchQueries {
     }))
 
   /**
-   * Oracles only where the sketch answer is provably exact-matchable:
-   * none — these are property-tested. (q_approx_distinct's exact twin
-   * column is still checked by SketchSpec.)
+   * Oracles only where the sketch answer is provably exact-matchable.
+   * The probabilistic sketches are property-tested instead; the bitmap
+   * distinct is exact by construction, so it gets a real oracle.
    */
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "q_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 }
