@@ -196,6 +196,18 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // distribution analytics: percent_rank / cume_dist (ANSI semantics,
+    // tie-broken by unique key so both engines agree on peer groups)
+    "q_window_dist" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          r4(percent_rank().over(w)).as("pr"),
+          r4(cume_dist().over(w)).as("cd"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // --- session window, batch form (2h twin): session_window() groups
     // events closer than the gap; shuffle-parallel on user_id. The DuckDB
     // oracle is the classic gaps-and-islands rewrite (lag + cumulative sum),
@@ -487,6 +499,15 @@ object RelationalQueries {
       """SELECT s_suppkey, count(*) AS n_richer_cust
         |FROM supplier JOIN customer ON c_acctbal > s_acctbal
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_session_window_batch" ->
       """WITH marks AS (

@@ -64,6 +64,33 @@ object TextQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")),
 
+    // --- end-to-end training-data pipeline (2j): dedup → quality filter
+    // → per-language corpus stats, all in one declarative plan. Each
+    // stage is shuffle-parallel: dedup is a hash-agg on text, the filter
+    // is a codegen'd projection, the final agg is partial+final. This is
+    // the flagship composition a 100 TB corpus build runs.
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // canonical doc per identical text: arg-min by doc_id (lang rides
+      // along in the struct — doc_id is unique so the min is total)
+      val canon = docs
+        .groupBy("text")
+        .agg(min(struct(col("doc_id"), col("lang"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"), col("text"))
+      canon
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("uniq_ratio",
+          round(size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")).cast("double"), 4))
+        .filter(col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("n_tokens"), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
     // --- near-dup dedup via MinHash + LSH banding (the 100 TB path:
     //     band collisions → shuffle join, no all-pairs) ------------------
     // Signatures are computed in exploded form — one codegen'd xxhash64
@@ -239,6 +266,24 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      """WITH canon AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d
+        |  JOIN (SELECT text, min(doc_id) AS doc_id
+        |        FROM documents GROUP BY text) k
+        |    ON d.doc_id = k.doc_id),
+        |scored AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    round(len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |      / len(string_split(text, ' '))::DOUBLE, 4) AS uniq_ratio
+        |  FROM canon)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens
+        |FROM scored WHERE n_tokens >= 20 AND uniq_ratio >= 0.3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (
