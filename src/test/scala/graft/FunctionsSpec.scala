@@ -144,4 +144,19 @@ class FunctionsSpec extends AnyFunSuite {
       .filter($"n" =!= $"m").count()
     assert(bad === 0L)
   }
+
+  test("observe: pipeline metrics piggyback on the job (no second pass)") {
+    // production corpus builds track rows-kept/rows-dropped without
+    // re-scanning; Observation collects named aggregates as the job runs
+    val obs = new org.apache.spark.sql.Observation("quality_gate")
+    val docs = Tables.documents(spark, GraftSpark.sf)
+    val kept = docs
+      .observe(obs, count(lit(1)).as("n_in"),
+        sum(when(length($"text") >= 100, 1L).otherwise(0L)).as("n_long"))
+      .filter(length($"text") >= 100)
+      .count()
+    val m = obs.get
+    assert(m("n_in") === docs.count())
+    assert(m("n_long") === kept)
+  }
 }
