@@ -91,6 +91,21 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- stratified corpus subsampling (2j): per-class sampling rates,
+    // the standard rebalancing step before training-data mixing. Seeded
+    // Bernoulli per row — no shuffle at all, embarrassingly parallel;
+    // deterministic given the same file layout (◇ rows-only, plus a
+    // determinism + rate-tolerance spec). ---------------------------------
+    "q_stratified_sample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val fractions = Map("click" -> 0.1, "view" -> 0.05, "purchase" -> 1.0,
+        "signup" -> 1.0, "error" -> 0.5)
+      ev.stat.sampleBy("event_type", fractions, 42L)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_total")), "event_type")
+        .orderBy("event_type")
+    }),
+
     // --- near-dup dedup via MinHash + LSH banding (the 100 TB path:
     //     band collisions → shuffle join, no all-pairs) ------------------
     // Signatures are computed in exploded form — one codegen'd xxhash64

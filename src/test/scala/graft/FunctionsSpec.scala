@@ -145,6 +145,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("stratified sample: deterministic under fixed seed, rates within tolerance") {
+    val run = () => graft.queries.TextQueries.queries("q_stratified_sample")(
+      spark, GraftSpark.sf).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a === run(), "same seed + layout must resample identically")
+    a.foreach { case (et, sampled, total) =>
+      val frac = Map("click" -> 0.1, "view" -> 0.05, "purchase" -> 1.0,
+        "signup" -> 1.0, "error" -> 0.5)(et)
+      val expected = frac * total
+      // Bernoulli: allow 5 sigma around the mean (exact for frac=1.0)
+      val tol = 5 * math.sqrt(total * frac * (1 - frac)) + 1e-9
+      assert(math.abs(sampled - expected) <= tol,
+        s"$et: sampled $sampled vs expected $expected ± $tol")
+    }
+  }
+
   test("observe: pipeline metrics piggyback on the job (no second pass)") {
     // production corpus builds track rows-kept/rows-dropped without
     // re-scanning; Observation collects named aggregates as the job runs
