@@ -59,7 +59,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => new BloomMergeAgg(args(0)).toAggregateExpression()),
     ("vec_dot_native",
       info("vec_dot_native", "vec_dot_native(a, b) - codegen'd dot product of float/double arrays"),
-      (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1))),
+    ("vec_quantize_i8",
+      info("vec_quantize_i8", "vec_quantize_i8(arr, scale) - int8 codes as BINARY: clamp(round(x*scale), -127, 127)"),
+      (args: Seq[Expression]) => graft.functions.VecQuantizeI8(args(0), args(1))),
+    ("vec_dot_i8",
+      info("vec_dot_i8", "vec_dot_i8(a, b) - exact BIGINT dot product of int8 code vectors"),
+      (args: Seq[Expression]) => graft.functions.VecDotI8(args(0), args(1))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

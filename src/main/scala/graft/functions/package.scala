@@ -155,6 +155,22 @@ package object functions {
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (s, x) => s + x)
 
+  /** Int8 quantization codes (BinaryType, 4× smaller than float32):
+    * `clamp(round(x*scale), -127, 127)` per element — see [[VecQuantizeI8]]. */
+  def vec_quantize_i8(a: Column, scale: Column): Column =
+    Shims.column(VecQuantizeI8(Shims.expression(a), Shims.expression(scale)))
+
+  /** Exact Long dot product of two int8 code vectors ([[VecDotI8]]). */
+  def vec_dot_i8(a: Column, b: Column): Column =
+    Shims.column(VecDotI8(Shims.expression(a), Shims.expression(b)))
+
+  /** Quantized cosine: with a shared scale the factors cancel, so the
+    * ranking needs no dequantization. */
+  def cosine_sim_i8(a: Column, b: Column): Column =
+    vec_dot_i8(a, b).cast(DoubleType) /
+      (sqrt(vec_dot_i8(a, a).cast(DoubleType)) *
+       sqrt(vec_dot_i8(b, b).cast(DoubleType)))
+
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

@@ -85,6 +85,24 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // int8-quantized brute force: the memory-bandwidth variant. Codes are
+    // 4× smaller than float32 (BinaryType, 1 B/dim), the probe loop is a
+    // codegen'd integer dot product, and with a shared scale the quantized
+    // cosine ranks without dequantizing. ◇ (quantization isn't DuckDB-
+    // expressible); recall vs the exact top-k is pinned in FunctionsSpec.
+    "q_knn_quantized" -> ((s, d) => {
+      val scale = lit(200.0)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), vec_quantize_i8(col("embedding"), scale).as("code"))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(vec_quantize_i8(col("embedding"), scale).as("qcode"))
+      emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(cosine_sim_i8(col("code"), col("qcode")), 4).as("qcos"))
+        .orderBy(col("qcos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),

@@ -145,6 +145,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("int8 quantization: codes 4x smaller, dot exact, recall@10 >= 8") {
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    // size: 64-dim float32 list vs 64-byte code
+    val row = emb.select(vec_quantize_i8($"embedding", lit(200.0)).as("c"),
+      size($"embedding").as("d")).head()
+    assert(row.getAs[Array[Byte]]("c").length === row.getInt(1))
+
+    // vec_dot_i8 == manual byte-product sum on one pair
+    val pair = emb.limit(2)
+      .select(vec_quantize_i8($"embedding", lit(200.0)).as("c")).collect()
+    val (x, y) = (pair(0).getAs[Array[Byte]]("c"), pair(1).getAs[Array[Byte]]("c"))
+    val manual = x.zip(y).map { case (a, b) => a.toLong * b.toLong }.sum
+    val viaExpr = emb.limit(2)
+      .agg(collect_list(vec_quantize_i8($"embedding", lit(200.0))).as("cs"))
+      .select(vec_dot_i8(element_at($"cs", 1), element_at($"cs", 2)))
+      .head().getLong(0)
+    assert(viaExpr === manual)
+
+    // quantized top-10 must recover >= 8 of the exact top-10
+    val exact = graft.queries.VectorQueries.queries("q_knn_brute")(spark, GraftSpark.sf)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = graft.queries.VectorQueries.queries("q_knn_quantized")(spark, GraftSpark.sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & quant).size >= 8,
+      s"recall@10 too low: exact=$exact quantized=$quant")
+  }
+
   test("stratified sample: deterministic under fixed seed, rates within tolerance") {
     val run = () => graft.queries.TextQueries.queries("q_stratified_sample")(
       spark, GraftSpark.sf).collect().map(r =>
