@@ -128,6 +128,47 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(ids.toSeq === (0L until 12L), s"expected exactly-once 0..11, got ${ids.toSeq}")
   }
 
+  test("stateful restart: aggregation state survives via the state store") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_state_src").toString
+    val ckpt = Files.createTempDirectory("graft_state_log").toString
+    val schema = new org.apache.spark.sql.types.StructType().add("u", "string")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .groupBy("u").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.put(r.getString(0), r.getLong(1)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+    }
+
+    Files.write(java.nio.file.Paths.get(src, "c1.json"),
+      """{"u":"a"}
+        |{"u":"a"}
+        |{"u":"a"}""".stripMargin.getBytes)
+    runOnce()
+    assert(seen.get("a") === 3L)
+
+    // restart with more data: the count for "a" must CONTINUE from the
+    // persisted state (5), not restart from the new chunk alone (2)
+    Files.write(java.nio.file.Paths.get(src, "c2.json"),
+      """{"u":"a"}
+        |{"u":"a"}
+        |{"u":"b"}""".stripMargin.getBytes)
+    runOnce()
+    assert(seen.get("a") === 5L, s"state not restored: ${seen}")
+    assert(seen.get("b") === 1L)
+  }
+
   test("console sink: the reference's print() output path runs to completion") {
     // the reference demo prints each micro-batch to stdout; the Structured
     // Streaming equivalent is the console sink. Demo-only (not a data
