@@ -62,9 +62,17 @@ object SketchQueries {
     "q_bloom_semi_filter" -> ((s, d) => {
       val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
       val li = Tables.lineitem(s, d)
-      val sk = urgent.agg(bloom_agg(col("o_orderkey"), 100000L, 0.01).as("bf"))
-      li.join(broadcast(sk))
-        .filter(bloom_might_contain(col("bf"), col("l_orderkey")))
+      // two-job pattern (SURVEY.md §3.3): job 1 merges per-partition
+      // blooms to the driver (~100 KB), which re-broadcasts it as a
+      // literal — so the probe is a plain pushed-down predicate on the
+      // fact scan, GUARANTEED to run before the exact semi join. (The
+      // sketch-as-column form `join(broadcast(sk)).filter(probe)` reads
+      // nicer but Catalyst's PushLeftSemiThroughJoin reorders the exact
+      // semi join underneath the probe, making the bloom pure overhead.)
+      val bf = lit(urgent
+        .agg(bloom_agg(col("o_orderkey"), 100000L, 0.01).as("bf"))
+        .head().getAs[Array[Byte]]("bf"))
+      li.filter(bloom_might_contain(bf, col("l_orderkey")))
         .join(urgent.select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_returnflag")
