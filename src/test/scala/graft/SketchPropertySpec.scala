@@ -1,0 +1,100 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * ScalaCheck property tests for the sketch invariants (SURVEY.md §5.1),
+ * run against `org.apache.spark.util.sketch` — the exact classes the
+ * distributed `TypedImperativeAggregate`s wrap (SketchSpec proves the
+ * wrapper ≡ direct-build equivalence; here randomized inputs probe the
+ * invariants themselves, hundreds of cases per property).
+ */
+class SketchPropertySpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(100)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val items: Gen[List[Long]] =
+    Gen.listOfN(200, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  test("bloom: zero false negatives for every inserted item (∀ random sets)") {
+    check("no-false-negatives", Prop.forAll(items) { xs =>
+      val bf = BloomFilter.create(1000, 0.03)
+      xs.foreach(bf.putLong)
+      xs.forall(bf.mightContainLong)
+    })
+  }
+
+  test("bloom: merge is the set union (no false negatives across halves)") {
+    check("merge-union", Prop.forAll(items, items) { (as, bs) =>
+      val (x, y) = (BloomFilter.create(1000, 0.03), BloomFilter.create(1000, 0.03))
+      as.foreach(x.putLong); bs.foreach(y.putLong)
+      x.mergeInPlace(y)
+      (as ++ bs).forall(x.mightContainLong)
+    })
+  }
+
+  test("cms: overestimate-only — a hard structural guarantee (∀ inputs)") {
+    // min over d rows of only-incremented counters can never undercount;
+    // this half of the CM05 contract must hold even for adversarial
+    // inputs, so it IS a forAll property (the shrinker can hunt freely —
+    // it even finds full-collision triples like {-4294967295, Long.Min,
+    // 0}, which overestimate but still never undercount)
+    check("cms-never-under", Prop.forAll(items) { xs =>
+      val cms = CountMinSketch.create(0.01, 0.999, 42)
+      xs.foreach(cms.addLong(_))
+      xs.groupBy(identity).forall { case (k, g) =>
+        cms.estimateCount(k) >= g.size.toLong
+      }
+    })
+  }
+
+  test("cms: eps*N cap holds for >= 1-δ of (input, key) samples") {
+    // the upper bound is probabilistic over the hash choice — for any
+    // fixed seed, adversarial colliding inputs exist (see above), so a
+    // shrinker-driven forAll would chase them and "fail" by design.
+    // Measured instead: violation RATE over seeded random multisets.
+    val eps = 0.01
+    val rnd = new scala.util.Random(42)
+    var keys = 0L
+    var violations = 0L
+    for (_ <- 1 to 100) {
+      val xs = List.fill(300)(
+        if (rnd.nextInt(6) < 5) rnd.nextInt(10).toLong else rnd.nextLong())
+      val cms = CountMinSketch.create(eps, 0.999, 42)
+      xs.foreach(cms.addLong(_))
+      val bound = math.ceil(eps * xs.size).toLong
+      xs.groupBy(identity).foreach { case (k, g) =>
+        keys += 1
+        if (cms.estimateCount(k) > g.size.toLong + bound) violations += 1
+      }
+    }
+    val rate = violations.toDouble / keys
+    assert(rate <= 0.01, f"eps*N violation rate $rate%.4f over $keys keys")
+  }
+
+  test("cms: merge == single-pass build, byte-identical under a fixed seed") {
+    check("cms-merge-homomorphism", Prop.forAll(items, items) { (as, bs) =>
+      def bytes(c: CountMinSketch): Seq[Byte] = {
+        val o = new ByteArrayOutputStream(); c.writeTo(o); o.toByteArray.toSeq
+      }
+      val whole = CountMinSketch.create(0.01, 0.99, 42)
+      (as ++ bs).foreach(whole.addLong(_))
+      val (l, r) = (CountMinSketch.create(0.01, 0.99, 42),
+        CountMinSketch.create(0.01, 0.99, 42))
+      as.foreach(l.addLong(_)); bs.foreach(r.addLong(_))
+      l.mergeInPlace(r)
+      bytes(l) == bytes(whole)
+    })
+  }
+}
