@@ -60,6 +60,10 @@ object GraftExtensions {
     ("vec_dot_native",
       info("vec_dot_native", "vec_dot_native(a, b) - codegen'd dot product of float/double arrays"),
       (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1))),
+    ("topk_agg",
+      info("topk_agg", "topk_agg(score, id, k) - bounded top-k rows per group as array<struct<score,id>>, (score desc, id asc)"),
+      (args: Seq[Expression]) => graft.sketches.TopKAgg(args(0), args(1), args(2))
+        .toAggregateExpression()),
     ("vec_quantize_i8",
       info("vec_quantize_i8", "vec_quantize_i8(arr, scale) - int8 codes as BINARY: clamp(round(x*scale), -127, 127)"),
       (args: Seq[Expression]) => graft.functions.VecQuantizeI8(args(0), args(1))),

@@ -37,6 +37,14 @@ package object functions {
       Shims.expression(lit(confidence)), Shims.expression(lit(seed)))
       .toAggregateExpression())
 
+  /** Bounded top-k rows per group: array<struct<score,id>>, (score desc,
+    * id asc). k-element heaps per partition -> the shuffle carries at most
+    * k rows per (group, partition); see [[graft.sketches.TopKAgg]]. */
+  def topk_agg(score: Column, id: Column, k: Int): Column =
+    Shims.column(graft.sketches.TopKAgg(Shims.expression(score),
+      Shims.expression(id), Shims.expression(lit(k)))
+      .toAggregateExpression())
+
   /** Point-frequency estimate from a serialized CMS: f ≤ f̂ ≤ f + ε·N. */
   def cms_estimate(sketch: Column, value: Column): Column =
     Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))

@@ -144,6 +144,21 @@ object SketchQueries {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    // bounded top-k per group via TopKAgg: k-element heaps per partition,
+    // merged map-side — the shuffle carries <= k rows per (group,
+    // partition) instead of every row, and nothing is globally sorted.
+    // Oracle: the window-rank formulation (which DOES sort everything) —
+    // same answer, structurally different plan, ✦-checked.
+    "q_topk_per_group" -> ((s, d) => Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"))
+      .groupBy("l_returnflag")
+      .agg(topk_agg(col("l_extendedprice"), col("id"), 3).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("l_returnflag"), (col("p") + 1).as("pos"),
+        round(col("e.score"), 4).as("price"), col("e.id").as("id"))
+      .orderBy("l_returnflag", "pos")),
+
     // exact distinct at scale via the bitmap family: per-(group, bucket)
     // fixed-size bitmaps built distributed, OR-merged, bit-counted. The
     // exact re-aggregatable twin of the HLL sketch table — 100 TB pattern
@@ -178,5 +193,16 @@ object SketchQueries {
   val oracleSql: Map[String, String] = Map(
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS pos
+        |  FROM lineitem)
+        |SELECT l_returnflag, pos::INT AS pos, round(l_extendedprice, 4) AS price, id
+        |FROM ranked WHERE pos <= 3
+        |ORDER BY l_returnflag, pos""".stripMargin)
 }

@@ -181,4 +181,28 @@ class SketchSpec extends AnyFunSuite {
     assert(c1.totalCount() === 201L)
     assert(c1.estimateCount(60L) >= 2L)
   }
+
+  test("topk_agg: partition-independent and equal to the window-rank answer") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, GraftSpark.sf)
+      .select($"l_returnflag", $"l_extendedprice",
+        ($"l_orderkey" * 10 + $"l_linenumber").as("id"))
+    def viaHeap(parts: Int) = li.repartition(parts)
+      .groupBy("l_returnflag")
+      .agg(topk_agg($"l_extendedprice", $"id", 5).as("tk"))
+      .select($"l_returnflag", posexplode($"tk").as(Seq("p", "e")))
+      .select($"l_returnflag", $"p", $"e.score", $"e.id")
+      .orderBy("l_returnflag", "p")
+    val one = viaHeap(1).collect().toSeq
+    assert(one === viaHeap(64).collect().toSeq,
+      "heap merge must be partitioning-independent")
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"id")
+    val viaRank = li
+      .withColumn("p", row_number().over(w) - 1).filter($"p" < 5)
+      .select($"l_returnflag", $"p", $"l_extendedprice".as("score"), $"id")
+      .orderBy("l_returnflag", "p")
+    assert(one === viaRank.collect().toSeq,
+      "bounded heaps must reproduce the full-sort window answer")
+  }
 }
