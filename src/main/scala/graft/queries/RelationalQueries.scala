@@ -334,6 +334,18 @@ object RelationalQueries {
       .agg(r4(sum("o_totalprice")))
       .orderBy("o_orderpriority")),
 
+    // error-safe function family (2g): under ANSI mode (Spark 4 default)
+    // bad arithmetic/casts THROW; try_* returns NULL instead — the
+    // behavior a 100 TB batch job wants (one dirty row must not kill the
+    // stage). DuckDB twin: NULLIF-guarded division + TRY_CAST.
+    "q_try_funcs" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        r4(expr("try_divide(l_extendedprice, l_linenumber - 4)")).as("safe_ratio"),
+        expr("try_cast(l_returnflag AS INT)").as("cast_null"),
+        expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
     // --- subqueries (2d/2e): Catalyst decorrelates these into joins ------
     // correlated scalar subquery → RewriteCorrelatedScalarSubquery plans an
     // aggregate + left outer join; no per-row re-execution at any scale
@@ -636,6 +648,14 @@ object RelationalQueries {
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice / nullif(l_linenumber - 4, 0), 4) AS safe_ratio,
+        |  TRY_CAST(l_returnflag AS INT) AS cast_null,
+        |  TRY_CAST(l_orderkey::VARCHAR AS INT) AS cast_ok
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT c_custkey, round(c_acctbal, 4) AS bal
