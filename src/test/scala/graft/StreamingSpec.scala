@@ -60,6 +60,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session windows: stream (append + watermark) == batch for finalized users") {
+    // append mode only emits a session once the watermark (max ts - 1h)
+    // passes its end (last event + 6h gap): sessions still open near the
+    // stream's end are correctly withheld. So: exact equality for users
+    // whose activity ends >7h before the stream ends, subset for the rest.
+    val stream = StreamingPipelines.sessionCounts(spark, GraftSpark.sf)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
+    val ev = Tables.events(spark, GraftSpark.sf)
+    val batch = ev
+      .groupBy(session_window($"ts", "6 hours"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
+    val cutoff = new java.sql.Timestamp(
+      ev.agg(max($"ts")).head().getTimestamp(0).getTime - 7L * 3600 * 1000)
+    val finalized = ev.groupBy("user_id").agg(max($"ts").as("mx"))
+      .filter($"mx" < lit(cutoff)).select("user_id").as[Long].collect().toSet
+
+    finalized.foreach { u =>
+      assert(stream.get(u) === batch.get(u),
+        s"user $u: stream ${stream.get(u)} != batch ${batch.get(u)}")
+    }
+    stream.foreach { case (u, (ns, ne)) =>
+      val (bs, be) = batch(u)
+      assert(ns <= bs && ne <= be, s"stream emitted more than batch for $u")
+    }
+  }
+
   test("transformWithState (RocksDB) == mapGroupsWithState CMS pipeline") {
     // same seed, same per-key update sequence → identical estimates; this
     // pins the Spark-4 state API + RocksDB provider to the HDFS-backed
