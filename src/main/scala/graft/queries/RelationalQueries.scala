@@ -334,6 +334,28 @@ object RelationalQueries {
       .agg(r4(sum("o_totalprice")))
       .orderBy("o_orderpriority")),
 
+    // bitwise aggregate family (2g): AND/OR/XOR folds — set-flag rollups
+    // (plan: plain partial+final hash agg, fully codegen'd)
+    "q_bitwise_agg" -> ((s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        expr("bit_and(user_id)").as("band"),
+        expr("bit_or(user_id)").as("bor"),
+        expr("bit_xor(user_id)").as("bxor"))
+      .orderBy("event_type")),
+
+    // conditional family (2g): coalesce / nullif / greatest / least / CASE
+    "q_conditional_funcs" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gq"),
+        r4(least(col("l_extendedprice"), lit(10000.0))).as("capped"),
+        when(col("l_quantity") > 25, "bulk")
+          .when(col("l_quantity") > 10, "mid")
+          .otherwise("small").as("band"))
+      .orderBy("l_orderkey", "l_linenumber")),
+
     // error-safe function family (2g): under ANSI mode (Spark 4 default)
     // bad arithmetic/casts THROW; try_* returns NULL instead — the
     // behavior a 100 TB batch job wants (one dirty row must not kill the
@@ -648,6 +670,22 @@ object RelationalQueries {
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bitwise_agg" ->
+      """SELECT event_type,
+        |  bit_and(user_id) AS band, bit_or(user_id) AS bor,
+        |  bit_xor(user_id) AS bxor
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_conditional_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+        |  greatest(l_quantity, l_discount * 100) AS gq,
+        |  round(least(l_extendedprice, 10000.0), 4) AS capped,
+        |  CASE WHEN l_quantity > 25 THEN 'bulk'
+        |       WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS band
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
