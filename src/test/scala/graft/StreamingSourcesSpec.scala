@@ -169,6 +169,38 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(seen.get("b") === 1L)
   }
 
+  test("foreach sink: row-level ForeachWriter with open/process/close lifecycle") {
+    // the per-ROW cousin of foreachBatch (per-partition writer lifecycle —
+    // how custom sinks without a DataSource implementation are built).
+    // The writer is SERIALIZED per task, so captured locals would mutate
+    // task-local copies — state goes through a static holder instead
+    // (same trap a real sink avoids by writing to an external system).
+    import org.apache.spark.sql.{ForeachWriter, Row}
+    ForeachSinkProbe.reset()
+    val q = StreamingPipelines.eventStream(spark, GraftSpark.sf)
+      .select("event_id")
+      .writeStream
+      .foreach(new ForeachWriter[Row] {
+        def open(partitionId: Long, epochId: Long): Boolean = {
+          ForeachSinkProbe.opened.incrementAndGet(); true
+        }
+        def process(r: Row): Unit = { ForeachSinkProbe.seen.add(r.getLong(0)); () }
+        def close(errorOrNull: Throwable): Unit = {
+          ForeachSinkProbe.closed.incrementAndGet(); ()
+        }
+      })
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(q.exception.isEmpty, s"foreach sink failed: ${q.exception}")
+    val expected = Tables.events(spark, GraftSpark.sf).count()
+    assert(ForeachSinkProbe.seen.size.toLong === expected)
+    assert(ForeachSinkProbe.opened.get() > 0 &&
+      ForeachSinkProbe.opened.get() === ForeachSinkProbe.closed.get(),
+      s"writer lifecycle unbalanced: opened=${ForeachSinkProbe.opened}" +
+        s" closed=${ForeachSinkProbe.closed}")
+  }
+
   test("console sink: the reference's print() output path runs to completion") {
     // the reference demo prints each micro-batch to stdout; the Structured
     // Streaming equivalent is the console sink. Demo-only (not a data
@@ -184,4 +216,13 @@ class StreamingSourcesSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(q.exception.isEmpty, s"console sink failed: ${q.exception}")
   }
+}
+
+/** JVM-static accumulation point for the ForeachWriter test (the writer
+  * is serialized per task; captured locals would be task-local copies). */
+object ForeachSinkProbe {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  val opened = new java.util.concurrent.atomic.AtomicInteger()
+  val closed = new java.util.concurrent.atomic.AtomicInteger()
+  def reset(): Unit = { seen.clear(); opened.set(0); closed.set(0) }
 }

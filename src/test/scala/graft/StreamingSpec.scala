@@ -91,6 +91,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState: multi-row emission per key update") {
+    // the 0..n-rows-per-key variant of mapGroupsWithState (the API the
+    // session-close / alert-emission patterns use): emit one row per
+    // event type a user has seen, refreshed every batch
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updateFn = (userId: Long, rows: Iterator[(Long, String)],
+        state: GroupState[Set[String]]) => {
+      val seen = state.getOption.getOrElse(Set.empty) ++ rows.map(_._2)
+      state.update(seen)
+      seen.toSeq.sorted.map(et => (userId, et)).iterator
+    }
+    val out = StreamingPipelines.eventStream(spark, GraftSpark.sf)
+      .select($"user_id", $"event_type").as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(updateFn)
+      .toDF("user_id", "event_type")
+    val got = graft.streaming.StreamingPipelines
+      .runToMemory(spark, out, "fmgws", org.apache.spark.sql.streaming.OutputMode.Update())
+      .distinct().as[(Long, String)].collect().toSet
+    val expected = Tables.events(spark, GraftSpark.sf)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(got === expected)
+  }
+
   test("transformWithState (RocksDB) == mapGroupsWithState CMS pipeline") {
     // same seed, same per-key update sequence → identical estimates; this
     // pins the Spark-4 state API + RocksDB provider to the HDFS-backed
