@@ -62,13 +62,28 @@ object StreamingPipelines {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the table. */
+  /** Run a streaming DF to completion into a memory sink, return the table.
+    *
+    * State partition count is sized DOWN for the demo scale: a stateful
+    * operator materializes one state store per shuffle partition per run
+    * (32 RocksDB/HDFS stores for kilobytes of state is pure setup cost).
+    * The count is pinned into the checkpoint at first batch, so this is
+    * the knob a real deployment sizes UP with state volume — the point is
+    * that it tracks state size, not executor count. Scoped to the
+    * streaming execution: the conf is restored once the query finishes,
+    * so downstream batch post-processing keeps the session default.
+    */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
       mode: OutputMode): DataFrame = {
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prior)
     spark.table(name)
   }
 
