@@ -85,6 +85,53 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Random-hyperplane LSH ANN (multi-table): L=12 tables × P=4 sign bits
+    // (tuned for the demo corpus where true neighbors are only moderately
+    // similar — m^P per table must stay high enough; P and L are THE
+    // recall/cost dials of LSH).
+    // Hyperplane components are derived deterministically from xxhash64
+    // (plane id, dimension) — no stored model, reproducible everywhere.
+    // Candidates = vectors sharing the query's bucket in ANY table
+    // (P[captured] ≈ 1-(1-m^P)^L for per-bit match m), then exact cosine
+    // on candidates only. At 100 TB: the bucket join is a shuffle
+    // equi-join on (table, bucket); nothing is all-pairs.
+    "q_knn_lsh" -> ((s, d) => {
+      val L = 12; val P = 4
+      val emb = Tables.embeddings(s, d)
+      // per (vec, plane) dot product: posexplode + per-dim pseudo-random
+      // hyperplane component in [-1,1), codegen'd end-to-end
+      val planeIds = (0 until L * P).map(lit(_))
+      val dims = emb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      val proj = dims
+        .select(col("vec_id"), col("v"), col("pos"),
+          explode(array(planeIds: _*)).as("plane"))
+        .withColumn("h",
+          pmod(xxhash64(col("plane"), col("pos")), lit(1000000L)) / 500000.0 - 1.0)
+        .groupBy("vec_id", "plane")
+        .agg(sum(col("v") * col("h")).as("dot"))
+      // per (vec, table) bucket: P sign bits packed into one long
+      val buckets = proj
+        .withColumn("t", (col("plane") / P).cast("int"))
+        .withColumn("bit", (col("plane") % P).cast("int"))
+        .groupBy("vec_id", "t")
+        .agg(sum(when(col("dot") > 0,
+          expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("bucket"))
+      val qb = buckets.filter(col("vec_id") === 0)
+        .select(col("t").as("qt"), col("bucket").as("qbucket"))
+      val candidates = buckets.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb),
+          col("t") === col("qt") && col("bucket") === col("qbucket"))
+        .select("vec_id").distinct()
+      emb.filter(col("vec_id") =!= 0)
+        .join(candidates, "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // int8-quantized brute force: the memory-bandwidth variant. Codes are
     // 4× smaller than float32 (BinaryType, 1 B/dim), the probe loop is a
     // codegen'd integer dot product, and with a shared scale the quantized

@@ -172,6 +172,15 @@ class FunctionsSpec extends AnyFunSuite {
       s"recall@10 too low: exact=$exact quantized=$quant")
   }
 
+  test("lsh knn: multi-table hyperplane buckets recover >= 7 of exact top-10") {
+    val exact = graft.queries.VectorQueries.queries("q_knn_brute")(spark, GraftSpark.sf)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = graft.queries.VectorQueries.queries("q_knn_lsh")(spark, GraftSpark.sf)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & lsh).size >= 7,
+      s"LSH recall@10 too low: exact=$exact lsh=$lsh")
+  }
+
   test("stratified sample: deterministic under fixed seed, rates within tolerance") {
     val run = () => graft.queries.TextQueries.queries("q_stratified_sample")(
       spark, GraftSpark.sf).collect().map(r =>
