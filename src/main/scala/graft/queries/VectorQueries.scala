@@ -36,8 +36,11 @@ object VectorQueries {
     }),
 
     // IVF-style ANN: 1) per-label centroids via posexplode + avg,
-    // 2) nearest centroid to the query, 3) brute-force inside that cell
+    // 2) the nProbe centroids nearest the query, 3) brute-force inside
+    // those cells only (multiprobe — the standard recall dial: nProbe=1
+    // misses neighbors that fall just across a cell boundary)
     "q_knn_ivf" -> ((s, d) => {
+      val nProbe = 2
       val emb = Tables.embeddings(s, d)
       val centroids = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -47,7 +50,7 @@ object VectorQueries {
         .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
       val best = centroids.crossJoin(broadcast(queryVec(s, d)))
         .select(col("label"), cosine_sim(col("centroid"), col("qv")).as("csim"))
-        .orderBy(col("csim").desc, col("label")).limit(1)
+        .orderBy(col("csim").desc, col("label")).limit(nProbe)
         .select(col("label").as("best_label"))
       emb.filter(col("vec_id") =!= 0)
         .join(broadcast(best), col("label") === col("best_label"))
