@@ -89,6 +89,16 @@ object SourceQueries {
     }),
 
     // edit distance (2g string family)
+    // hidden file-metadata column (lineage at scale: which input file did
+    // a row come from — partition debugging, quarantining bad files)
+    "q_file_metadata" -> ((s, d) => {
+      val df = s.read.parquet(s"$d/orders.parquet")
+      df.select(col("_metadata.file_name").as("fname"), col("o_orderkey"))
+        .groupBy("fname")
+        .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
+        .orderBy("fname")
+    }),
+
     "q_edit_distance" -> ((s, d) => Tables.part(s, d)
       .select(col("p_partkey"),
         levenshtein(lower(col("p_brand")), lower(substring(col("p_type"), 1, 8)))
@@ -123,5 +133,13 @@ object SourceQueries {
     "q_edit_distance" ->
       """SELECT p_partkey,
         |  levenshtein(lower(p_brand), lower(substring(p_type, 1, 8))) AS edit_dist
-        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    // the oracle runs against fixed table views (no path parameter), and
+    // the testdata is one file per table — so the expected filename is a
+    // constant; the Spark side still derives it from _metadata for real
+    "q_file_metadata" ->
+      """SELECT 'orders.parquet' AS fname,
+        |  count(*) AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }

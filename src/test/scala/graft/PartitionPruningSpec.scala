@@ -53,6 +53,30 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(df.count() === expected)
   }
 
+  test("write sizing: repartition and maxRecordsPerFile bound output file counts") {
+    // the two knobs that prevent the small-files problem (too many tiny
+    // files kill the next job's scan planning) and its inverse (one giant
+    // file kills read parallelism) at 100 TB
+    val ev = Tables.events(spark, GraftSpark.sf)
+    val n = ev.count()
+
+    val few = Files.createTempDirectory("graft_write_few").toString
+    ev.repartition(4).write.mode("overwrite").parquet(few)
+    val fewFiles = new java.io.File(few).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(fewFiles === 4, s"repartition(4) must yield 4 files, got $fewFiles")
+
+    val capped = Files.createTempDirectory("graft_write_capped").toString
+    ev.coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", (n / 4).toString)
+      .parquet(capped)
+    val cappedFiles = new java.io.File(capped).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(cappedFiles >= 4,
+      s"maxRecordsPerFile=${n / 4} over $n rows must split into >=4 files, got $cappedFiles")
+    assert(spark.read.parquet(capped).count() === n)
+  }
+
   test("dynamic partition pruning: join against a filtered dim prunes the fact scan") {
     // the partition of interest arrives via a join, not a literal — DPP
     // must push the dim's filter result into the fact scan at runtime
