@@ -77,6 +77,26 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(spark.read.parquet(capped).count() === n)
   }
 
+  test("orc and zstd-parquet roundtrips preserve data exactly") {
+    val ev = Tables.events(spark, GraftSpark.sf)
+      .select("event_id", "user_id", "event_type", "value")
+    val checksum = ev.agg(sum("event_id"), sum("user_id"), sum("value")).head()
+
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    ev.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir)
+    assert(orcBack.count() === ev.count())
+    assert(orcBack.agg(sum("event_id"), sum("user_id"), sum("value")).head()
+      === checksum)
+
+    val zstdDir = Files.createTempDirectory("graft_zstd").toString
+    ev.write.mode("overwrite").option("compression", "zstd").parquet(zstdDir)
+    val zback = spark.read.parquet(zstdDir)
+    assert(zback.count() === ev.count())
+    assert(zback.agg(sum("event_id"), sum("user_id"), sum("value")).head()
+      === checksum)
+  }
+
   test("dynamic partition pruning: join against a filtered dim prunes the fact scan") {
     // the partition of interest arrives via a join, not a literal — DPP
     // must push the dim's filter result into the fact scan at runtime
