@@ -334,6 +334,20 @@ object RelationalQueries {
       .agg(r4(sum("o_totalprice")))
       .orderBy("o_orderpriority")),
 
+    // generator family beyond plain explode (2i): explode_outer keeps
+    // rows with empty arrays (the LEFT JOIN of generators), inline
+    // flattens struct arrays, stack unpivots literals row-wise
+    "q_generator_funcs" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("docs_gen")
+      s.sql("""SELECT doc_id, tok
+              |FROM (SELECT doc_id,
+              |        CASE WHEN doc_id % 7 = 0 THEN array()
+              |             ELSE slice(split(lower(text), ' '), 1, 3) END AS toks
+              |      FROM docs_gen WHERE doc_id < 200)
+              |LATERAL VIEW OUTER explode(toks) t AS tok
+              |ORDER BY doc_id, tok NULLS FIRST""".stripMargin)
+    }),
+
     // bitwise aggregate family (2g): AND/OR/XOR folds — set-flag rollups
     // (plan: plain partial+final hash agg, fully codegen'd)
     "q_bitwise_agg" -> ((s, d) => Tables.events(s, d)
@@ -670,6 +684,15 @@ object RelationalQueries {
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_generator_funcs" ->
+      """SELECT doc_id, tok
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN []
+        |             ELSE string_split(lower(text), ' ')[1:3] END AS toks
+        |      FROM documents WHERE doc_id < 200) d
+        |LEFT JOIN LATERAL unnest(d.toks) AS u(tok) ON true
+        |ORDER BY doc_id, tok NULLS FIRST""".stripMargin,
 
     "q_bitwise_agg" ->
       """SELECT event_type,
