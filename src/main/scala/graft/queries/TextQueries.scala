@@ -71,12 +71,13 @@ object TextQueries {
     // the flagship composition a 100 TB corpus build runs.
     "q_pipeline_e2e" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // canonical doc per identical text: arg-min by doc_id (lang rides
-      // along in the struct — doc_id is unique so the min is total)
-      val canon = docs
-        .groupBy("text")
-        .agg(min(struct(col("doc_id"), col("lang"))).as("k"))
-        .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"), col("text"))
+      // canonical doc per identical text: arg-min doc_id as a HASH agg
+      // (long buffer) + semi join back on the unique id — a min(struct)
+      // carrying lang along would force a SortAggregate on every text
+      // group (struct buffers are not hash-aggregatable)
+      val keepIds = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val canon = docs.join(keepIds, Seq("doc_id"), "left_semi")
       canon
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -263,12 +264,16 @@ object TextQueries {
       val tf = tokensDf.groupBy("lang", "term").agg(count(lit(1)).as("tf"))
       val df_ = tokensDf.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(df_, "term").crossJoin(broadcast(nDocs))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round(col("tf") * log(col("n_docs_total") / col("df")), 4))
+      // argmax via hash-agg + join-back: a max(struct) would force a
+      // SortAggregate over EVERY (lang, term) group (struct buffers are
+      // not hash-aggregatable); max over a double is a plain hash agg,
+      // and only the few tied argmax rows reach the string tie-break
+      val best = scored.groupBy("lang").agg(max("tfidf").as("tfidf"))
+      scored.join(best, Seq("lang", "tfidf"))
         .groupBy("lang")
-        // max(struct) = deterministic argmax (ties broken by term)
-        .agg(max(struct(col("tfidf"), col("term"))).as("m"))
-        .select(col("lang"), col("m.term").as("top_term"), col("m.tfidf").as("top_tfidf"))
+        .agg(max("term").as("top_term"), max("tfidf").as("top_tfidf"))
         .orderBy("lang")
     }))
 
