@@ -60,6 +60,10 @@ object GraftExtensions {
     ("vec_dot_native",
       info("vec_dot_native", "vec_dot_native(a, b) - codegen'd dot product of float/double arrays"),
       (args: Seq[Expression]) => graft.functions.VecDot(args(0), args(1))),
+    ("bitmap_agg",
+      info("bitmap_agg", "bitmap_agg(pos) - 4KiB bitmap with bit pos set, OR-merged; byte-compatible with bitmap_construct_agg"),
+      (args: Seq[Expression]) => graft.sketches.BitmapAgg(args(0))
+        .toAggregateExpression()),
     ("topk_agg",
       info("topk_agg", "topk_agg(score, id, k) - bounded top-k rows per group as array<struct<score,id>>, (score desc, id asc)"),
       (args: Seq[Expression]) => graft.sketches.TopKAgg(args(0), args(1), args(2))

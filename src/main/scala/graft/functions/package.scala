@@ -37,6 +37,13 @@ package object functions {
       Shims.expression(lit(confidence)), Shims.expression(lit(seed)))
       .toAggregateExpression())
 
+  /** 4 KiB bitmap with the given bit positions set, OR-merged —
+    * byte-compatible with bitmap_construct_agg but planned as an
+    * ObjectHashAggregate instead of a sorting SortAggregate. */
+  def bitmap_agg(pos: Column): Column =
+    Shims.column(new graft.sketches.BitmapAgg(Shims.expression(pos))
+      .toAggregateExpression())
+
   /** Bounded top-k rows per group: array<struct<score,id>>, (score desc,
     * id asc). k-element heaps per partition -> the shuffle carries at most
     * k rows per (group, partition); see [[graft.sketches.TopKAgg]]. */

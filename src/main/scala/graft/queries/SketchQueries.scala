@@ -169,7 +169,10 @@ object SketchQueries {
         expr("bitmap_bucket_number(user_id)").as("bkt"),
         expr("bitmap_bit_position(user_id)").as("pos"))
       .groupBy("event_type", "bkt")
-      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      // our TypedImperativeAggregate twin of bitmap_construct_agg: the
+      // built-in's binary buffer forces SortAggregate (input fully sorted
+      // at partial AND final stage); this plans as ObjectHashAggregate
+      .agg(bitmap_agg(col("pos")).as("bm"))
       .groupBy("event_type")
       .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
       .orderBy("event_type")),

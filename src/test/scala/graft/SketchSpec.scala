@@ -182,6 +182,20 @@ class SketchSpec extends AnyFunSuite {
     assert(c1.estimateCount(60L) >= 2L)
   }
 
+  test("bitmap_agg: byte-identical to the built-in bitmap_construct_agg") {
+    val ev = Tables.events(spark, GraftSpark.sf)
+      .select($"event_type", expr("bitmap_bucket_number(user_id)").as("bkt"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+    val ours = ev.groupBy("event_type", "bkt").agg(bitmap_agg($"pos").as("bm"))
+      .orderBy("event_type", "bkt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]]("bm").toSeq))
+    val builtin = ev.groupBy("event_type", "bkt")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .orderBy("event_type", "bkt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]]("bm").toSeq))
+    assert(ours.toSeq === builtin.toSeq)
+  }
+
   test("topk_agg: partition-independent and equal to the window-rank answer") {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, GraftSpark.sf)
