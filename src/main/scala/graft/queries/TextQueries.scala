@@ -191,6 +191,12 @@ object TextQueries {
       val a = postings.toDF("id_a", "gh", "sz_a")
       val b = postings.toDF("id_b", "gh", "sz_b")
       a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+        // exact length filter (similarity-join standard): jaccard ≤
+        // min(sz)/max(sz), so size-mismatched pairs can never reach the
+        // (rounded) 0.8 threshold — pruned BEFORE the counting aggregate.
+        // 0.79995 (not 0.8) keeps pairs that would round up to 0.8000.
+        .filter(greatest(col("sz_a"), col("sz_b")) * 0.79995
+          <= least(col("sz_a"), col("sz_b")))
         .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
         .select(col("id_a"), col("id_b"),
           round(col("inter").cast("double")
