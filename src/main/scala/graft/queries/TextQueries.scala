@@ -205,6 +205,56 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Same result as q_ngram_jaccard via PREFIX FILTERING (PPJoin-style):
+    // under a global gram order (rarest first), two sets with J ≥ t must
+    // share a gram within each one's first |x| − ⌈t·|x|⌉ + 1 grams — so
+    // only those prefix postings enter the candidate join. The index
+    // shrinks from every gram to ~(1−t) of them (5× here at t=0.8), and
+    // candidates are verified exactly. At THIS corpus size the extra
+    // passes (freq count, rank window, verify joins) cost more than the
+    // candidate reduction saves (~3.4s vs ~2.0s warm at sf0.1) — the
+    // technique wins when posting lists are large and similar pairs are
+    // sparse, i.e. exactly the 100 TB regime; both formulations are kept
+    // and hash-checked against the same oracle.
+    "q_ngram_jaccard_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.79995 // 0.8 relaxed for the 4-decimal rounding boundary
+      val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      // global order: rarest grams first → fewest candidate collisions
+      val freq = postings.groupBy("gh").agg(count(lit(1)).as("gf"))
+      val ranked = postings.join(freq, "gh")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("gf"), col("gh"))))
+      val prefixes = ranked
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * t) + 1)
+        .select(col("doc_id"), col("gh"), col("sz"))
+      val pa = prefixes.toDF("id_a", "gh", "sz_a")
+      val pb = prefixes.toDF("id_b", "gh", "sz_b")
+      val candidates = pa.join(pb, Seq("gh"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(greatest(col("sz_a"), col("sz_b")) * t
+          <= least(col("sz_a"), col("sz_b")))
+        .select("id_a", "id_b").distinct()
+      // exact verification of the (few) candidates on the full postings:
+      // expand each pair to a's grams, equi-join b's postings on
+      // (id_b, gh) so only shared grams survive, count = intersection
+      val full = postings.select(col("doc_id"), col("gh"))
+      val inter = candidates
+        .join(full.toDF("id_a", "gh"), "id_a")
+        .join(full.toDF("id_b", "gh"), Seq("id_b", "gh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val sizes = postings.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double")
+            / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- document fingerprint (order-sensitive rolling hash) ------------
     "q_doc_fingerprint" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
@@ -310,6 +360,24 @@ object TextQueries {
         |  round(avg(n_tokens), 4) AS avg_tokens
         |FROM scored WHERE n_tokens >= 20 AND uniq_ratio >= 0.3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ngram_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (
