@@ -125,6 +125,27 @@ class SketchSpec extends AnyFunSuite {
     if (exact7 > 0) assert(row.getBoolean(1))
   }
 
+  test("newer aggregates and vector functions usable from SQL") {
+    Tables.events(spark, GraftSpark.sf).createOrReplaceTempView("ev_new_sql")
+    // topk_agg + bitmap_agg from SQL (single bucket: ids 1..100 share
+    // bitmap_bucket_number — positions only identify ids WITHIN a bucket,
+    // which is why the real query groups by bucket first)
+    val r = spark.sql(
+      """SELECT topk_agg(CAST(value AS DOUBLE), event_id, 3) AS tk,
+        |       bitmap_count(bitmap_agg(bitmap_bit_position(user_id))) AS n
+        |FROM ev_new_sql WHERE user_id BETWEEN 1 AND 100""".stripMargin).head()
+    assert(r.getAs[collection.Seq[_]]("tk").size === 3)
+    val exact = spark.table("ev_new_sql")
+      .filter($"user_id".between(1, 100)).select("user_id").distinct().count()
+    assert(r.getLong(1) === exact)
+    // int8 quantization round trip from SQL
+    val d = spark.sql(
+      """SELECT vec_dot_i8(vec_quantize_i8(array(0.5d, -0.5d), 100.0d),
+        |                  vec_quantize_i8(array(0.5d, -0.5d), 100.0d)) AS d"""
+        .stripMargin).head().getLong(0)
+    assert(d === 50L * 50 + 50 * 50)
+  }
+
   test("sketch-table re-aggregation: merged partials == direct global build, byte-identical") {
     val perType = events.groupBy("event_type")
       .agg(cms_agg($"user_id", 0.01, 0.99, 42).as("sk"),
