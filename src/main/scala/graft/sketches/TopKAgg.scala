@@ -25,6 +25,10 @@ import org.apache.spark.sql.types._
  * at 100 TB with k=3 that is the difference between shuffling the table
  * and shuffling kilobytes. Merge is heap-union-truncate, associative and
  * commutative, so partial aggregation applies as usual.
+ *
+ * Contract: `id` must uniquely identify a row — it is the tie-break for
+ * equal scores, and duplicate (score, id) pairs would occupy multiple
+ * heap slots (derive it from a key, e.g. orderkey*10+linenumber).
  */
 case class TopKAgg(
     scoreExpr: Expression,

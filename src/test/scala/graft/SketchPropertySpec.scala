@@ -83,6 +83,36 @@ class SketchPropertySpec extends AnyFunSuite {
     assert(rate <= 0.01, f"eps*N violation rate $rate%.4f over $keys keys")
   }
 
+  test("topk_agg buffers: any partitioning + merge order == sorted take-k") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = graft.sketches.TopKAgg(
+      BoundReference(0, DoubleType, nullable = false),
+      BoundReference(1, LongType, nullable = false),
+      Literal(5))
+    // ids made unique per row — the aggregate's contract (the id IS the
+    // tie-break; duplicate (score,id) rows would occupy multiple slots)
+    val rows: Gen[List[(Double, Long)]] =
+      Gen.listOfN(60, Gen.chooseNum(-100.0, 100.0))
+        .map(_.zipWithIndex.map { case (s, i) => (s, i.toLong) })
+    val cuts: Gen[Int] = Gen.chooseNum(1, 6)
+    check("topk-partition-invariance", Prop.forAll(rows, cuts) { (xs, nParts) =>
+      // expected: global sort by (score desc, id asc), first 5
+      val expected = xs.sortBy { case (s, i) => (-s, i) }.take(5)
+      // actual: split into nParts buffers, update, merge in order
+      val parts = xs.grouped(math.max(1, xs.size / nParts)).toList
+      val bufs = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach { case (s, i) => agg.update(b, InternalRow(s, i)) }
+        b
+      }
+      val merged = bufs.reduceLeft(agg.merge)
+      val got = merged.toList.sortBy { case (s, i) => (-s, i) }
+      got == expected
+    })
+  }
+
   test("cms: merge == single-pass build, byte-identical under a fixed seed") {
     check("cms-merge-homomorphism", Prop.forAll(items, items) { (as, bs) =>
       def bytes(c: CountMinSketch): Seq[Byte] = {
