@@ -19,6 +19,34 @@ class WatermarkSpec extends AnyFunSuite {
 
   private def ts(m: Int): Timestamp = new Timestamp(m * 60000L)
 
+  test("dropDuplicatesWithinWatermark: dedup state is bounded by the watermark") {
+    // plain streaming dropDuplicates keeps EVERY key forever (unbounded
+    // state at 100 TB); the watermark variant evicts keys once they age
+    // out, trading re-admission of very-late duplicates for bounded state
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"))  // duplicate within window
+      q.processAllAvailable()
+      input.addData((ts(30), "b"))               // advances watermark to 25
+      q.processAllAvailable()
+      // "a" expired from state (1, 2 < 25): a very late duplicate is
+      // re-admitted — exactly the documented bounded-state trade-off;
+      // it lands because append passes rows through on arrival here
+      input.addData((ts(31), "a"))
+      q.processAllAvailable()
+      val ks = spark.table("ddww").select($"k").as[String]
+        .collect().toSeq.sorted
+      assert(ks === Seq("a", "a", "b"),
+        s"expected one admitted dup after expiry, got $ks")
+    } finally q.stop()
+  }
+
   test("append-mode window emits on watermark passage and drops late rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
