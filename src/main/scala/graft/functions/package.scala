@@ -69,8 +69,23 @@ package object functions {
   // Text analysis (north-star ops — SURVEY.md §2j)
   // ------------------------------------------------------------------
 
-  /** Lower-cased whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
+  /** Lower-cased whitespace tokens, empties dropped.
+    *
+    * Formulated as trim-then-split rather than split-then-`filter`: with
+    * `\s+` the only empty tokens come from leading/trailing whitespace,
+    * so trimming first yields the identical array (proven differentially
+    * in FunctionsSpec) while every operator (trim/lower/split/when) stays
+    * codegen'd — the `filter` HOF is CodegenFallback and would interpret
+    * per document on the hottest path in the engine. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(t), "\\s+"))
+  }
+
+  /** The HOF formulation of [[tokens]] (interpreted; kept as the
+    * differential-testing twin). */
+  def tokens_hof(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count (codegen'd, no UDF). */

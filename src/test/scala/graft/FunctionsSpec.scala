@@ -145,6 +145,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("tokens (codegen trim-split) == tokens_hof (filter HOF) on every doc") {
+    val bad = Tables.documents(spark, GraftSpark.sf)
+      .select(tokens($"text").as("a"), tokens_hof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(bad === 0L)
+    // edge cases the corpus may not contain
+    val edge = Seq("", "   ", " one  two ", "x").toDF("text")
+      .select(tokens($"text").as("a"), tokens_hof($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(edge === 0L)
+  }
+
   test("int8 quantization: codes 4x smaller, dot exact, recall@10 >= 8") {
     val emb = Tables.embeddings(spark, GraftSpark.sf)
     // size: 64-dim float32 list vs 64-byte code
