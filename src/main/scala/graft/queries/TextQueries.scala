@@ -263,9 +263,21 @@ object TextQueries {
       .orderBy("first_id")),
 
     // --- language ID (stopword-ratio heuristic, pure SQL) ---------------
+    // exploded formulation of stopword_ratio(): explode_outer keeps
+    // zero-token docs (score 0.0), the isin hit-count and ratio are a
+    // plain hash agg — zero lambda HOFs, fully codegen'd (the Column
+    // helper stopword_ratio() uses an interpreted filter HOF and stays
+    // as the per-row convenience form)
     "q_lang_id" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        round(stopword_ratio(tokens(col("text")), enStops), 4).as("en_score"))
+        explode_outer(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(count(col("tok")).as("n"),
+        count(when(col("tok").isin(enStops.map(lit): _*), 1)).as("hits"))
+      .select(col("doc_id"), col("lang"),
+        when(col("n") === 0, 0.0)
+          .otherwise(round(col("hits").cast("double") / col("n").cast("double"), 4))
+          .as("en_score"))
       .withColumn("pred_en", (col("en_score") >= 0.05).cast("int"))
       .orderBy("doc_id").limit(300)),
 
