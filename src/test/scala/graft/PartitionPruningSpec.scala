@@ -77,6 +77,28 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(spark.read.parquet(capped).count() === n)
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    // the idempotent-backfill primitive: re-running a day's job must
+    // replace that day's partition and leave every other partition alone
+    // (static mode would wipe the whole table root)
+    val dir = Files.createTempDirectory("graft_dpo").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // "re-run" partition b with corrected data; a and c untouched
+      Seq((20L, "b")).toDF("id", "p")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir).as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "a"), (20L, "b"), (3L, "c")),
+        s"only partition b should have been replaced: $got")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("orc and zstd-parquet roundtrips preserve data exactly") {
     val ev = Tables.events(spark, GraftSpark.sf)
       .select("event_id", "user_id", "event_type", "value")
