@@ -113,6 +113,46 @@ class SketchPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bitmap_agg buffers: popcount == distinct count, merge == set union") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.sketches.BitmapAgg(BoundReference(0, LongType, nullable = false))
+    def popcount(b: Array[Byte]): Int =
+      b.map(x => java.lang.Integer.bitCount(x & 0xff)).sum
+    val positions: Gen[List[Long]] =
+      Gen.listOfN(150, Gen.chooseNum(0L, 32767L))
+    check("bitmap-popcount-union", Prop.forAll(positions, positions) { (as, bs) =>
+      def build(xs: List[Long]) = {
+        val b = agg.createAggregationBuffer()
+        xs.foreach(p => agg.update(b, InternalRow(p)))
+        b
+      }
+      val merged = agg.merge(build(as), build(bs))
+      popcount(build(as ++ bs)) == (as ++ bs).distinct.size &&
+        popcount(merged) == (as ++ bs).distinct.size
+    })
+  }
+
+  test("int8 quantization: per-element roundtrip error <= 0.5/scale in range") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val scale = 100.0
+    val q = graft.functions.VecQuantizeI8(
+      Literal.create(null, ArrayType(DoubleType)), Literal(scale))
+    val vecs: Gen[List[Double]] =
+      Gen.listOfN(32, Gen.chooseNum(-1.2, 1.2))
+    check("quantize-error-bound", Prop.forAll(vecs) { xs =>
+      val codes = q.nullSafeEval(
+        new GenericArrayData(xs.toArray), scale).asInstanceOf[Array[Byte]]
+      xs.zip(codes).forall { case (x, c) =>
+        if (math.abs(x) * scale <= 127.0) math.abs(c / scale - x) <= 0.5 / scale + 1e-12
+        else c == (if (x > 0) 127 else -127) // clamped out-of-range
+      }
+    })
+  }
+
   test("cms: merge == single-pass build, byte-identical under a fixed seed") {
     check("cms-merge-homomorphism", Prop.forAll(items, items) { (as, bs) =>
       def bytes(c: CountMinSketch): Seq[Byte] = {
