@@ -334,6 +334,26 @@ object RelationalQueries {
       .agg(r4(sum("o_totalprice")))
       .orderBy("o_orderpriority")),
 
+    // time-series gap filling (2f/2g): sparse per-day counts densified
+    // onto the full calendar (missing days become 0) — sequence+explode
+    // builds the grid from the data's own bounds, so the plan is two
+    // broadcastable tiny sides and one left join; no driver-side calendar
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val days = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val types = ev.select("event_type").distinct()
+      types.crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "day")
+    }),
+
     // generator family beyond plain explode (2i): explode_outer keeps
     // rows with empty arrays (the LEFT JOIN of generators), inline
     // flattens struct arrays, stack unpivots literals row-wise
@@ -684,6 +704,18 @@ object RelationalQueries {
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, ts::DATE AS day, count(*) AS n
+        |          FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, d.day, coalesce(x.n, 0)::BIGINT AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_generator_funcs" ->
       """SELECT doc_id, tok
