@@ -354,6 +354,27 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // forward fill / LOCF (2f): last non-null observation carried forward
+    // over the dense calendar — `last(col, ignoreNulls)` over an
+    // unbounded-preceding frame, shuffle-parallel on the series key
+    "q_locf" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(r4(avg("value")).as("avg_v"))
+      val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val days = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          last(col("avg_v"), ignoreNulls = true).over(w).as("filled_v"))
+        .orderBy("event_type", "day")
+    }),
+
     // generator family beyond plain explode (2i): explode_outer keeps
     // rows with empty arrays (the LEFT JOIN of generators), inline
     // flattens struct arrays, stack unpivots literals row-wise
@@ -713,6 +734,21 @@ object RelationalQueries {
         |daily AS (SELECT event_type, ts::DATE AS day, count(*) AS n
         |          FROM events GROUP BY 1, 2)
         |SELECT t.event_type, d.day, coalesce(x.n, 0)::BIGINT AS n
+        |FROM types t CROSS JOIN days d
+        |LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_locf" ->
+      """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, ts::DATE AS day, round(avg(value), 4) AS avg_v
+        |          FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, d.day,
+        |  last_value(x.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY t.event_type ORDER BY d.day
+        |    ROWS UNBOUNDED PRECEDING) AS filled_v
         |FROM types t CROSS JOIN days d
         |LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
         |ORDER BY 1, 2""".stripMargin,
