@@ -61,6 +61,18 @@ object RelationalQueries {
               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // statistical aggregate family (2d): correlation / covariance /
+    // stddev / least-squares regression — all partial+final hash aggs
+    "q_stats_agg" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(corr("l_quantity", "l_extendedprice")).as("corr_qp"),
+        r4(covar_samp("l_quantity", "l_discount")).as("cov_qd"),
+        r4(stddev_samp("l_extendedprice")).as("sd_price"),
+        r4(expr("regr_slope(l_extendedprice, l_quantity)")).as("slope"),
+        r4(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"))
+      .orderBy("l_returnflag")),
+
     "q_percentile_exact" -> ((s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -523,6 +535,15 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentile_exact" ->
       """SELECT l_returnflag,
