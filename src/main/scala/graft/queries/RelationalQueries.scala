@@ -346,6 +346,16 @@ object RelationalQueries {
       .agg(r4(sum("o_totalprice")))
       .orderBy("o_orderpriority")),
 
+    // cryptographic hash family (2g): content-addressed ids / integrity
+    // checksums — md5 and sha256 are byte-identical across engines
+    // (unlike xxhash64, whose seeds differ), so they oracle-check exactly
+    "q_hash_funcs" -> ((s, d) => Tables.part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        md5(col("p_name").cast("binary")).as("md5_name"),
+        sha2(col("p_name").cast("binary"), 256).as("sha256_name"))
+      .orderBy("p_partkey")),
+
     // time-series gap filling (2f/2g): sparse per-day counts densified
     // onto the full calendar (missing days become 0) — sequence+explode
     // builds the grid from the data's own bounds, so the plan is two
@@ -746,6 +756,11 @@ object RelationalQueries {
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
         |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hash_funcs" ->
+      """SELECT p_partkey, md5(p_name) AS md5_name,
+        |  sha256(p_name) AS sha256_name
+        |FROM part WHERE p_partkey <= 200 ORDER BY 1""".stripMargin,
 
     "q_gap_fill" ->
       """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
