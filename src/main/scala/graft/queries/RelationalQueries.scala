@@ -233,6 +233,22 @@ object RelationalQueries {
         max("n_ev").as("max_session_events"))
       .orderBy("user_id")),
 
+    // dynamic-gap session windows (2h advanced): the gap is a per-event
+    // EXPRESSION (clicks time out in 30 min, everything else in 60) —
+    // session_window's dynamic form. Oracle: interval-merge gaps-and-
+    // islands (new session iff ts >= running max of previous ends).
+    "q_session_dynamic_gap" -> ((s, d) => Tables.events(s, d)
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "click", "30 minutes")
+            .otherwise("60 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_ev").as("max_session_events"))
+      .orderBy("user_id")),
+
     "q_topk_orders" -> ((s, d) => Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), r4(col("o_totalprice")).as("price"))
       .orderBy(col("price").desc, col("o_orderkey"))
@@ -628,6 +644,30 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_session_dynamic_gap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN INTERVAL 30 MINUTE
+        |         ELSE INTERVAL 60 MINUTE END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS new_sess
+        |  FROM m),
+        |x AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |per AS (SELECT user_id, sid, count(*) AS n_ev FROM x GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, max(n_ev) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_session_window_batch" ->
       """WITH marks AS (
