@@ -44,8 +44,14 @@ class WelfordVariance extends Aggregator[Double, VarBuf, Double] {
     }
   }
 
-  /** Sample variance (n−1 denominator); NaN below 2 observations,
-    * matching `var_samp`. */
+  /** Sample variance (n−1 denominator). Below 2 observations this
+    * returns NaN — a DELIBERATE deviation from Spark 4's `var_samp`,
+    * which returns NULL for n<=1 (NaN only under the legacy
+    * `statisticalAggregate` flag): an `Aggregator[.., Double]` with a
+    * primitive output encoder cannot produce null, and NaN is the
+    * nearest representable sentinel. Callers comparing against
+    * `var_samp` must restrict to groups with n >= 2 (q_typed_udaf
+    * does). */
   override def finish(r: VarBuf): Double =
     if (r.n < 2) Double.NaN else r.m2 / (r.n - 1)
 

@@ -71,14 +71,17 @@ package object functions {
 
   /** Lower-cased whitespace tokens, empties dropped.
     *
-    * Formulated as trim-then-split rather than split-then-`filter`: with
+    * Formulated as strip-then-split rather than split-then-`filter`: with
     * `\s+` the only empty tokens come from leading/trailing whitespace,
-    * so trimming first yields the identical array (proven differentially
-    * in FunctionsSpec) while every operator (trim/lower/split/when) stays
-    * codegen'd — the `filter` HOF is CodegenFallback and would interpret
-    * per document on the hottest path in the engine. */
+    * so stripping it first yields the identical array (proven
+    * differentially in FunctionsSpec, including tab/newline edges) while
+    * every operator stays codegen'd — the `filter` HOF is CodegenFallback
+    * and would interpret per document on the hottest path in the engine.
+    * NOTE: `trim` strips only ASCII space, so the strip must be the
+    * regexp (`^\s+|\s+$`) to agree with the `\s+` splitter on
+    * tab/newline-edged text. */
   def tokens(text: Column): Column = {
-    val t = trim(text)
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
     when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(lower(t), "\\s+"))
   }

@@ -73,8 +73,12 @@ object MediaDecode {
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("payload"))
       .withColumn("n_frames", (octet_length(col("payload")) / 10).cast("int"))
+      // guard: sequence(0, -1, 10) throws (positive step needs start<=stop),
+      // so a sub-10-byte payload (n_frames = 0) must yield NULL — explode
+      // then drops the row instead of killing the query.
       .withColumn("frame_idx",
-        explode(sequence(lit(0), col("n_frames") - 1, lit(10))))
+        explode(when(col("n_frames") > 0,
+          sequence(lit(0), col("n_frames") - 1, lit(10)))))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_sampled"), max("frame_idx").as("last_frame"))
       .orderBy("media_id")

@@ -290,16 +290,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("day", "hr")),
 
-    "q_math_funcs" -> ((s, d) => Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        r4(sum(log(col("l_extendedprice") + 1.0))).as("sum_log"),
-        r4(sum(sqrt(col("l_quantity")))).as("sum_sqrt"),
-        r4(sum(pow(col("l_discount"), 2.0))).as("sum_sq"),
-        r4(sum(abs(col("l_extendedprice") - 1000.0))).as("sum_absdev"),
-        r4(sum(floor(col("l_quantity")))).as("sum_floor"),
-        r4(sum(ceil(col("l_quantity")))).as("sum_ceil"))
-      .orderBy("l_returnflag")),
+    // Double sums are summed as DECIMAL(30,12): decimal addition is exact
+    // and associative, so the result is independent of partition/merge
+    // order (a double sum over N partitions is not) and bit-equal to
+    // DuckDB's single-threaded sum. floor/ceil sums are integral in Spark
+    // (LONG) but DOUBLE in DuckDB — cast to double to align the hash.
+    "q_math_funcs" -> ((s, d) => {
+      def dsum(c: Column) = sum(c.cast("decimal(30,12)"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(dsum(log(col("l_extendedprice") + 1.0))).cast("double").as("sum_log"),
+          r4(dsum(sqrt(col("l_quantity")))).cast("double").as("sum_sqrt"),
+          r4(dsum(pow(col("l_discount"), 2.0))).cast("double").as("sum_sq"),
+          r4(dsum(abs(col("l_extendedprice") - 1000.0))).cast("double").as("sum_absdev"),
+          sum(floor(col("l_quantity"))).cast("double").as("sum_floor"),
+          sum(ceil(col("l_quantity"))).cast("double").as("sum_ceil"))
+        .orderBy("l_returnflag")
+    }),
 
     "q_array_funcs" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -748,12 +756,12 @@ object RelationalQueries {
 
     "q_math_funcs" ->
       """SELECT l_returnflag,
-        |  round(sum(ln(l_extendedprice + 1.0)), 4) AS sum_log,
-        |  round(sum(sqrt(l_quantity)), 4) AS sum_sqrt,
-        |  round(sum(pow(l_discount, 2.0)), 4) AS sum_sq,
-        |  round(sum(abs(l_extendedprice - 1000.0)), 4) AS sum_absdev,
-        |  round(sum(floor(l_quantity)), 4) AS sum_floor,
-        |  round(sum(ceil(l_quantity)), 4) AS sum_ceil
+        |  round(sum(CAST(ln(l_extendedprice + 1.0) AS DECIMAL(30,12))), 4)::DOUBLE AS sum_log,
+        |  round(sum(CAST(sqrt(l_quantity) AS DECIMAL(30,12))), 4)::DOUBLE AS sum_sqrt,
+        |  round(sum(CAST(pow(l_discount, 2.0) AS DECIMAL(30,12))), 4)::DOUBLE AS sum_sq,
+        |  round(sum(CAST(abs(l_extendedprice - 1000.0) AS DECIMAL(30,12))), 4)::DOUBLE AS sum_absdev,
+        |  sum(floor(l_quantity))::DOUBLE AS sum_floor,
+        |  sum(ceil(l_quantity))::DOUBLE AS sum_ceil
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_array_funcs" ->
@@ -766,7 +774,7 @@ object RelationalQueries {
 
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

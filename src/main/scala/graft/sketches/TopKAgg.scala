@@ -55,6 +55,11 @@ case class TopKAgg(
   override def checkInputDataTypes(): TypeCheckResult = {
     if (!kExpr.foldable) {
       TypeCheckResult.TypeCheckFailure("topk_agg k must be a constant")
+    } else if (kExpr.eval() == null ||
+               kExpr.eval().asInstanceOf[Number].intValue() < 1) {
+      // fail at analysis: with k <= 0 offer() would buf.head an empty heap
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg k must be >= 1, got ${kExpr.eval()}")
     } else (scoreExpr.dataType, idExpr.dataType) match {
       case (DoubleType | FloatType | LongType | IntegerType, LongType | IntegerType) =>
         TypeCheckResult.TypeCheckSuccess

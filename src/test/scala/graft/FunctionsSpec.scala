@@ -18,6 +18,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === Seq("hello", "world", "foo"))
   }
 
+  test("frameSample survives sub-10-byte payloads (sequence guard)") {
+    // payloads under 10 bytes give n_frames = 0; unguarded
+    // sequence(0, -1, 10) throws at runtime — the row must drop instead
+    val docs = Seq((1L, "tiny"), (2L, ""), (3L, "long enough text to have frames"))
+      .toDF("doc_id", "text")
+    val got = graft.multimodal.MediaDecode.frameSample(spark, docs).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("shingles: 3-gram windows; short docs collapse to one shingle") {
     val toks = array(lit("a"), lit("b"), lit("c"), lit("d"))
     assert(one[collection.Seq[String]](shingles(toks, 3)) === Seq("a b c", "b c d"))
@@ -150,8 +159,11 @@ class FunctionsSpec extends AnyFunSuite {
       .select(tokens($"text").as("a"), tokens_hof($"text").as("b"))
       .filter(not($"a" <=> $"b")).count()
     assert(bad === 0L)
-    // edge cases the corpus may not contain
-    val edge = Seq("", "   ", " one  two ", "x").toDF("text")
+    // edge cases the corpus may not contain — incl. tab/newline edges,
+    // where ASCII-only trim() would leave a spurious empty token
+    val edge = Seq("", "   ", " one  two ", "x",
+        "\tTabbed lead", "trailing newline\n", "\n\t mixed \t\n",
+        "inner\ttab and\nnewline", "\t\n", "a b").toDF("text")
       .select(tokens($"text").as("a"), tokens_hof($"text").as("b"))
       .filter(not($"a" <=> $"b")).count()
     assert(edge === 0L)

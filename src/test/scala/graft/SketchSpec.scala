@@ -217,6 +217,16 @@ class SketchSpec extends AnyFunSuite {
     assert(ours.toSeq === builtin.toSeq)
   }
 
+  test("topk_agg: k <= 0 fails at analysis, not execution") {
+    val li = Tables.lineitem(spark, GraftSpark.sf).limit(10)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      li.groupBy("l_returnflag")
+        .agg(topk_agg($"l_extendedprice", $"l_orderkey", 0).as("tk"))
+        .collect()
+    }
+    assert(e.getMessage.contains("topk_agg k must be >= 1"))
+  }
+
   test("topk_agg: partition-independent and equal to the window-rank answer") {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(spark, GraftSpark.sf)
