@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,7 +9,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // 87 queries in one JVM: broadcasts/shuffle state are only reclaimed
+      // 100+ queries in one JVM: broadcasts/shuffle state are only reclaimed
       // by the ContextCleaner on GC, so force one periodically or late
       // queries pay for the whole run's accumulation
       .config("spark.cleaner.periodicGC.interval", "15s")
@@ -28,10 +29,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmtMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: Seq[(String, Double)]): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${fmtMap(qs)},"sf":"$sfDir"}"""
+    // Full per-query map → file (the driver's stdout tail is ~2000 chars,
+    // which a 100-query map overflows — round 1's BENCH json came back
+    // "parsed": null for exactly this reason). The stdout line carries the
+    // total plus the 30 slowest queries and stays well under the buffer.
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), line(results) + "\n")
+    println(line(results.sortBy(-_._2).take(30).sortBy(_._1)))
     spark.stop()
   }
 }
