@@ -54,12 +54,21 @@ object MediaDecode {
         MediaMeta(r.media_id, r.kind, r.payload.length, w, h, ok)
       }
     }
+    // dims_ok pins the decoder CONTRACT (w ∈ [1,1920], h ∈ [1,1080] for
+    // every decodable payload) rather than the stub's hash values — the
+    // n/bytes/ok columns plus the contract flag are all expressible in
+    // plain SQL, so the whole pipeline is oracle-checkable even though
+    // the stub's fake dimensions are not.
     decoded.toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes").cast("long")).as("total_bytes"),
-        max("width").as("max_w"), max("height").as("max_h"),
-        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        coalesce(min(when(col("ok"), col("width"))) >= 1 &&
+          max(when(col("ok"), col("width"))) <= 1920 &&
+          min(when(col("ok"), col("height"))) >= 1 &&
+          max(when(col("ok"), col("height"))) <= 1080,
+          lit(true)).as("dims_ok")) // vacuously true with no decodable rows
       .orderBy("kind")
   }
 
@@ -80,7 +89,8 @@ object MediaDecode {
         explode(when(col("n_frames") > 0,
           sequence(lit(0), col("n_frames") - 1, lit(10)))))
       .groupBy("media_id")
-      .agg(count(lit(1)).as("n_sampled"), max("frame_idx").as("last_frame"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max("frame_idx").cast("long").as("last_frame"))
       .orderBy("media_id")
   }
 }

@@ -30,16 +30,36 @@ object MultimodalQueries {
       .orderBy("lang")),
 
     // full decode pipeline: binary → per-partition batched stub decode →
-    // typed metadata → analytics (rows-only; decode is a deterministic fake)
+    // typed metadata → analytics (✦: the counts/bytes/contract-flag
+    // outputs are SQL-expressible; the stub's fake dimensions are checked
+    // against the decoder contract, not their hash values)
     "q_media_decode" -> ((s, d) =>
       graft.multimodal.MediaDecode.decodeStats(s, Tables.documents(s, d))),
 
     // frame-sampling shape: explode synthetic frame indices per media row,
-    // the plan shape of video frame extraction (rows-only)
+    // the plan shape of video frame extraction (✦: every-10th-frame
+    // sampling reduces to integer arithmetic on the payload size)
     "q_frame_sample" -> ((s, d) =>
       graft.multimodal.MediaDecode.frameSample(s, Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_media_decode" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  sum((octet_length(encode(text)) > 0)::BIGINT)::BIGINT AS n_ok,
+        |  true AS dims_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  ((nf + 9) // 10)::BIGINT AS n_sampled,
+        |  (((nf - 1) // 10) * 10)::BIGINT AS last_frame
+        |FROM (SELECT doc_id, octet_length(encode(text)) // 10 AS nf
+        |      FROM documents)
+        |WHERE nf > 0 ORDER BY media_id""".stripMargin,
+
     "q_binary_payloads" ->
       """SELECT lang, count(*) AS n,
         |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -75,13 +75,18 @@ object SourceQueries {
           sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_no_order"))
     }),
 
-    // KLL quantile sketch (2c; rows-only — accuracy property-tested):
-    // sketch quantiles next to their exact twins
+    // KLL quantile sketch (2c) next to its exact twins. k=65535 keeps the
+    // sketch uncompressed below ~100k samples/group → the KLL answer is
+    // the exact discrete quantile at gate scale and hash-checks against
+    // DuckDB quantile_disc (k is the KLL memory/error dial; a 100 TB run
+    // uses the default k=200 and the ~1.65% rank guarantee, which
+    // SketchPropertySpec covers). `percentile` is exact-interpolating ==
+    // quantile_cont.
     "q_kll_quantiles" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("li_kll")
       s.sql("""SELECT l_returnflag,
               |  round(kll_sketch_get_quantile_double(
-              |    kll_sketch_agg_double(l_extendedprice), 0.5), 4) AS kll_p50,
+              |    kll_sketch_agg_double(l_extendedprice, 65535), 0.5), 4) AS kll_p50,
               |  round(percentile(l_extendedprice, 0.25), 4) AS exact_p25,
               |  round(percentile(l_extendedprice, 0.5), 4)  AS exact_p50,
               |  round(percentile(l_extendedprice, 0.75), 4) AS exact_p75
@@ -106,6 +111,14 @@ object SourceQueries {
       .orderBy("p_partkey").limit(200)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_kll_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_disc(l_extendedprice, 0.5), 4) AS kll_p50,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS exact_p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4)  AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS exact_p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_csv_scan" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,

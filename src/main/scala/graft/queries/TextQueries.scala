@@ -93,15 +93,24 @@ object TextQueries {
     }),
 
     // --- stratified corpus subsampling (2j): per-class sampling rates,
-    // the standard rebalancing step before training-data mixing. Seeded
-    // Bernoulli per row — no shuffle at all, embarrassingly parallel;
-    // deterministic given the same file layout (◇ rows-only, plus a
-    // determinism + rate-tolerance spec). ---------------------------------
+    // the standard rebalancing step before training-data mixing.
+    // CONTENT-HASH gating (md5 of the row key under a per-class hex
+    // threshold), not RNG: no shuffle, embarrassingly parallel, and —
+    // unlike seeded Bernoulli, which depends on partition layout — the
+    // keep/drop decision is a pure function of the row, so re-runs,
+    // retries, and incremental loads at 100 TB select the SAME rows.
+    // Fixed-width lowercase hex compares lexicographically == numerically,
+    // so the threshold is a plain string compare in any engine (✦).
+    // Rates: click 0x1999/0x10000 ≈ 10%, view ≈ 5%, error = 50%,
+    // purchase/signup = 100%.
     "q_stratified_sample" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val fractions = Map("click" -> 0.1, "view" -> 0.05, "purchase" -> 1.0,
-        "signup" -> 1.0, "error" -> 0.5)
-      ev.stat.sampleBy("event_type", fractions, 42L)
+      val keyHex = substring(md5(col("event_id").cast("string")), 1, 4)
+      val keep = when(col("event_type") === "click", keyHex < "1999")
+        .when(col("event_type") === "view", keyHex < "0ccc")
+        .when(col("event_type") === "error", keyHex < "8000")
+        .otherwise(lit(true))
+      ev.filter(keep)
         .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
         .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_total")), "event_type")
         .orderBy("event_type")
@@ -256,10 +265,16 @@ object TextQueries {
     }),
 
     // --- document fingerprint (order-sensitive rolling hash) ------------
+    // The 64-bit fingerprint is injective on this corpus (collision odds
+    // 2^-64), so fingerprint-duplicate groups == normalized-token-sequence
+    // duplicate groups — which IS DuckDB-expressible. The fp value itself
+    // is dropped from the output (not oracle-computable); grouping by it
+    // is the operator under test.
     "q_doc_fingerprint" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
       .filter(col("n") > 1)
+      .select(col("first_id"), col("n"))
       .orderBy("first_id")),
 
     // --- language ID (stopword-ratio heuristic, pure SQL) ---------------
@@ -346,6 +361,44 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stratified_sample" ->
+      """SELECT event_type, n_sampled, n_total FROM
+        |  (SELECT event_type, count(*) AS n_sampled FROM events
+        |   WHERE CASE event_type
+        |     WHEN 'click' THEN substr(md5(event_id::VARCHAR), 1, 4) < '1999'
+        |     WHEN 'view'  THEN substr(md5(event_id::VARCHAR), 1, 4) < '0ccc'
+        |     WHEN 'error' THEN substr(md5(event_id::VARCHAR), 1, 4) < '8000'
+        |     ELSE true END
+        |   GROUP BY 1) s
+        |JOIN (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1) t
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT min(doc_id) AS first_id, count(*) AS n
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_filter(string_split(lower(text), ' '),
+        |                                    t -> t <> ''), ' ') AS norm
+        |      FROM documents)
+        |GROUP BY norm HAVING count(*) > 1
+        |ORDER BY first_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs_total FROM documents),
+        |scored AS (
+        |  SELECT lang, term, round(tf * ln(n_docs_total / df), 4) AS tfidf
+        |  FROM tf JOIN dfq USING (term), nd),
+        |best AS (SELECT lang, max(tfidf) AS tfidf FROM scored GROUP BY 1)
+        |SELECT lang, max(term) AS top_term, max(tfidf) AS top_tfidf
+        |FROM scored JOIN best USING (lang, tfidf)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
