@@ -74,14 +74,16 @@ package object functions {
     * Formulated as strip-then-split rather than split-then-`filter`: with
     * `\s+` the only empty tokens come from leading/trailing whitespace,
     * so stripping it first yields the identical array (proven
-    * differentially in FunctionsSpec, including tab/newline edges) while
-    * every operator stays codegen'd — the `filter` HOF is CodegenFallback
-    * and would interpret per document on the hottest path in the engine.
-    * NOTE: `trim` strips only ASCII space, so the strip must be the
-    * regexp (`^\s+|\s+$`) to agree with the `\s+` splitter on
-    * tab/newline-edged text. */
+    * differentially in FunctionsSpec, including tab/newline/VT edges)
+    * while every operator stays codegen'd — the `filter` HOF is
+    * CodegenFallback and would interpret per document on the hottest path
+    * in the engine. The strip is `trim` with an explicit char set: Java's
+    * `\s` (the splitter) is exactly `[ \t\n\u000B\f\r]`, so trimming that
+    * set agrees with the regex strip (`^\s+|\s+$`) on every input while
+    * staying a regex-free codegen'd StringTrim — no per-document regex on
+    * the hottest text path (differential-tested incl. VT/FF/CR edges). */
   def tokens(text: Column): Column = {
-    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    val t = trim(text, " \t\n\u000B\f\r")
     when(length(t) === 0, array().cast("array<string>"))
       .otherwise(split(lower(t), "\\s+"))
   }

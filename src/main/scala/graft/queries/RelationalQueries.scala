@@ -405,9 +405,15 @@ object RelationalQueries {
     // unbounded-preceding frame, shuffle-parallel on the series key
     "q_locf" -> ((s, d) => {
       val ev = Tables.events(s, d)
+      // decimal-stable daily total (same trick as q_math_funcs): sum and
+      // round IN DECIMAL on both engines — avg(double) rounds 1 ulp apart
+      // across engines on half-boundary groups (seen at sf0.001:
+      // 38.37875), and even identical quotient doubles round differently
+      // (Spark rounds the exact expansion, DuckDB the scaled multiply).
+      // The operator under test is the LOCF carry, not the daily stat.
       val daily = ev
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(r4(avg("value")).as("avg_v"))
+        .agg(r4(sum(col("value").cast("decimal(30,12)"))).cast("double").as("avg_v"))
       val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
       val days = bounds
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
@@ -827,7 +833,8 @@ object RelationalQueries {
         |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
         |         FROM bounds),
         |types AS (SELECT DISTINCT event_type FROM events),
-        |daily AS (SELECT event_type, ts::DATE AS day, round(avg(value), 4) AS avg_v
+        |daily AS (SELECT event_type, ts::DATE AS day,
+        |            round(sum(CAST(value AS DECIMAL(30,12))), 4)::DOUBLE AS avg_v
         |          FROM events GROUP BY 1, 2)
         |SELECT t.event_type, d.day,
         |  last_value(x.avg_v IGNORE NULLS) OVER (

@@ -57,5 +57,53 @@ object StreamingQueries {
 
     // foreachBatch republishes per-batch counts; summed == plain counts
     "q_stream_foreach_batch" ->
-      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1")
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
+
+    // per-user CMS state at ε=0.001 → width 2719 ≫ the event_type
+    // keyspace (5 values), so the per-user "click" estimate is provably
+    // the exact filtered count (a full-depth collision under the pinned
+    // seed has probability (4/2719)^7 ≈ 1e-20 and would be deterministic
+    // across every user if it occurred — the gate would catch it)
+    "q_stream_cms_state" ->
+      """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click_est
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same sizing argument — transformWithState twin produces the same
+    // per-user CMS (proven byte-equivalent to mapGroupsWithState in
+    // StreamingSpec), so the same exact-count oracle applies
+    "q_stream_tws" ->
+      """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click_est
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom prefilter (no false negatives) + exact member verify ==
+    // click counts of purchasing users, plain SQL
+    "q_stream_bloom" ->
+      """SELECT user_id, count(*) AS n_clicks
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // watermark-finalized sessions == gaps-and-islands with the same
+    // closed-session cutoff: stream keeps sessions with window end
+    // ≤ max_ts − 2h, i.e. last event ≤ max_ts − 8h (6h gap + 2h margin)
+    "q_stream_session" ->
+      """WITH cut AS (SELECT max(ts) - INTERVAL 8 HOUR AS c FROM events),
+        |marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks),
+        |per AS (SELECT user_id, sid, count(*) AS n_events, max(ts) AS last_ev
+        |        FROM sess GROUP BY 1, 2),
+        |closed AS (SELECT user_id, n_events FROM per, cut WHERE last_ev <= c)
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events
+        |FROM closed GROUP BY 1 ORDER BY 1""".stripMargin)
 }

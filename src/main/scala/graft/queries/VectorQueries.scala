@@ -10,10 +10,13 @@ import graft.functions._
  * Similarity search over embeddings (SURVEY.md §2j).
  *
  * Brute-force cosine top-k is the exact baseline (✦, DuckDB-checkable
- * with identical double arithmetic). The IVF variant is the scale path:
- * centroids are computed distributedly (posexplode + per-dimension avg),
- * the query probes only its nearest cell — at 100 TB the full scan
- * becomes a cell-pruned scan, the same plan shape as a real IVF index.
+ * with identical double arithmetic). The approximate variants (IVF
+ * multiprobe, random-hyperplane LSH, int8 quantization) are the scale
+ * paths; each is gate-checked through a recall-guarantee row — the
+ * recall@10 against the exact top-10 is computed IN-PLAN and thresholded,
+ * so the driver hash-checks a deterministic boolean against a
+ * literal-TRUE oracle (the same technique as `hll_ok`), while the
+ * 10-row ranked outputs stay covered by FunctionsSpec.
  */
 object VectorQueries {
 
@@ -23,6 +26,122 @@ object VectorQueries {
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
+
+  /** Exact cosine top-10 (the recall yardstick for the ANN family). */
+  private[graft] def bruteTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    emb.crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10).select("vec_id")
+  }
+
+  /** Wrap an approximate top-10 as a recall-guarantee row:
+    * |approx ∩ exact| ≥ floor. Both sides are ≤10-row relations, so the
+    * check is a broadcast join — the verification cost is the brute-force
+    * scan, which at gate scale is the yardstick anyway. */
+  private def recallFlag(approx: DataFrame, s: SparkSession, d: String,
+      floor: Int, method: String): DataFrame =
+    approx.select(col("vec_id")).join(bruteTop10(s, d), "vec_id")
+      .agg((count(lit(1)) >= floor).as("recall_ok"))
+      .select(lit(method).as("method"), lit(10).as("k"), col("recall_ok"))
+
+  /**
+   * Per-(vector, table) hyperplane-LSH bucket: P sign bits packed into a
+   * long, for each of L tables. Hyperplane components are derived
+   * deterministically from xxhash64(plane, dimension) — no stored model,
+   * reproducible on any cluster. Fully codegen'd: posexplode + hash
+   * aggregate, no per-row HOF.
+   *
+   * P is THE scale dial: occupied-bucket count grows with n up to 2^P,
+   * so a deployment sizes P ≈ log2(n_vectors / target_bucket_size) and L
+   * for the recall target (P[captured] ≈ 1-(1-m^P)^L for per-bit
+   * agreement m = 1 - θ/π).
+   */
+  private def hyperplaneBuckets(emb: DataFrame, L: Int, P: Int): DataFrame = {
+    val planeIds = (0 until L * P).map(lit(_))
+    val dims = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val proj = dims
+      .select(col("vec_id"), col("v"), col("pos"),
+        explode(array(planeIds: _*)).as("plane"))
+      .withColumn("h",
+        pmod(xxhash64(col("plane"), col("pos")), lit(1000000L)) / 500000.0 - 1.0)
+      .groupBy("vec_id", "plane")
+      .agg(sum(col("v") * col("h")).as("dot"))
+    proj
+      .withColumn("t", (col("plane") / P).cast("int"))
+      .withColumn("bit", (col("plane") % P).cast("int"))
+      .groupBy("vec_id", "t")
+      .agg(sum(when(col("dot") > 0,
+        expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** IVF-style ANN: 1) per-label centroids via posexplode + avg, 2) the
+    * nProbe centroids nearest the query, 3) brute-force inside those
+    * cells only (multiprobe — the standard recall dial: nProbe=1 misses
+    * neighbors just across a cell boundary). */
+  private[graft] def ivfTop10(s: SparkSession, d: String): DataFrame = {
+    val nProbe = 2
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg("v").as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    val best = centroids.crossJoin(broadcast(queryVec(s, d)))
+      .select(col("label"), cosine_sim(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("label")).limit(nProbe)
+      .select(col("label").as("best_label"))
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Random-hyperplane LSH ANN (multi-table, L=12 × P=4 — tuned for the
+    * demo corpus where true neighbors are only moderately similar).
+    * Candidates = vectors sharing the query's bucket in ANY table, then
+    * exact cosine on candidates only. At 100 TB: the bucket join is a
+    * shuffle equi-join on (table, bucket); nothing is all-pairs. */
+  private[graft] def lshTop10(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val buckets = hyperplaneBuckets(emb, L = 12, P = 4)
+    val qb = buckets.filter(col("vec_id") === 0)
+      .select(col("t").as("qt"), col("bucket").as("qbucket"))
+    val candidates = buckets.filter(col("vec_id") =!= 0)
+      .join(broadcast(qb),
+        col("t") === col("qt") && col("bucket") === col("qbucket"))
+      .select("vec_id").distinct()
+    emb.filter(col("vec_id") =!= 0)
+      .join(candidates, "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** int8-quantized brute force: the memory-bandwidth variant. Codes are
+    * 4× smaller than float32 (BinaryType, 1 B/dim), the probe loop is a
+    * codegen'd integer dot product, and with a shared scale the quantized
+    * cosine ranks without dequantizing. */
+  private[graft] def quantizedTop10(s: SparkSession, d: String): DataFrame = {
+    val scale = lit(200.0)
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), vec_quantize_i8(col("embedding"), scale).as("code"))
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(vec_quantize_i8(col("embedding"), scale).as("qcode"))
+    emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(cosine_sim_i8(col("code"), col("qcode")), 4).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(10)
+  }
 
   val queries: Map[String, Q] = Map(
 
@@ -35,122 +154,44 @@ object VectorQueries {
         .limit(10)
     }),
 
-    // IVF-style ANN: 1) per-label centroids via posexplode + avg,
-    // 2) the nProbe centroids nearest the query, 3) brute-force inside
-    // those cells only (multiprobe — the standard recall dial: nProbe=1
-    // misses neighbors that fall just across a cell boundary)
-    "q_knn_ivf" -> ((s, d) => {
-      val nProbe = 2
-      val emb = Tables.embeddings(s, d)
-      val centroids = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(avg("v").as("c"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
-      val best = centroids.crossJoin(broadcast(queryVec(s, d)))
-        .select(col("label"), cosine_sim(col("centroid"), col("qv")).as("csim"))
-        .orderBy(col("csim").desc, col("label")).limit(nProbe)
-        .select(col("label").as("best_label"))
-      emb.filter(col("vec_id") =!= 0)
-        .join(broadcast(best), col("label") === col("best_label"))
-        .crossJoin(broadcast(queryVec(s, d)))
-        .select(col("vec_id"),
-          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-    }),
+    // Floors are pinned one notch under the observed deterministic
+    // recalls (NearDupProbe, sf0.001/sf0.01): ivf 3/3, lsh 8/7, int8
+    // 10/10. IVF's recall on this corpus is bounded by the scan fraction
+    // (nProbe/n_cells) because the synthetic labels are NOT geometric
+    // clusters — pruning by cell only pays when the partitioner matches
+    // the geometry, which is exactly what the floor documents.
+    "q_knn_ivf" -> ((s, d) =>
+      recallFlag(ivfTop10(s, d), s, d, floor = 2, method = "ivf")),
 
-    // embedding-space near-dup detection, label-blocked (the blocking
-    // replaces all-pairs: at scale this is a shuffle join on the cell key).
-    // Pairwise dot products run as a posexplode + equi-join + hash
-    // aggregate — codegen'd and shuffle-parallel on (label, pos) — instead
-    // of an interpreted per-pair zip_with; per-vector norms (cheap, one
-    // per vector) keep the exact cosine arithmetic of cosine_sim().
+    "q_knn_lsh" -> ((s, d) =>
+      recallFlag(lshTop10(s, d), s, d, floor = 6, method = "lsh")),
+
+    "q_knn_quantized" -> ((s, d) =>
+      recallFlag(quantizedTop10(s, d), s, d, floor = 8, method = "int8")),
+
+    // Embedding-space near-dup detection, hyperplane-LSH-bucket blocked:
+    // candidate pairs share a P-bit bucket in ≥1 of L tables (a shuffle
+    // self-equi-join on (table, bucket) — occupied buckets GROW with n,
+    // unlike label blocking whose fixed tiny cardinality degenerates to
+    // all-pairs at 100 TB), then the few candidates are verified with the
+    // exact codegen'd cosine. L=16 × P=8 puts the miss probability of a
+    // cos ≥ 0.9 pair at (1 − 0.29)^16 ≈ 4e-3 and of a true near-dup
+    // (cos ≥ 0.99) at ~5e-10; both dials are deployment knobs.
     "q_embed_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val norms = emb.select(col("vec_id"), vec_norm(col("embedding")).as("nrm"))
-      val dims = emb.select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      val a = dims.toDF("id_a", "label", "pos", "v_a")
-      val b = dims.toDF("id_b", "label", "pos", "v_b")
-      val dots = a.join(b, Seq("label", "pos"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val buckets = hyperplaneBuckets(emb, L = 16, P = 8)
+      val ba = buckets.toDF("id_a", "t", "bucket")
+      val bb = buckets.toDF("id_b", "t", "bucket")
+      val cand = ba.join(bb, Seq("t", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(sum(col("v_a").cast("double") * col("v_b").cast("double")).as("dot"))
-      dots
-        .join(norms.toDF("id_a", "n_a"), "id_a")
-        .join(norms.toDF("id_b", "n_b"), "id_b")
+        .select("id_a", "id_b").distinct()
+      val ea = emb.toDF("id_a", "emb_a")
+      val eb = emb.toDF("id_b", "emb_b")
+      cand.join(ea, "id_a").join(eb, "id_b")
         .select(col("id_a"), col("id_b"),
-          round(col("dot") / (col("n_a") * col("n_b")), 4).as("cos_sim"))
+          round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
         .orderBy("id_a", "id_b")
-    }),
-
-    // Random-hyperplane LSH ANN (multi-table): L=12 tables × P=4 sign bits
-    // (tuned for the demo corpus where true neighbors are only moderately
-    // similar — m^P per table must stay high enough; P and L are THE
-    // recall/cost dials of LSH).
-    // Hyperplane components are derived deterministically from xxhash64
-    // (plane id, dimension) — no stored model, reproducible everywhere.
-    // Candidates = vectors sharing the query's bucket in ANY table
-    // (P[captured] ≈ 1-(1-m^P)^L for per-bit match m), then exact cosine
-    // on candidates only. At 100 TB: the bucket join is a shuffle
-    // equi-join on (table, bucket); nothing is all-pairs.
-    "q_knn_lsh" -> ((s, d) => {
-      val L = 12; val P = 4
-      val emb = Tables.embeddings(s, d)
-      // per (vec, plane) dot product: posexplode + per-dim pseudo-random
-      // hyperplane component in [-1,1), codegen'd end-to-end
-      val planeIds = (0 until L * P).map(lit(_))
-      val dims = emb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      val proj = dims
-        .select(col("vec_id"), col("v"), col("pos"),
-          explode(array(planeIds: _*)).as("plane"))
-        .withColumn("h",
-          pmod(xxhash64(col("plane"), col("pos")), lit(1000000L)) / 500000.0 - 1.0)
-        .groupBy("vec_id", "plane")
-        .agg(sum(col("v") * col("h")).as("dot"))
-      // per (vec, table) bucket: P sign bits packed into one long
-      val buckets = proj
-        .withColumn("t", (col("plane") / P).cast("int"))
-        .withColumn("bit", (col("plane") % P).cast("int"))
-        .groupBy("vec_id", "t")
-        .agg(sum(when(col("dot") > 0,
-          expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("bucket"))
-      val qb = buckets.filter(col("vec_id") === 0)
-        .select(col("t").as("qt"), col("bucket").as("qbucket"))
-      val candidates = buckets.filter(col("vec_id") =!= 0)
-        .join(broadcast(qb),
-          col("t") === col("qt") && col("bucket") === col("qbucket"))
-        .select("vec_id").distinct()
-      emb.filter(col("vec_id") =!= 0)
-        .join(candidates, "vec_id")
-        .crossJoin(broadcast(queryVec(s, d)))
-        .select(col("vec_id"),
-          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-        .limit(10)
-    }),
-
-    // int8-quantized brute force: the memory-bandwidth variant. Codes are
-    // 4× smaller than float32 (BinaryType, 1 B/dim), the probe loop is a
-    // codegen'd integer dot product, and with a shared scale the quantized
-    // cosine ranks without dequantizing. ◇ (quantization isn't DuckDB-
-    // expressible); recall vs the exact top-k is pinned in FunctionsSpec.
-    "q_knn_quantized" -> ((s, d) => {
-      val scale = lit(200.0)
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), vec_quantize_i8(col("embedding"), scale).as("code"))
-      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(vec_quantize_i8(col("embedding"), scale).as("qcode"))
-      emb.crossJoin(broadcast(qv))
-        .select(col("vec_id"),
-          round(cosine_sim_i8(col("code"), col("qcode")), 4).as("qcos"))
-        .orderBy(col("qcos").desc, col("vec_id"))
-        .limit(10)
     }),
 
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
@@ -171,13 +212,22 @@ object VectorQueries {
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
 
+    // recall-guarantee rows: the boolean is computed in-plan against the
+    // exact top-10; DuckDB pins the contract (same trick as hll_ok)
+    "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, true AS recall_ok",
+    "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, true AS recall_ok",
+    "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, true AS recall_ok",
+
+    // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
+    // ground truth (cheap in DuckDB at gate scale), so any blocking miss
+    // of a ≥0.9 pair fails the gate
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |  ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9

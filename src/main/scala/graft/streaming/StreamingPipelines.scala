@@ -110,13 +110,27 @@ object StreamingPipelines {
   }
 
   /** Session windows (6h gap) per user — no DStream equivalent; part of
-    * the engine's wider streaming surface. */
+    * the engine's wider streaming surface.
+    *
+    * Append mode emits only CLOSED sessions (watermark past window end),
+    * so the tail of the stream — sessions still open when the data runs
+    * out — never reaches the sink. To make the result deterministic and
+    * batch-comparable, the post-stream aggregation keeps only sessions
+    * whose end is ≥ 1h INSIDE the final watermark (end ≤ max_ts − 2h with
+    * a 1h watermark delay): every such session is provably emitted, and
+    * the boundary strictness of the emission check never matters. The
+    * DuckDB oracle is the gaps-and-islands twin with the same cutoff
+    * (last event ≤ max_ts − 8h = cutoff − 6h gap). */
   def sessionCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val agg = eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+    val cutoff = graft.Tables.events(spark, sfDir)
+      .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("cut"))
     runToMemory(spark, agg, "stream_session", OutputMode.Append())
+      .crossJoin(broadcast(cutoff))
+      .filter(col("session_window.end") <= col("cut"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .orderBy("user_id")
@@ -147,7 +161,15 @@ object StreamingPipelines {
       .filter(col("event_type") === "click")
       .filter(bloom_might_contain(bf, col("user_id")))
       .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    // exact-verify join (the two-phase sketch pattern of
+    // q_bloom_semi_filter): the in-stream Bloom pass keeps every true
+    // member — no false negatives — and the ≤fpp false positives are
+    // removed by one equi-join against the exact member set, making the
+    // output deterministic and plain-SQL-checkable: click counts of
+    // users who purchased.
+    val members = static.select(col("user_id")).distinct()
     runToMemory(spark, filtered, "stream_bloom", OutputMode.Complete())
+      .join(members, "user_id")
       .orderBy("user_id")
   }
 

@@ -163,7 +163,8 @@ class FunctionsSpec extends AnyFunSuite {
     // where ASCII-only trim() would leave a spurious empty token
     val edge = Seq("", "   ", " one  two ", "x",
         "\tTabbed lead", "trailing newline\n", "\n\t mixed \t\n",
-        "inner\ttab and\nnewline", "\t\n", "a b").toDF("text")
+        "inner\ttab and\nnewline", "\t\n", "a b",
+        "\u000Bvertical tab\u000B", "\fform feed\r", "\r\n windows \r\n").toDF("text")
       .select(tokens($"text").as("a"), tokens_hof($"text").as("b"))
       .filter(not($"a" <=> $"b")).count()
     assert(edge === 0L)
@@ -190,7 +191,7 @@ class FunctionsSpec extends AnyFunSuite {
     // quantized top-10 must recover >= 8 of the exact top-10
     val exact = graft.queries.VectorQueries.queries("q_knn_brute")(spark, GraftSpark.sf)
       .select("vec_id").as[Long].collect().toSet
-    val quant = graft.queries.VectorQueries.queries("q_knn_quantized")(spark, GraftSpark.sf)
+    val quant = graft.queries.VectorQueries.quantizedTop10(spark, GraftSpark.sf)
       .select("vec_id").as[Long].collect().toSet
     assert((exact & quant).size >= 8,
       s"recall@10 too low: exact=$exact quantized=$quant")
@@ -199,7 +200,7 @@ class FunctionsSpec extends AnyFunSuite {
   test("lsh knn: multi-table hyperplane buckets recover >= 7 of exact top-10") {
     val exact = graft.queries.VectorQueries.queries("q_knn_brute")(spark, GraftSpark.sf)
       .select("vec_id").as[Long].collect().toSet
-    val lsh = graft.queries.VectorQueries.queries("q_knn_lsh")(spark, GraftSpark.sf)
+    val lsh = graft.queries.VectorQueries.lshTop10(spark, GraftSpark.sf)
       .select("vec_id").as[Long].collect().toSet
     assert((exact & lsh).size >= 7,
       s"LSH recall@10 too low: exact=$exact lsh=$lsh")

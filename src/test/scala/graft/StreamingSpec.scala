@@ -62,9 +62,11 @@ class StreamingSpec extends AnyFunSuite {
 
   test("session windows: stream (append + watermark) == batch for finalized users") {
     // append mode only emits a session once the watermark (max ts - 1h)
-    // passes its end (last event + 6h gap): sessions still open near the
-    // stream's end are correctly withheld. So: exact equality for users
-    // whose activity ends >7h before the stream ends, subset for the rest.
+    // passes its end (last event + 6h gap), and the pipeline then keeps
+    // only sessions ending >= 1h INSIDE the watermark (end <= max - 2h,
+    // i.e. last event <= max - 8h) so the result is margin-deterministic.
+    // So: exact equality for users whose activity ends >8h before the
+    // stream ends, subset for the rest.
     val stream = StreamingPipelines.sessionCounts(spark, GraftSpark.sf)
       .as[(Long, Long, Long)].collect()
       .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
@@ -77,7 +79,7 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
       .map { case (u, ns, ne) => u -> ((ns, ne)) }.toMap
     val cutoff = new java.sql.Timestamp(
-      ev.agg(max($"ts")).head().getTimestamp(0).getTime - 7L * 3600 * 1000)
+      ev.agg(max($"ts")).head().getTimestamp(0).getTime - 8L * 3600 * 1000)
     val finalized = ev.groupBy("user_id").agg(max($"ts").as("mx"))
       .filter($"mx" < lit(cutoff)).select("user_id").as[Long].collect().toSet
 
