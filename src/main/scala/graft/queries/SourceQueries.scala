@@ -93,17 +93,31 @@ object SourceQueries {
               |FROM li_kll GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
-    // edit distance (2g string family)
     // hidden file-metadata column (lineage at scale: which input file did
-    // a row come from — partition debugging, quarantining bad files)
+    // a row come from — partition debugging, quarantining bad files).
+    // The query first materializes a genuinely MULTI-FILE copy of orders
+    // (two parity splits, each possibly several part files) so the
+    // lineage column is exercised for real, then groups by the split
+    // directory extracted from _metadata.file_path — robust to part-file
+    // naming and to the testdata becoming multi-file itself, and the
+    // oracle derives the same labels from the data, not the file layout.
     "q_file_metadata" -> ((s, d) => {
-      val df = s.read.parquet(s"$d/orders.parquet")
-      df.select(col("_metadata.file_name").as("fname"), col("o_orderkey"))
-        .groupBy("fname")
+      val base = "/tmp/graft_file_metadata"
+      val orders = Tables.orders(s, d)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/even")
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$base/odd")
+      s.read.parquet(s"$base/even", s"$base/odd")
+        .select(regexp_extract(col("_metadata.file_path"),
+          "graft_file_metadata/([a-z]+)/", 1).as("split_dir"),
+          col("o_orderkey"))
+        .groupBy("split_dir")
         .agg(count(lit(1)).as("n_rows"), sum("o_orderkey").as("sum_key"))
-        .orderBy("fname")
+        .orderBy("split_dir")
     }),
 
+    // edit distance (2g string family)
     "q_edit_distance" -> ((s, d) => Tables.part(s, d)
       .select(col("p_partkey"),
         levenshtein(lower(col("p_brand")), lower(substring(col("p_type"), 1, 8)))
@@ -148,11 +162,9 @@ object SourceQueries {
         |  levenshtein(lower(p_brand), lower(substring(p_type, 1, 8))) AS edit_dist
         |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
 
-    // the oracle runs against fixed table views (no path parameter), and
-    // the testdata is one file per table — so the expected filename is a
-    // constant; the Spark side still derives it from _metadata for real
+    // same parity split derived from the DATA — no filename constants
     "q_file_metadata" ->
-      """SELECT 'orders.parquet' AS fname,
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS split_dir,
         |  count(*) AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 }
