@@ -25,27 +25,35 @@ object TextQueries {
 
   /**
    * (doc_id, gh) postings where gh = 64-bit hash of each word 3-gram,
-   * built by window lead over posexploded tokens — fully codegen'd, no
-   * interpreted HOF, no string allocation (only gram equality matters
-   * downstream, and 2^-64 collisions are noise). Docs shorter than one
-   * shingle window collapse to a single whole-doc gram. May contain
-   * duplicate grams per doc (callers distinct() when they need sets).
+   * built SHUFFLE-FREE by zipping three shifted slices of the token
+   * array and exploding — all codegen'd (arrays_zip/slice/xxhash64), no
+   * interpreted HOF, no string re-allocation, and crucially no
+   * Window.partitionBy(doc_id) shuffle+sort (the previous lead-over-
+   * posexplode formulation paid one per consumer; gram construction is
+   * embarrassingly parallel and now stays inside the scan stage — the
+   * property that matters at 100 TB). Hashes are unchanged:
+   * xxhash64(t_i, t_i+1, t_i+2). Docs shorter than one shingle window
+   * collapse to a single whole-doc gram. May contain duplicate grams per
+   * doc (callers distinct() when they need sets).
    */
   private def gramHashPostings(docs: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val toks = base.select(col("doc_id"), size(col("tk")).as("ntk"),
-      posexplode(col("tk")).as(Seq("pos", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val g3 = toks.filter(col("ntk") >= 3)
-      .select(col("doc_id"), col("pos"), col("ntk"),
-        xxhash64(col("t"), lead("t", 1).over(w), lead("t", 2).over(w)).as("gh"))
-      .filter(col("pos") <= col("ntk") - 3)
-      .select(col("doc_id"), col("gh"))
-    val gShort = base.filter(size(col("tk")) < 3)
+    val n = size(col("tk"))
+    val g3 = base.filter(n >= 3)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), n - 2).as("t0"),
+        slice(col("tk"), lit(2), n - 2).as("t1"),
+        slice(col("tk"), lit(3), n - 2).as("t2"))).as("z"))
+      .select(col("doc_id"),
+        xxhash64(col("z.t0"), col("z.t1"), col("z.t2")).as("gh"))
+    val gShort = base.filter(n < 3)
       .select(col("doc_id"), xxhash64(array_join(col("tk"), " ")).as("gh"))
     g3.union(gShort)
   }
+
+  /** Distinct gram postings of the corpus (probe/tooling entry point). */
+  private[graft] def postingsOf(s: SparkSession, d: String): DataFrame =
+    gramHashPostings(Tables.documents(s, d)).distinct()
 
   /**
    * Exact n-gram Jaccard for an (id_a, id_b) candidate pair set, via the
@@ -54,10 +62,6 @@ object TextQueries {
    * Candidates sharing zero grams keep jaccard 0 through the left join.
    * Linear in candidate postings — never all-pairs.
    */
-  /** Distinct gram postings of the corpus (probe/tooling entry point). */
-  private[graft] def postingsOf(s: SparkSession, d: String): DataFrame =
-    gramHashPostings(Tables.documents(s, d)).distinct()
-
   private[graft] def verifyJaccard(cand: DataFrame, postings: DataFrame): DataFrame = {
     val full = postings.select(col("doc_id"), col("gh"))
     val inter = cand.select("id_a", "id_b")
@@ -75,15 +79,8 @@ object TextQueries {
              - coalesce(col("inter"), lit(0L))).cast("double"), 4).as("jaccard"))
   }
 
-  /**
-   * SimHash hamming ≤ 3 pairs: 64-bit signature via explode + 64
-   * codegen'd conditional sums per doc (bit-identical to simhash64(),
-   * which is a per-row interpreted HOF); blocking on the 4 16-bit chunks
-   * (pigeonhole: hamming≤3 pairs share ≥1 exact chunk) → join per block,
-   * then verify the distance — EXACT for the hamming predicate, never
-   * all-pairs.
-   */
-  /** Per-doc 64-bit simhash signatures (exploded codegen formulation). */
+  /** Per-doc 64-bit simhash signatures (exploded codegen formulation,
+    * bit-identical to the per-row interpreted simhash64() HOF). */
   private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -100,6 +97,12 @@ object TextQueries {
         .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
   }
 
+  /**
+   * SimHash hamming ≤ 3 pairs: blocking on the 4 16-bit signature chunks
+   * (pigeonhole: hamming≤3 pairs share ≥1 exact chunk) → join per block,
+   * then verify the distance — EXACT for the hamming predicate, never
+   * all-pairs.
+   */
   private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = simhashSigs(s, d)
     val chunks = sigs.select(col("doc_id"), col("sig"),
