@@ -117,6 +117,34 @@ object SourceQueries {
         .orderBy("split_dir")
     }),
 
+    // training-shard output layout (2a sink + 2j pipeline): hash-sharded
+    // partitioned write with bounded file sizes, then a read-back audit.
+    // This is the landing step of a corpus build — shard assignment must
+    // be a pure function of the row (re-runs land rows in the same
+    // shard), file sizes bounded for downstream loaders
+    // (maxRecordsPerFile), and the audit derives everything from the
+    // written files themselves (_metadata), not from what we intended to
+    // write. files_ok pins the per-file bound in-plan; the shard stats
+    // hash-check against the data-derived oracle.
+    "q_shard_write" -> ((s, d) => {
+      val base = "/tmp/graft_shards"
+      Tables.documents(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("maxRecordsPerFile", 200)
+        .parquet(base)
+      val perFile = s.read.parquet(base)
+        .select(col("shard"), col("n_chars"),
+          col("_metadata.file_path").as("fp"))
+        .groupBy("shard", "fp")
+        .agg(count(lit(1)).as("frows"), sum("n_chars").as("fchars"))
+      perFile.groupBy("shard")
+        .agg(sum("frows").as("n_docs"), sum("fchars").as("total_chars"),
+          (max("frows") <= 200).as("files_ok"))
+        .orderBy("shard")
+    }),
+
     // edit distance (2g string family)
     "q_edit_distance" -> ((s, d) => Tables.part(s, d)
       .select(col("p_partkey"),
@@ -161,6 +189,13 @@ object SourceQueries {
       """SELECT p_partkey,
         |  levenshtein(lower(p_brand), lower(substring(p_type, 1, 8))) AS edit_dist
         |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin,
+
+    // shard stats derive from the data; files_ok is the write-option
+    // contract (every written file ≤ maxRecordsPerFile rows)
+    "q_shard_write" ->
+      """SELECT (doc_id % 8)::INT AS shard, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars, true AS files_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same parity split derived from the DATA — no filename constants
     "q_file_metadata" ->

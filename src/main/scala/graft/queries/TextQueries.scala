@@ -346,6 +346,31 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- train/test contamination check (2j): which training docs cover
+    // ≥ 50% of a benchmark doc's distinct grams. ASYMMETRIC containment
+    // |A∩B|/|B| — the decontamination predicate (a big training doc that
+    // swallows a whole benchmark item must be flagged even though its
+    // symmetric Jaccard is tiny). Same inverted-index shape as the dedup
+    // family: only (train, bench) pairs sharing ≥1 gram are materialized,
+    // so the join is linear in shared postings, never |train|×|bench|.
+    // The benchmark set is a deterministic stand-in (doc_id % 20 == 0).
+    "q_contamination" -> ((s, d) => {
+      val postings = postingsOf(s, d)
+      val bench = postings.filter(col("doc_id") % 20 === 0)
+        .toDF("bench_id", "gh")
+      val train = postings.filter(col("doc_id") % 20 =!= 0)
+        .toDF("train_id", "gh")
+      val bSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
+      train.join(bench, "gh")
+        .groupBy("train_id", "bench_id").agg(count(lit(1)).as("hit"))
+        .join(bSizes, "bench_id")
+        .select(col("train_id"), col("bench_id"),
+          round(col("hit").cast("double") / col("bsz").cast("double"), 4)
+            .as("coverage"))
+        .filter(col("coverage") >= 0.5)
+        .orderBy("train_id", "bench_id")
+    }),
+
     // --- document fingerprint (order-sensitive rolling hash) ------------
     // The 64-bit fingerprint is injective on this corpus (collision odds
     // 2^-64), so fingerprint-duplicate groups == normalized-token-sequence
@@ -463,6 +488,28 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    // containment vs the benchmark set: all-pairs in the oracle (fine at
+    // gate scale), inverted-index in Spark — any pruning miss fails here
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)
+        |),
+        |b AS (SELECT doc_id AS bench_id, grams FROM sh WHERE doc_id % 20 = 0),
+        |t AS (SELECT doc_id AS train_id, grams FROM sh WHERE doc_id % 20 <> 0)
+        |SELECT t.train_id, b.bench_id,
+        |  round(len(list_intersect(t.grams, b.grams))::DOUBLE
+        |        / len(b.grams)::DOUBLE, 4) AS coverage
+        |FROM t, b
+        |WHERE round(len(list_intersect(t.grams, b.grams))::DOUBLE
+        |      / len(b.grams)::DOUBLE, 4) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
     // simhash guarantee row (bits not SQL-expressible; the contract is)

@@ -15,7 +15,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   // (near-dup / threshold filters over only 500 docs).
   private val mayBeEmpty = Set(
     "q_ngram_jaccard", "q_simhash_neardup", "q_minhash_neardup",
-    "q_embed_neardup", "q_doc_fingerprint", "q_dedup_canonical")
+    "q_embed_neardup", "q_doc_fingerprint", "q_dedup_canonical",
+    "q_contamination")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
