@@ -73,4 +73,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate") || plan.contains("HashAggregate"),
       s"expected hash aggregation to carry the pipeline:\n$plan")
   }
+
+  test("gram postings build without a window shuffle") {
+    // the shuffle-free claim of gramHashPostings: shingles come from
+    // arrays_zip over shifted slices inside the scan stage — a rewrite
+    // that reintroduces Window.partitionBy(doc_id) (the old lead()
+    // formulation: one shuffle+sort per consumer) must fail loudly
+    val plan = graft.queries.TextQueries.postingsOf(spark, GraftSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"gram construction must not shuffle/sort per doc:\n$plan")
+    assert(plan.contains("Generate"), s"expected shingle explode:\n$plan")
+  }
+
+  test("q_embed_neardup: only the plane broadcast is nested-loop; pairs stay bucket-local") {
+    val plan = planOf("q_embed_neardup")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    // exactly one BNLJ: the intentional L·P-row hyperplane broadcast.
+    // A second one would mean the candidate or verify stage degenerated
+    // to all-pairs.
+    assert(bnlj <= 1, s"unexpected nested-loop join (all-pairs regression):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+    assert(plan.contains("vec_dot_native"),
+      s"exact verify must use the codegen'd dot product:\n$plan")
+  }
+
+  test("q_contamination: inverted-index equi-join, benchmark sizes broadcast") {
+    val plan = planOf("q_contamination")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must join on the gram key, never all-pairs:\n$plan")
+  }
 }
