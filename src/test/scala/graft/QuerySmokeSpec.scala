@@ -31,6 +31,16 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_shard_write is retry-stable (same rows land in the same shard)") {
+    // shard assignment is a pure function of the row, so a re-run (a
+    // retried write at 100 TB) must produce the identical audit
+    val a = SparkEntry.queries("q_shard_write")(spark, GraftSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_shard_write")(spark, GraftSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b, "re-running the shard write changed the layout")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without query impl: $orphans")
