@@ -36,7 +36,7 @@ object TextQueries {
    * collapse to a single whole-doc gram. May contain duplicate grams per
    * doc (callers distinct() when they need sets).
    */
-  private def gramHashPostings(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def gramHashPostings(docs: org.apache.spark.sql.DataFrame) = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
     val n = size(col("tk"))
     val g3 = base.filter(n >= 3)
@@ -443,6 +443,25 @@ object TextQueries {
         round(avg("n_pieces"), 4).as("avg_pieces"))
       .orderBy("lang")),
 
+    // --- sequence-length bucketing (2j): the packing-prep histogram a
+    // batch builder runs before token packing — docs per power-of-2
+    // length bucket + packed-sequence estimate at a 4096-token budget.
+    // Bucket = smallest 2^k ≥ n via INTEGER bit math (length of the
+    // binary string of n−1): exact and engine-identical, where a
+    // ceil(log2(n)) in doubles rounds differently across engines at
+    // exact powers of two. /4096.0 is exact in binary fp (power-of-two
+    // divisor), so the ceil boundary agrees too.
+    "q_length_buckets" -> ((s, d) => Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 1, 1L)
+          .otherwise(expr("shiftleft(1L, length(bin(n_tokens - 1)))")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        ceil(sum("n_tokens") / 4096.0).cast("long").as("est_packs"))
+      .orderBy("bucket")),
+
     // --- TF-IDF: top term per language by tf-idf weight ------------------
     "q_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -649,6 +668,14 @@ object TextQueries {
         |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
         |    AS avg_pieces
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_length_buckets" ->
+      """SELECT CASE WHEN n <= 1 THEN 1
+        |            ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket,
+        |  count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
+        |  ceil(sum(n) / 4096.0)::BIGINT AS est_packs
+        |FROM (SELECT len(string_split(text, ' '))::BIGINT AS n FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_stats" ->
       """SELECT lang, count(*) AS n_docs,

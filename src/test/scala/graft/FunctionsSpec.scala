@@ -237,4 +237,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m("n_in") === docs.count())
     assert(m("n_long") === kept)
   }
+
+  test("inverted-index jaccard == independent brute force on a random corpus") {
+    // differential check of the core dedup machinery: the engine's
+    // postings-join formulation (gramHashPostings + verifyJaccard) vs a
+    // from-scratch driver-side reimplementation of the same gram
+    // definition (lowercased whitespace tokens, 3-gram shingles,
+    // whole-doc gram under 3 tokens) on a seeded random corpus with
+    // heavy term reuse (so real overlaps occur)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 100L).map { i =>
+      val n = 1 + rnd.nextInt(10)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def grams(text: String): Set[Seq[String]] = {
+      val tk = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.size < 3) Set(tk) else tk.sliding(3).map(_.toSeq).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = grams(ta); gb = grams(tb)
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
+    } yield ((ia, ib),
+      BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+
+    val df = docs.toDF("doc_id", "text")
+    val postings = graft.queries.TextQueries.gramHashPostings(df).distinct()
+    val ids = docs.map(_._1)
+    val cand = (for { a <- ids; b <- ids if a < b } yield (a, b))
+      .toDF("id_a", "id_b")
+    val got = graft.queries.TextQueries.verifyJaccard(cand, postings)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.size === expected.size)
+    val bad = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+    assert(bad.isEmpty, s"jaccard mismatches: ${bad.take(5)}")
+  }
 }
