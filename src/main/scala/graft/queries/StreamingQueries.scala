@@ -24,6 +24,7 @@ object StreamingQueries {
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
     "q_stream_tws" -> ((s, d) => StreamingPipelines.cmsTransformWithState(s, d)),
+    "q_stream_timer_session" -> ((s, d) => StreamingPipelines.sessionTimerCounts(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
 
   val oracleSql: Map[String, String] = Map(
@@ -83,6 +84,29 @@ object StreamingQueries {
         |WHERE event_type = 'click'
         |  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // timer-driven DIY sessions (transformWithState + event-time timers)
+    // share the built-in session_window pipeline's closed-session margin
+    // and therefore its oracle
+    "q_stream_timer_session" ->
+      """WITH cut AS (SELECT max(ts) - INTERVAL 8 HOUR AS c FROM events),
+        |marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks),
+        |per AS (SELECT user_id, sid, count(*) AS n_events, max(ts) AS last_ev
+        |        FROM sess GROUP BY 1, 2),
+        |closed AS (SELECT user_id, n_events FROM per, cut WHERE last_ev <= c)
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events
+        |FROM closed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // watermark-finalized sessions == gaps-and-islands with the same
     // closed-session cutoff: stream keeps sessions with window end

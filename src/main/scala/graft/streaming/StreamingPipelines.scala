@@ -44,6 +44,61 @@ class CmsStatefulProcessor
   }
 }
 
+/** Timer-driven DIY session windows on `transformWithState`
+  * (TimeMode.EventTime): per user, count events and track the max event
+  * time; gaps INSIDE a batch close sessions immediately, and the last
+  * open session closes when the event-time watermark passes
+  * last_event + gap — via a registered timer and [[handleExpiredTimer]].
+  * This is the hand-rolled twin of `session_window` (and the pattern for
+  * session semantics the built-in can't express: per-key emission
+  * side-effects, session caps, custom merge rules). Emits
+  * (user_id, n_events, last_ts_ms) per CLOSED session. */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var nEvents: ValueState[Long] = _
+  @transient private var lastTs: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    nEvents = getHandle.getValueState[Long](
+      "n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    lastTs = getHandle.getValueState[Long](
+      "ts", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var n = if (nEvents.exists()) nEvents.get() else 0L
+    var mx = if (lastTs.exists()) lastTs.get() else Long.MinValue
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    // rows of one batch arrive unordered; session splitting needs order
+    rows.toArray.sortBy(_._2).foreach { case (_, ts) =>
+      if (mx != Long.MinValue && ts - mx >= gapMs) {
+        out += ((key, n, mx)); n = 0L
+      }
+      n += 1
+      mx = math.max(mx, ts)
+    }
+    nEvents.update(n)
+    lastTs.update(mx)
+    // single live timer per key at the open session's close time
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    getHandle.registerTimer(mx + gapMs)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val n = if (nEvents.exists()) nEvents.get() else 0L
+    val mx = if (lastTs.exists()) lastTs.get() else Long.MinValue
+    nEvents.clear(); lastTs.clear()
+    if (n > 0) Iterator.single((key, n, mx)) else Iterator.empty
+  }
+}
+
 object StreamingPipelines {
 
   /** events schema with ts as nanos-long (how the file stream reads it). */
@@ -240,6 +295,44 @@ object StreamingPipelines {
         .toDF("user_id", "click_est")
       runToMemory(spark, est, "stream_tws", OutputMode.Update())
         .groupBy("user_id").agg(max("click_est").as("click_est"))
+        .orderBy("user_id")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** Timer-driven session counts via [[SessionTimerProcessor]] — the
+    * transformWithState + event-time-timer rebuild of [[sessionCounts]].
+    * The same closed-session margin applies (last event ≤ max_ts − 8h:
+    * in-batch-closed sessions are emitted eagerly, watermark-timer
+    * sessions only below the final watermark, so only the margin region
+    * is deterministic across both paths), which makes the output equal
+    * [[sessionCounts]]'s by construction and shares its oracle. */
+  def sessionTimerCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = eventStream(spark, sfDir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor(6L * 3600 * 1000),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "n_events", "last_ts_ms")
+      val cutoff = graft.Tables.events(spark, sfDir)
+        .agg((expr("unix_millis(max(ts))") - lit(8L * 3600 * 1000)).as("cut_ms"))
+      runToMemory(spark, sessions, "stream_timer_session", OutputMode.Append())
+        .crossJoin(broadcast(cutoff))
+        .filter(col("last_ts_ms") <= col("cut_ms"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
     } finally {
       prior match {
