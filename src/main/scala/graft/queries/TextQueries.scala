@@ -361,7 +361,27 @@ object TextQueries {
       val train = postings.filter(col("doc_id") % 20 =!= 0)
         .toDF("train_id", "gh")
       val bSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bsz"))
-      train.join(bench, "gh")
+      // prefix filtering for CONTAINMENT (rarest-first global gram order):
+      // a train doc covering >= t of a bench doc must share one of the
+      // bench doc's first bsz - ceil(t*bsz) + 1 RAREST grams, so only the
+      // rare prefix postings drive candidate generation and hot grams
+      // (which make the naive postings join superlinear on a reused-
+      // vocabulary corpus) never explode the join
+      val t = 0.5
+      val freq = postings.groupBy("gh").agg(count(lit(1)).as("gf"))
+      val ranked = bench.join(freq, "gh")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("bench_id").orderBy(col("gf"), col("gh"))))
+        .join(bSizes, "bench_id")
+      val bPrefix = ranked
+        .filter(col("rn") <= col("bsz") - ceil(col("bsz") * t) + 1)
+        .select("bench_id", "gh")
+      val cand = train.join(bPrefix, "gh")
+        .select("train_id", "bench_id").distinct()
+      cand
+        .join(train, "train_id")
+        .join(bench, Seq("bench_id", "gh"))
         .groupBy("train_id", "bench_id").agg(count(lit(1)).as("hit"))
         .join(bSizes, "bench_id")
         .select(col("train_id"), col("bench_id"),
