@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through VERBATIM instead of routing it
+// via sbt's logger: the logger prefixes every line with "[info] ", which
+// breaks any consumer that parses stdout lines as JSON (the bench driver
+// came back `parsed: null` in rounds 1-3 because the final metrics line
+// arrived as `[info] {...}`).
+outputStrategy := Some(StdoutOutput)
+// ...and drop the "[success] Total time: ..." trailer sbt prints after the
+// task, so the bench's metrics JSON really is the LAST stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
