@@ -25,6 +25,7 @@ object StreamingQueries {
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
     "q_stream_tws" -> ((s, d) => StreamingPipelines.cmsTransformWithState(s, d)),
     "q_stream_timer_session" -> ((s, d) => StreamingPipelines.sessionTimerCounts(s, d)),
+    "q_stream_stream_join" -> ((s, d) => StreamingPipelines.streamStreamJoin(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
 
   val oracleSql: Map[String, String] = Map(
@@ -54,6 +55,18 @@ object StreamingQueries {
     "q_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream-stream inner join emits every in-window match (watermarks
+    // only bound STATE, not the inner-join result on a replayed file),
+    // so the result equals the batch attribution join; both engines read
+    // the same ns parquet truncated to µs, so the 2h boundary agrees
+    "q_stream_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // foreachBatch republishes per-batch counts; summed == plain counts

@@ -79,6 +79,42 @@ object TextQueries {
              - coalesce(col("inter"), lit(0L))).cast("double"), 4).as("jaccard"))
   }
 
+  /**
+   * Exact 3-gram Jaccard ≥ 0.8 pair set, inverted-index formulation:
+   * |A ∩ B| via a shuffle join on the shingle key (co-occurrence count),
+   * |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing ≥1 shingle are ever
+   * materialized — identical results to all-pairs for any threshold > 0,
+   * but linear in total postings instead of O(n²) in documents; this is
+   * the formulation that survives 100 TB (the all-pairs cross join does
+   * not survive 5k docs).
+   * Shingles are 64-bit hashes, not strings: only equality matters for
+   * set intersection, so each 3-gram is xxhash64(t, t+1, t+2) — all
+   * codegen'd, no per-row interpreted HOF, no string allocation
+   * (collision odds 2^-64 are noise next to fp rounding). Set sizes ride
+   * along the postings via a count window, so the shingle pipeline is
+   * evaluated exactly once and the self-join's two sides share one
+   * reused exchange.
+   */
+  private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = postings.toDF("id_a", "gh", "sz_a")
+    val b = postings.toDF("id_b", "gh", "sz_b")
+    a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+      // exact length filter (similarity-join standard): jaccard ≤
+      // min(sz)/max(sz), so size-mismatched pairs can never reach the
+      // (rounded) 0.8 threshold — pruned BEFORE the counting aggregate.
+      // 0.79995 (not 0.8) keeps pairs that would round up to 0.8000.
+      .filter(greatest(col("sz_a"), col("sz_b")) * 0.79995
+        <= least(col("sz_a"), col("sz_b")))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double")
+          / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value (oracle too)
+  }
+
   /** Per-doc 64-bit simhash signatures (exploded codegen formulation,
     * bit-identical to the per-row interpreted simhash64() HOF). */
   private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -262,39 +298,8 @@ object TextQueries {
     }),
 
     // --- n-gram Jaccard near-dup, inverted-index formulation -------------
-    // |A ∩ B| via a shuffle join on the shingle key (co-occurrence count),
-    // |A ∪ B| = |A| + |B| − |A ∩ B|. Only pairs sharing ≥1 shingle are ever
-    // materialized — identical results to all-pairs for any threshold > 0,
-    // but linear in total postings instead of O(n²) in documents; this is
-    // the formulation that survives 100 TB (the all-pairs cross join does
-    // not survive 5k docs).
-    // Shingles are 64-bit hashes, not strings: only equality matters for
-    // set intersection, so each 3-gram is xxhash64(t, t+1, t+2) built by
-    // window lead over posexploded tokens — all codegen'd, no per-row
-    // interpreted HOF, no string allocation (collision odds 2^-64 are
-    // noise next to fp rounding). Set sizes ride along the postings via a
-    // count window, so the shingle pipeline is evaluated exactly once and
-    // the self-join's two sides share one reused exchange.
-    "q_ngram_jaccard" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val postings = gramHashPostings(Tables.documents(s, d)).distinct()
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val a = postings.toDF("id_a", "gh", "sz_a")
-      val b = postings.toDF("id_b", "gh", "sz_b")
-      a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
-        // exact length filter (similarity-join standard): jaccard ≤
-        // min(sz)/max(sz), so size-mismatched pairs can never reach the
-        // (rounded) 0.8 threshold — pruned BEFORE the counting aggregate.
-        // 0.79995 (not 0.8) keeps pairs that would round up to 0.8000.
-        .filter(greatest(col("sz_a"), col("sz_b")) * 0.79995
-          <= least(col("sz_a"), col("sz_b")))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
-        .select(col("id_a"), col("id_b"),
-          round(col("inter").cast("double")
-            / (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value (oracle too)
-        .orderBy("id_a", "id_b")
-    }),
+    // (body in [[jaccardPairs]], shared with q_dedup_clusters)
+    "q_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d).orderBy("id_a", "id_b")),
 
     // Same result as q_ngram_jaccard via PREFIX FILTERING (PPJoin-style):
     // under a global gram order (rarest first), two sets with J ≥ t must
@@ -504,6 +509,143 @@ object TextQueries {
         .groupBy("lang")
         .agg(max("term").as("top_term"), max("tfidf").as("top_tfidf"))
         .orderBy("lang")
+    }),
+
+    // --- repetition quality signals (2j): the Gopher-style repeated-
+    // n-gram fractions a corpus filter thresholds on — per doc the
+    // fraction of bigram occurrences taken by the single most frequent
+    // bigram and by ALL bigrams occurring more than once, aggregated per
+    // language. Bigrams are 64-bit hashes (equality is all that matters
+    // for counting), built by zipping two shifted slices of the token
+    // array — the shuffle-free gramHashPostings shape, everything
+    // codegen'd. Two hash aggs; linear in tokens, no joins — holds
+    // unchanged at 100 TB.
+    "q_repetition_signals" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
+      val n = size(col("tk"))
+      val bg = base.filter(n >= 2)
+        .select(col("doc_id"), col("lang"), explode(arrays_zip(
+          slice(col("tk"), lit(1), n - 1).as("t0"),
+          slice(col("tk"), lit(2), n - 1).as("t1"))).as("z"))
+        .select(col("doc_id"), col("lang"),
+          xxhash64(col("z.t0"), col("z.t1")).as("bh"))
+      val perDoc = bg.groupBy("doc_id", "lang", "bh")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_c"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      perDoc.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("top_c").cast("double") / col("n_bigrams")), 4)
+            .as("avg_top_bigram_frac"),
+          round(avg(col("dup_c").cast("double") / col("n_bigrams")), 4)
+            .as("avg_dup_bigram_frac"),
+          round(max(col("dup_c").cast("double") / col("n_bigrams")), 4)
+            .as("max_dup_bigram_frac"))
+        .orderBy("lang")
+    }),
+
+    // --- context-window chunking (2j): split each document into
+    // ≤64-token training chunks with a 16-token overlap (stride 48) —
+    // the step that turns a variable-length corpus into model inputs.
+    // One generator (`sequence` start offsets + explode) and a codegen'd
+    // slice/join/md5 per chunk: embarrassingly parallel, no shuffle at
+    // all before the output sort. Chunks are emitted as md5 digests so
+    // the oracle can verify CONTENT, not just counts. A doc shorter than
+    // one window yields exactly one (possibly short) chunk.
+    "q_doc_chunks" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+      // starts 0, 48, 96, … covering every token: last start ≤
+      // max(n−17, 0) (inclusive sequence() twin of the oracle's
+      // end-exclusive range(0, max(n−16, 1), 48))
+      toks.select(col("doc_id"), col("n_tok"), col("tk"),
+          explode(sequence(lit(0L),
+            greatest(col("n_tok") - 17, lit(0L)), lit(48L))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_idx"),
+          least(lit(64L), col("n_tok") - col("start")).as("chunk_len"),
+          md5(array_join(
+            slice(col("tk"), (col("start") + 1).cast("int"), lit(64)), " "))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // --- sequence packing (2j): next-fit pack documents into 512-token
+    // training sequences, per source shard in doc_id order — the batch
+    // builder that follows q_length_buckets' estimate. The corpus is
+    // hash-partitioned on the shard key (`source`) and sorted within
+    // partitions, then each partition is packed in ONE sequential pass
+    // (mapPartitions with a running fill that resets on shard change) —
+    // packing is embarrassingly parallel ACROSS shards and inherently
+    // sequential WITHIN one, so this is exactly the 100 TB layout: more
+    // shards → more parallelism, no driver state, no all-to-all. A doc
+    // larger than the budget gets a pack of its own (next-fit
+    // semantics; the oracle's recursive CTE mirrors this).
+    "q_seq_packing" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512L
+      val packed = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .as[(String, Long, Long)]
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .mapPartitions { it =>
+          var cur: String = null; var pack = 0L; var fill = 0L
+          it.map { case (src, id, n) =>
+            if (src != cur) { cur = src; pack = 1L; fill = n }
+            else if (fill + n > budget) { pack += 1L; fill = n }
+            else fill += n
+            (src, id, n, pack)
+          }
+        }
+        .toDF("source", "doc_id", "n_tok", "pack_id")
+      packed.groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    // --- near-dup cluster formation (2j): connected components over the
+    // exact Jaccard ≥ 0.8 pair graph — the step after pair detection
+    // that picks ONE canonical doc per duplicate GROUP (pairwise dedup
+    // alone double-drops transitive chains A~B~C). Iterative min-label
+    // propagation to a fixpoint: each round every node takes the min
+    // cluster id among itself and its neighbors — the standard
+    // distributed CC loop (GraphX/large-star shape; converges in graph-
+    // diameter rounds, and near-dup clusters are shallow by nature).
+    // The pair set is localCheckpointed once (it is tiny relative to the
+    // corpus — the whole point of dedup), so the per-round join touches
+    // only edges × labels, never documents; each round's labels are
+    // checkpointed to keep lineage flat. The per-round driver action is
+    // the convergence test — the same loop a 1000-executor job runs.
+    "q_dedup_clusters" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d).select("id_a", "id_b").localCheckpoint()
+      val edges = pairs.toDF("a", "b")
+        .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()
+      var labels = pairs.select(col("id_a").as("node"))
+        .union(pairs.select(col("id_b"))).distinct()
+        .withColumn("cluster", col("node")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 32) {
+        val nbrMin = edges.join(labels, col("a") === col("node"))
+          .groupBy(col("b").as("n2")).agg(min("cluster").as("nbr_min"))
+        val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("cluster", "prev"), "node")
+          .filter(col("cluster") =!= col("prev")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.groupBy(col("cluster").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
+        .orderBy("cluster_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -702,5 +844,84 @@ object TextQueries {
         |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
         |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
         |  round(avg(n_chars), 4) AS avg_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS bigram
+        |  FROM toks WHERE len(tk) >= 2),
+        |cnt AS (SELECT doc_id, lang, bigram, count(*) AS c FROM bg GROUP BY 1,2,3),
+        |per_doc AS (
+        |  SELECT doc_id, lang, sum(c) AS n_bigrams, max(c) AS top_c,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+        |  FROM cnt GROUP BY 1,2)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(top_c::DOUBLE / n_bigrams), 4) AS avg_top_bigram_frac,
+        |  round(avg(dup_c::DOUBLE / n_bigrams), 4) AS avg_dup_bigram_frac,
+        |  round(max(dup_c::DOUBLE / n_bigrams), 4) AS max_dup_bigram_frac
+        |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(tk)::BIGINT AS n_tok,
+        |    unnest(range(0, greatest(len(tk) - 16, 1)::BIGINT, 48)) AS start
+        |  FROM toks)
+        |SELECT c.doc_id, (start / 48)::BIGINT AS chunk_idx,
+        |  least(64, n_tok - start)::BIGINT AS chunk_len,
+        |  md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM c JOIN toks USING (doc_id)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |                    t -> t <> ''))::BIGINT AS n_tok,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |packs AS (
+        |  SELECT source, doc_id, n_tok, rn, 1::BIGINT AS pack_id, n_tok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_tok, d.rn,
+        |    CASE WHEN p.fill + d.n_tok > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+        |    CASE WHEN p.fill + d.n_tok > 512 THEN d.n_tok ELSE p.fill + d.n_tok END
+        |  FROM packs p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |  sum(n_tok)::BIGINT AS pack_tokens
+        |FROM packs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
+        |SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
+        |FROM (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

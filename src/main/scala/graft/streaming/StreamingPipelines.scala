@@ -242,6 +242,35 @@ object StreamingPipelines {
       .orderBy("c_mktsegment")
   }
 
+  /** Stream-STREAM inner join (SURVEY.md §2e/§2h): clicks joined to the
+    * same user's purchases within [click, click + 2h] — the attribution
+    * join. Both sides are watermarked and the join condition carries the
+    * event-time range, so Spark derives state-expiry bounds for BOTH
+    * state stores (clicks older than watermark − 2h and purchases older
+    * than the watermark are dropped) — the property that keeps join
+    * state finite on an unbounded 100 TB stream. An inner join emits
+    * each match in the batch where both sides are present, so the
+    * replayed-file result equals the batch join — which is the DuckDB
+    * oracle (both engines read the same ns parquet truncated to µs). */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+    runToMemory(spark, joined, "stream_stream_join", OutputMode.Append())
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** Cross-batch keyed sketch state via mapGroupsWithState — the
     * `updateStateByKey` rebuild: one serialized CMS per user survives
     * across micro-batches; final answer = per-user click estimate. */

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+import graft.streaming.StreamingPipelines
+
+/**
+ * Round-5 corpus operators: sequence packing, context-window chunking,
+ * repetition signals, dedup cluster formation, stream-stream join. Each
+ * test checks the distributed implementation against an independent
+ * single-threaded Scala recomputation on the collected sf0.001 corpus —
+ * a differential oracle with none of the query's own machinery in it.
+ */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  /** (source, doc_id, tokens) of the whole test corpus, driver-side. */
+  private lazy val corpus: Seq[(String, Long, Seq[String])] =
+    Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)))
+      .toSeq
+
+  test("q_seq_packing matches a sequential next-fit reference") {
+    // reference: per source in doc_id order, next-fit at 512 tokens
+    val expected = corpus.groupBy(_._1).toSeq.flatMap { case (src, docs) =>
+      var pack = 0L; var fill = 513L // sentinel > budget → first doc opens pack 1
+      docs.sortBy(_._2).map { case (_, _, toks) =>
+        val n = toks.size.toLong
+        if (fill + n > 512L) { pack += 1L; fill = n } else fill += n
+        (src, pack, n)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((src, pack), rows) => (src, pack, rows.size.toLong, rows.map(_._3).sum) }
+      .toSet
+    val got = TextQueries.queries("q_seq_packing")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("q_doc_chunks: stride-48 windows cover every token exactly once per window") {
+    val got = TextQueries.queries("q_doc_chunks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    corpus.foreach { case (_, id, toks) =>
+      val n = toks.size
+      val starts = 0L.to(math.max(n - 17, 0).toLong, 48L)
+      val chunks = byDoc(id).sortBy(_._2)
+      assert(chunks.map(_._2) === starts.indices.map(_.toLong),
+        s"doc $id chunk indices")
+      chunks.zip(starts).foreach { case ((_, _, len, md5got), st) =>
+        val slice = toks.slice(st.toInt, st.toInt + 64)
+        assert(len === math.min(64L, n - st), s"doc $id start $st length")
+        val md5ref = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(md5got === md5ref, s"doc $id start $st content digest")
+      }
+    }
+  }
+
+  test("q_repetition_signals matches a driver-side recomputation") {
+    val perDoc = corpus.filter(_._3.size >= 2).map { case (_, _, toks) =>
+      val counts = toks.sliding(2).toSeq.groupBy(identity).map(_._2.size)
+      val nb = counts.sum.toDouble
+      (toks, counts.max / nb, counts.filter(_ > 1).sum / nb)
+    }
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = corpus.filter(_._3.size >= 2).map { case (_, id, toks) =>
+      val counts = toks.sliding(2).toSeq.groupBy(identity).map(_._2.size)
+      val nb = counts.sum.toDouble
+      (langOf(id), counts.max / nb, counts.filter(_ > 1).sum / nb)
+    }.groupBy(_._1)
+    val expected = byLang.map { case (lang, rows) =>
+      def r4(x: Double) = math.rint(x * 10000) / 10000
+      (lang, rows.size.toLong,
+        r4(rows.map(_._2).sum / rows.size),
+        r4(rows.map(_._3).sum / rows.size),
+        r4(rows.map(_._3).max))
+    }.toSet
+    val got = TextQueries.queries("q_repetition_signals")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("q_dedup_clusters labels are the connected components of the pair graph") {
+    val pairs = TextQueries.queries("q_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.length.toLong, ms.max)
+    }.toSet
+    val got = TextQueries.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.forall(c => c._2 >= 2), "clusters come from pairs, so ≥ 2 members")
+  }
+
+  test("stream-stream join equals its batch twin") {
+    val streamed = StreamingPipelines.streamStreamJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu")
+        && col("pts") >= col("cts")
+        && col("pts") <= col("cts") + expr("INTERVAL 2 HOURS"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
