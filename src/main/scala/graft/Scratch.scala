@@ -2,23 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad: time one named query (args: name [repeat]). */
+/** Dev timing scratchpad (numbers end up in BASELINE.md). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val name = args(0)
-    val reps = if (args.length > 1) args(1).toInt else 2
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[scratch] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    time("warmup")(SparkEntry.queries("q_exact_counts")(spark, d).count())
+    args.foreach { q =>
+      time(s"$q run1")(SparkEntry.queries(q)(spark, d).count())
+      time(s"$q run2")(SparkEntry.queries(q)(spark, d).count())
     }
     spark.stop()
   }

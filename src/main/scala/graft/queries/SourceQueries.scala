@@ -50,6 +50,22 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // orc scan (2a, round 5): orders → ORC (native reader, vectorized,
+    // predicate-pushdown-capable like parquet) → read back → agg. The
+    // oracle runs on the original parquet, so the hash check proves the
+    // ORC write/read path is lossless including decimals and dates.
+    "q_orc_scan" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val path = ioDir("orders_orc")
+      ord.write.mode("overwrite").orc(path)
+      s.read.schema(ord.schema).orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("sum_price"),
+          min("o_orderdate").as("first_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // text scan: part names as raw lines → read → tokenize → wordcount
     "q_text_scan" -> ((s, d) => {
       val path = ioDir("part_text")
@@ -168,6 +184,12 @@ object SourceQueries {
     "q_json_scan" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_orc_scan" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  min(o_orderdate) AS first_date
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_scan" ->
       """SELECT word, count(*) AS cnt FROM (

@@ -580,8 +580,12 @@ object TextQueries {
     // partitions, then each partition is packed in ONE sequential pass
     // (mapPartitions with a running fill that resets on shard change) —
     // packing is embarrassingly parallel ACROSS shards and inherently
-    // sequential WITHIN one, so this is exactly the 100 TB layout: more
-    // shards → more parallelism, no driver state, no all-to-all. A doc
+    // sequential WITHIN one, so this is exactly the 100 TB layout: the
+    // shard key is the OUTPUT unit (a training-data build writes
+    // thousands of shards, so parallelism scales with the corpus — if a
+    // single logical source outgrows one task, sub-shard on
+    // (source, doc_id div N) and the per-shard contract is unchanged).
+    // No driver state, no all-to-all. A doc
     // larger than the budget gets a pack of its own (next-fit
     // semantics; the oracle's recursive CTE mirrors this).
     "q_seq_packing" -> ((s, d) => {
