@@ -326,6 +326,24 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
       .orderBy("event_type")),
 
+    // VARIANT path (2g, round 5): Spark 4's typed semi-structured lane —
+    // parse once into the binary variant encoding, then typed
+    // `variant_get` extraction (shreddable at scan time on parquet
+    // VARIANT columns, vs the per-call string re-parse of
+    // get_json_object). Same answers as q_json_funcs by construction;
+    // the oracle is plain JSON extraction.
+    "q_variant_funcs" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        is_variant_null(col("v")).as("vnull"),
+        schema_of_variant(col("v")).as("vschema"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"),
+        count(when(col("vnull"), 1)).as("n_null"),
+        min("vschema").as("schema_min"))
+      .orderBy("event_type")),
+
     "q_map_funcs" -> ((s, d) => Tables.events(s, d)
       .select(col("event_id"),
         from_json(col("props"),
@@ -782,6 +800,17 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
         |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the variant lane extracts the same values as the JSON-string lane;
+    // props is always {"k": <int>} so the variant schema is the constant
+    // OBJECT<k: BIGINT> and no top-level variant is JSON null
+    "q_variant_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |  0::BIGINT AS n_null,
+        |  'OBJECT<k: BIGINT>' AS schema_min
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_map_funcs" ->
