@@ -104,4 +104,36 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"containment must join on the gram key, never all-pairs:\n$plan")
   }
+
+  test("q_doc_chunks: chunk generation is shuffle-free up to the output sort") {
+    val plan = planOf("q_doc_chunks")
+    // one Exchange only — the rangepartitioning of the final ORDER BY;
+    // a second would mean the generate/slice stage started shuffling
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"chunking must not shuffle before the sort:\n$plan")
+    assert(plan.contains("Generate explode"), s"expected generator:\n$plan")
+  }
+
+  test("q_repetition_signals: hash aggregates only, no sort-based agg") {
+    val plan = planOf("q_repetition_signals")
+    assert(!plan.contains("SortAggregate"),
+      s"bigram counting must stay hash-aggregated:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"repetition signals are per-doc aggs, no joins at all:\n$plan")
+  }
+
+  test("q_seq_packing: one hash partitioning on the shard key, in-partition sort") {
+    val plan = planOf("q_seq_packing")
+    assert(plan.contains("hashpartitioning(source"),
+      s"packing must partition by the shard key:\n$plan")
+    // the within-partition sort must NOT be a global sort (no range
+    // partitioning before the mapPartitions pass — only the final
+    // ORDER BY of the aggregated output may range-partition)
+    val mapIdx = plan.indexOf("MapPartitions")
+    val rangeIdx = plan.indexOf("rangepartitioning")
+    assert(mapIdx >= 0, s"expected the sequential packing pass:\n$plan")
+    assert(rangeIdx < 0 || rangeIdx < mapIdx,
+      s"global sort below the packing pass (the shard sort must be local):\n$plan")
+  }
 }
