@@ -634,6 +634,11 @@ object TextQueries {
         .withColumn("cluster", col("node")).localCheckpoint()
       var converged = false
       var iter = 0
+      // 32 rounds ≈ graph diameter 2^32 under pointer-halving-free
+      // propagation is far beyond any dup cluster; hitting the cap means
+      // a bug, and silently returning half-propagated labels would be a
+      // WRONG answer — fail loudly instead (the oracle would catch it,
+      // but a library user has no oracle).
       while (!converged && iter < 32) {
         val nbrMin = edges.join(labels, col("a") === col("node"))
           .groupBy(col("b").as("n2")).agg(min("cluster").as("nbr_min"))
@@ -647,6 +652,7 @@ object TextQueries {
         labels = next
         iter += 1
       }
+      require(converged, s"dedup-cluster label propagation did not converge in $iter rounds")
       labels.groupBy(col("cluster").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
         .orderBy("cluster_id")
