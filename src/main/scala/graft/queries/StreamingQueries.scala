@@ -26,6 +26,7 @@ object StreamingQueries {
     "q_stream_tws" -> ((s, d) => StreamingPipelines.cmsTransformWithState(s, d)),
     "q_stream_timer_session" -> ((s, d) => StreamingPipelines.sessionTimerCounts(s, d)),
     "q_stream_stream_join" -> ((s, d) => StreamingPipelines.streamStreamJoin(s, d)),
+    "q_stream_outer_join" -> ((s, d) => StreamingPipelines.streamOuterJoin(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
 
   val oracleSql: Map[String, String] = Map(
@@ -67,6 +68,23 @@ object StreamingQueries {
         |  ON c.user_id = p.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // left-outer stream-stream join under the 4h closed-window margin:
+    // every counted click's join window closed strictly below the final
+    // watermark, so matches AND null rows have provably emitted — the
+    // batch left join under the same cutoff is exact
+    "q_stream_outer_join" ->
+      """WITH cut AS (SELECT max(ts) - INTERVAL 4 HOUR AS c FROM events),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_rows,
+        |  count(p.ts) AS n_matched,
+        |  count(*) FILTER (WHERE p.ts IS NULL) AS n_unmatched
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR, cut
+        |WHERE c.ts <= cut.c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // foreachBatch republishes per-batch counts; summed == plain counts

@@ -271,6 +271,42 @@ object StreamingPipelines {
       .orderBy("user_id")
   }
 
+  /** LEFT-OUTER stream-stream join: like [[streamStreamJoin]] but
+    * unmatched clicks must ALSO emit (with nulls) — which only happens
+    * when the watermark proves no purchase can still arrive, i.e. via
+    * state eviction in the post-data no-data batch. Determinism margin
+    * (same technique as the session pipelines): only clicks with
+    * c_ts ≤ max_ts − 4h are counted — their join window closes at
+    * c_ts + 2h ≤ max_ts − 2h, strictly below the final watermark
+    * (max_ts − 1h), so every such click has provably emitted either its
+    * matches or its null row. The oracle is the batch left join under
+    * the same cutoff. */
+  def streamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = eventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+      "left_outer")
+    val cutoff = graft.Tables.events(spark, sfDir)
+      .agg((max(col("ts")) - expr("INTERVAL 4 HOURS")).as("cut"))
+    runToMemory(spark, joined, "stream_outer_join", OutputMode.Append())
+      .crossJoin(broadcast(cutoff))
+      .filter(col("c_ts") <= col("cut"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_ts")).as("n_matched"),
+        count(when(col("p_ts").isNull, 1)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   /** Cross-batch keyed sketch state via mapGroupsWithState — the
     * `updateStateByKey` rebuild: one serialized CMS per user survives
     * across micro-batches; final answer = per-user click estimate. */
