@@ -115,6 +115,23 @@ object TextQueries {
       .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value (oracle too)
   }
 
+  /** Positional rolling-window hashes: one 64-bit hash per W-token
+    * window with its 1-based start position — the exact-substring-dedup
+    * index (windowed twin of [[gramHashPostings]], built the same
+    * shuffle-free way: W shifted slices zipped and hashed, all
+    * codegen'd). At W=20 a cross-document hash collision without a true
+    * shared substring is ~2^-64 — hot-key blowup, the failure mode of
+    * short-gram positional joins, cannot happen. */
+  private[graft] def windowHashPostings(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val n = size(col("tk"))
+    base.filter(n >= w)
+      .select(col("doc_id"), posexplode(arrays_zip(
+        (0 until w).map(j => slice(col("tk"), lit(j + 1), n - (w - 1)).as(s"t$j")): _*)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        xxhash64((0 until w).map(j => col(s"col.t$j")): _*).as("wh"))
+  }
+
   /** Per-doc 64-bit simhash signatures (exploded codegen formulation,
     * bit-identical to the per-row interpreted simhash64() HOF). */
   private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
@@ -612,6 +629,37 @@ object TextQueries {
         .orderBy("source", "pack_id")
     }),
 
+    // --- exact substring dedup (2j, suffix-array-family): every maximal
+    // shared token span of ≥ 20 tokens between document pairs — the
+    // Lee-et-al-style exact-substring detector, reformulated for Spark:
+    // (1) positional 20-token rolling-window hashes per doc (codegen'd,
+    // shuffle-free); (2) equi-join on the window hash — at W=20 only
+    // true shared text collides, so the join is linear in real overlap,
+    // never hot-key-quadratic; (3) consecutive matches on the same
+    // DIAGONAL (pos_a − pos_b) merge into maximal spans by
+    // gaps-and-islands; span length = run + W − 1 tokens. Reports per
+    // pair the span count, longest span and total shared-span tokens —
+    // the fields a dedup policy thresholds on.
+    "q_substring_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = 20
+      val wins = windowHashPostings(Tables.documents(s, d), w)
+      val a = wins.toDF("id_a", "pos_a", "wh")
+      val b = wins.toDF("id_b", "pos_b", "wh")
+      val m = a.join(b, Seq("wh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pos_a"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      val runs = m.withColumn("grp", col("pos_a") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")))
+      runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg((count(lit(1)) + (w - 1)).as("span_tokens"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_spans"),
+          max("span_tokens").as("max_span_tokens"),
+          sum("span_tokens").as("total_span_tokens"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- near-dup cluster formation (2j): connected components over the
     // exact Jaccard ≥ 0.8 pair graph — the step after pair detection
     // that picks ONE canonical doc per duplicate GROUP (pairwise dedup
@@ -909,6 +957,34 @@ object TextQueries {
         |SELECT source, pack_id, count(*) AS n_docs,
         |  sum(n_tok)::BIGINT AS pack_tokens
         |FROM packs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(tk) - 18, 1)::BIGINT)) AS pos
+        |  FROM toks WHERE len(tk) >= 20),
+        |w AS (
+        |  SELECT p.doc_id, pos, array_to_string(tk[pos : pos + 19], ' ') AS win
+        |  FROM p JOIN toks USING (doc_id)),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b, diag,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_a) AS grp
+        |  FROM m),
+        |spans AS (
+        |  SELECT id_a, id_b, count(*) + 19 AS span_tokens
+        |  FROM runs GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, count(*) AS n_spans,
+        |  max(span_tokens)::BIGINT AS max_span_tokens,
+        |  sum(span_tokens)::BIGINT AS total_span_tokens
+        |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (

@@ -118,6 +118,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(c => c._2 >= 2), "clusters come from pairs, so ≥ 2 members")
   }
 
+  test("q_substring_dedup matches a brute-force shared-span scan") {
+    val W = 20
+    val winMap: Map[Long, Seq[(String, Int)]] = corpus.map { case (_, id, toks) =>
+      id -> (if (toks.size >= W)
+        (1 to toks.size - W + 1).map(p => (toks.slice(p - 1, p - 1 + W).mkString(" "), p))
+      else Seq.empty)
+    }.toMap
+    val ids = winMap.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+    } yield {
+      val bPos = winMap(j).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val matches = for {
+        (w, pa) <- winMap(i); pb <- bPos.getOrElse(w, Nil)
+      } yield (pa, pb)
+      if (matches.isEmpty) None
+      else {
+        val runLens = matches.groupBy { case (pa, pb) => pa - pb }.values.flatMap { ms =>
+          // islands of consecutive pos_a on one diagonal
+          ms.map(_._1).sorted.zipWithIndex
+            .groupBy { case (p, idx) => p - idx }.values.map(_.size)
+        }.toSeq
+        Some((i, j, runLens.size.toLong,
+          (runLens.max + W - 1).toLong,
+          runLens.map(_ + W - 1).map(_.toLong).sum))
+      }
+    }).flatten.toSet
+    val got = TextQueries.queries("q_substring_dedup")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(got.forall(_._4 >= W), "every span is at least one window long")
+  }
+
   test("stream-stream join equals its batch twin") {
     val streamed = StreamingPipelines.streamStreamJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
