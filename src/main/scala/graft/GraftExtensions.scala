@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the rule never observes its own intermediate output (the same
     // reason Spark's InjectRuntimeFilter lives outside that batch).
     ext.injectPreCBORule(graft.plans.BloomSemiPrefilterRule)
+    // whole-operator next-fit packing (SURVEY.md §2j): the strategy is
+    // also self-registered by PackOps.nextFitPack for extension-less
+    // sessions; injecting it here covers plans built some other way
+    ext.injectPlannerStrategy(_ => graft.operators.NextFitPackStrategy)
   }
 }
 

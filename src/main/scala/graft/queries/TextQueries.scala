@@ -605,26 +605,19 @@ object TextQueries {
     // No driver state, no all-to-all. A doc
     // larger than the budget gets a pack of its own (next-fit
     // semantics; the oracle's recursive CTE mirrors this).
+    // Implemented as the custom whole-operator [[graft.operators.NextFitPack]]
+    // (LogicalPlan + Strategy + SparkPlan): the operator DECLARES
+    // "clustered by source, sorted by (source, doc_id)" as child
+    // requirements, so EnsureRequirements plans the exchange+sort here —
+    // and plans NOTHING when the input is already bucketed/sorted on the
+    // shard key (PackExecSpec pins both shapes). The packing pass itself
+    // is one sequential scan with O(1) state per partition.
     "q_seq_packing" -> ((s, d) => {
-      import s.implicits._
-      val budget = 512L
-      val packed = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tok"))
-        .as[(String, Long, Long)]
-        .repartition(col("source"))
-        .sortWithinPartitions("source", "doc_id")
-        .mapPartitions { it =>
-          var cur: String = null; var pack = 0L; var fill = 0L
-          it.map { case (src, id, n) =>
-            if (src != cur) { cur = src; pack = 1L; fill = n }
-            else if (fill + n > budget) { pack += 1L; fill = n }
-            else fill += n
-            (src, id, n, pack)
-          }
-        }
-        .toDF("source", "doc_id", "n_tok", "pack_id")
-      packed.groupBy("source", "pack_id")
+      graft.operators.PackOps.nextFitPack(docs, "source", "doc_id", "n_tok", 512L)
+        .groupBy("source", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"))
         .orderBy("source", "pack_id")
     }),

@@ -20,4 +20,13 @@ object Shims {
 
   /** Extract the Catalyst Expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — needed to hand a custom logical operator to the
+    * planner. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

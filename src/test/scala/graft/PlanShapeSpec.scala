@@ -125,15 +125,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q_seq_packing: one hash partitioning on the shard key, in-partition sort") {
     val plan = planOf("q_seq_packing")
+    assert(plan.contains("NextFitPack"), s"expected the custom pack operator:\n$plan")
     assert(plan.contains("hashpartitioning(source"),
-      s"packing must partition by the shard key:\n$plan")
-    // the within-partition sort must NOT be a global sort (no range
-    // partitioning before the mapPartitions pass — only the final
-    // ORDER BY of the aggregated output may range-partition)
-    val mapIdx = plan.indexOf("MapPartitions")
+      s"packing must partition by the shard key (planner-inserted):\n$plan")
+    // the shard sort must be local (no range partitioning below the pack
+    // operator — only the final ORDER BY may range-partition)
+    val packIdx = plan.indexOf("NextFitPack")
     val rangeIdx = plan.indexOf("rangepartitioning")
-    assert(mapIdx >= 0, s"expected the sequential packing pass:\n$plan")
-    assert(rangeIdx < 0 || rangeIdx < mapIdx,
+    assert(rangeIdx < 0 || rangeIdx < packIdx,
       s"global sort below the packing pass (the shard sort must be local):\n$plan")
   }
 }
