@@ -653,6 +653,53 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // --- substring-dedup SCRUB (2j): act on the detected spans — the
+    // keep-first policy removes every shared ≥20-token span from the
+    // HIGHER-id doc of each pair. Ranges from different pairs can
+    // overlap, so they are interval-merged per doc (gaps-and-islands on
+    // a running max-end window) before counting; output is the per-doc
+    // removal accounting (tokens before / removed / after) a corpus
+    // build logs. Same linear window-hash join as q_substring_dedup;
+    // the merge adds one window pass over the (tiny) range set.
+    "q_span_scrub" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = 20
+      val docs = Tables.documents(s, d)
+      val wins = windowHashPostings(docs, w)
+      val a = wins.toDF("id_a", "pos_a", "wh")
+      val b = wins.toDF("id_b", "pos_b", "wh")
+      val m = a.join(b, Seq("wh")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pos_b"),
+          (col("pos_a") - col("pos_b")).as("diag"))
+      val runs = m.withColumn("grp", col("pos_b") - row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_b")))
+      val ranges = runs.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(min("pos_b").as("st"), (max("pos_b") + (w - 1)).as("en"))
+        .select(col("id_b").as("doc_id"), col("st"), col("en"))
+        .distinct()
+      val or = Window.partitionBy("doc_id").orderBy("st", "en")
+      val islands = ranges
+        .withColumn("prev_max", max("en").over(
+          or.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when(col("prev_max").isNull || col("st") > col("prev_max"), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum("new_island").over(
+          or.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min("st").as("ist"), max("en").as("ien"))
+      val removed = islands.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ranges"),
+          sum(col("ien") - col("ist") + 1).as("tokens_removed"))
+      docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens_before"))
+        .join(removed, "doc_id")
+        .select(col("doc_id"), col("n_ranges"), col("n_tokens_before"),
+          col("tokens_removed"),
+          (col("n_tokens_before") - col("tokens_removed")).as("n_tokens_after"))
+        .orderBy("doc_id")
+    }),
+
     // --- near-dup cluster formation (2j): connected components over the
     // exact Jaccard ≥ 0.8 pair graph — the step after pair detection
     // that picks ONE canonical doc per duplicate GROUP (pairwise dedup
@@ -978,6 +1025,53 @@ object TextQueries {
         |  max(span_tokens)::BIGINT AS max_span_tokens,
         |  sum(span_tokens)::BIGINT AS total_span_tokens
         |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                             t -> t <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(tk) - 18, 1)::BIGINT)) AS pos
+        |  FROM toks WHERE len(tk) >= 20),
+        |w AS (
+        |  SELECT p.doc_id, pos, array_to_string(tk[pos : pos + 19], ' ') AS win
+        |  FROM p JOIN toks USING (doc_id)),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         b.pos AS pos_b, a.pos - b.pos AS diag
+        |  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b, diag, pos_b,
+        |    pos_b - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |                               ORDER BY pos_b) AS grp
+        |  FROM m),
+        |ranges AS (
+        |  SELECT DISTINCT id_b AS doc_id, min(pos_b) AS st, max(pos_b) + 19 AS en
+        |  FROM runs GROUP BY id_a, id_b, diag, grp),
+        |marked AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM ranges),
+        |islands AS (
+        |  SELECT doc_id, min(st) AS ist, max(en) AS ien
+        |  FROM (SELECT doc_id, st, en,
+        |          sum(new_island) OVER (PARTITION BY doc_id ORDER BY st, en
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM marked)
+        |  GROUP BY doc_id, island),
+        |removed AS (
+        |  SELECT doc_id, count(*) AS n_ranges,
+        |    sum(ien - ist + 1)::BIGINT AS tokens_removed
+        |  FROM islands GROUP BY 1)
+        |SELECT t.doc_id, n_ranges, len(tk)::BIGINT AS n_tokens_before,
+        |  tokens_removed, len(tk) - tokens_removed AS n_tokens_after
+        |FROM toks t JOIN removed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (

@@ -153,6 +153,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.forall(_._4 >= W), "every span is at least one window long")
   }
 
+  test("q_span_scrub matches a brute-force interval-merge reference") {
+    val W = 20
+    val winMap: Map[Long, Seq[(String, Int)]] = corpus.map { case (_, id, toks) =>
+      id -> (if (toks.size >= W)
+        (1 to toks.size - W + 1).map(p => (toks.slice(p - 1, p - 1 + W).mkString(" "), p))
+      else Seq.empty)
+    }.toMap
+    val nTok = corpus.map { case (_, id, toks) => id -> toks.size.toLong }.toMap
+    val ids = winMap.keys.toSeq.sorted
+    // ranges to remove per higher-id doc: maximal diagonal runs → [st, en]
+    val ranges = (for {
+      i <- ids; j <- ids if i < j
+      bPos = winMap(j).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      (w, pa) <- winMap(i); pb <- bPos.getOrElse(w, Nil)
+    } yield (j, pa - pb, pb)).groupBy { case (j, diag, _) => (j, diag) }
+      .toSeq.flatMap { case ((j, _), ms) =>
+        ms.map(_._3).sorted.zipWithIndex
+          .groupBy { case (p, idx) => p - idx }.values
+          .map(run => (j, run.map(_._1).min, run.map(_._1).max + W - 1))
+      }.distinct
+    val expected = ranges.groupBy(_._1).map { case (doc, rs) =>
+      // interval merge
+      val sorted = rs.map(r => (r._2, r._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Int, Int)]) {
+        case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+          if (s1 <= e0) (s0, math.max(e0, e1)) :: rest else (s1, e1) :: acc
+        case (Nil, r) => r :: Nil
+      }
+      val removed = merged.map { case (s0, e0) => (e0 - s0 + 1).toLong }.sum
+      (doc, merged.size.toLong, nTok(doc), removed, nTok(doc) - removed)
+    }.toSet
+    val got = TextQueries.queries("q_span_scrub")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    assert(got.forall(_._5 >= 0), "never remove more tokens than the doc has")
+  }
+
   test("stream-stream join equals its batch twin") {
     val streamed = StreamingPipelines.streamStreamJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
