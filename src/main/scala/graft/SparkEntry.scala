@@ -35,6 +35,7 @@ object SparkEntry {
     TextQueries.queries ++
     VectorQueries.queries ++
     MultimodalQueries.queries ++
+    CurationQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -44,5 +45,6 @@ object SparkEntry {
     TextQueries.oracleSql ++
     VectorQueries.oracleSql ++
     MultimodalQueries.oracleSql ++
+    CurationQueries.oracleSql ++
     StreamingQueries.oracleSql
 }

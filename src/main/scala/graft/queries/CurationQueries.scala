@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions._
+
+/**
+ * Corpus-curation operators (SURVEY.md §2j, round 5 continuation) — the
+ * steps between "deduped corpus" and "training shards": language/domain
+ * rebalancing, token-budget selection, deterministic shuffle+sharding,
+ * merge-pair statistics, PII redaction, per-class embedding centroids,
+ * and schema-evolution reads.
+ *
+ * Scale rules as everywhere in this repo: per-doc work stays inside the
+ * scan stage (codegen'd, shuffle-free); cross-doc decisions ride on
+ * aggregates whose cardinality is BOUNDED (a length histogram, a
+ * per-language count, a per-label centroid), broadcast back instead of
+ * sorting the corpus; sampling gates are pure functions of the row key
+ * (md5) so any retry / any partitioning produces the same corpus.
+ */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /**
+   * Uniform-in-[0,1) deterministic per-key gate, expressible identically
+   * in Spark and DuckDB: strip the hex letters out of md5(tag:key) and
+   * read the first 4 remaining decimal digits as u/10000. Each surviving
+   * digit is uniform on 0–9 independent of position, so u is uniform on
+   * the 10k grid — plenty for corpus-level rates (and unlike a raw hex
+   * prefix it compares against a COMPUTED rate, not a hand-built hex
+   * literal). Pure function of the key: retry-stable, partition-stable.
+   */
+  private def gateU(tag: String, key: org.apache.spark.sql.Column) =
+    substring(
+      concat(regexp_replace(md5(concat_ws(":", lit(tag), key.cast("string"))),
+        "[a-f]", ""), lit("0000")), 1, 4).cast("int") / 10000.0
+
+  val queries: Map[String, Q] = Map(
+
+    // --- language rebalancing (domain mixing): down-sample each
+    // language toward an EQUAL target share under a 60%-of-corpus
+    // budget — the mixing step every multilingual training build runs
+    // (English is ~2× oversampled in this corpus, so it is the one that
+    // gets gated; scarce languages keep rate 1.0). The rate is computed
+    // from two tiny aggregates (per-language counts + a 1-row corpus
+    // total, both broadcast); the keep decision is the seeded md5 gate —
+    // no global sort, no shuffle of the corpus itself beyond the final
+    // per-language count. 100 TB shape: two hash aggs + a broadcast
+    // join; the gate keeps resampling deterministic under retries.
+    "q_domain_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(
+        count(lit(1)).as("n_total_corpus"),
+        countDistinct(col("lang")).as("n_langs"))
+      val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.6) * col("n_total_corpus")
+            / (col("n_langs") * col("n_total"))))
+      val kept = docs
+        .join(broadcast(perLang.select("lang", "rate")), "lang")
+        .filter(gateU("mix", col("doc_id")) < col("rate"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      perLang.select(col("lang"), col("n_total"), round(col("rate"), 4).as("rate"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate"),
+          round(coalesce(col("n_kept"), lit(0L)) / col("n_total").cast("double"), 4)
+            .as("kept_frac"))
+        .orderBy("lang")
+    }),
+
+    // --- token-budget selection: keep the longest documents (ties by
+    // doc_id) until 50% of the corpus' tokens are spent — the "fill the
+    // training budget with the best docs first" step. NOT implemented as
+    // a global sort + running sum over the corpus (that's a single-
+    // partition window at 100 TB): the greedy prefix is reconstructed
+    // from the LENGTH HISTOGRAM — distinct doc lengths with cumulative
+    // token mass, a bounded aggregate — so whole lengths are kept by a
+    // broadcast semi-join and only the single boundary length runs a
+    // window over its (one-length) tie set. Equivalent to the greedy
+    // scan by construction; the oracle IS the greedy scan.
+    "q_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+      val tot = docs.agg(floor(lit(0.5) * sum("n_tok")).cast("long").as("budget"))
+      val hist = docs.groupBy("n_tok").agg(
+          count(lit(1)).as("cnt"), sum("n_tok").as("mass"))
+        .withColumn("cum", sum("mass").over(
+          Window.orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+      val fullLens = hist.filter(col("cum") <= col("budget")).select("n_tok")
+      val boundary = hist
+        .filter(col("cum") > col("budget")
+          && col("cum") - col("mass") <= col("budget"))
+        .select(col("n_tok").as("b_len"),
+          (col("budget") - (col("cum") - col("mass"))).as("rem"))
+      val fullKept = docs.join(broadcast(fullLens), Seq("n_tok"), "left_semi")
+        .select("lang", "n_tok")
+      val tieKept = docs.join(broadcast(boundary), col("n_tok") === col("b_len"))
+        .withColumn("cum2", sum("n_tok").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("cum2") <= col("rem"))
+        .select("lang", "n_tok")
+      fullKept.union(tieKept)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("tokens_kept"))
+        .orderBy("lang")
+    }),
+
+    // --- deterministic corpus shuffle + round-robin sharding: global
+    // training order = sort by md5(seed:doc_id) (a seeded permutation
+    // any re-run reproduces), shard = (pos-1) mod 8. The md5 key is
+    // uniform, so a range-partitioned sort on it is balanced BY
+    // CONSTRUCTION at any scale (no sampling-skew risk), and round-robin
+    // on the rank makes shard sizes equal ±1. The per-shard
+    // order_md5 column is the verification artifact (content-checks the
+    // whole permutation, not just counts) — a real build would write
+    // the rows instead.
+    "q_corpus_shuffle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pos = row_number().over(
+        Window.orderBy(md5(concat_ws(":", lit("shuf42"), col("doc_id"))),
+          col("doc_id")))
+      docs.select(col("doc_id"), col("n_chars"))
+        .withColumn("pos", pos)
+        .withColumn("shard", ((col("pos") - 1) % 8).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), " ")).as("order_md5"))
+        .orderBy("shard")
+    }),
+
+    // --- BPE merge-pair statistics: the count table one iteration of
+    // byte-pair-encoding training reads — per adjacent token pair, total
+    // occurrences across the corpus, top 20. Pairs come from the same
+    // shuffle-free shifted-slice zip as gramHashPostings (everything
+    // codegen'd, pairs never leave the scan stage before the count);
+    // unlike q_repetition_signals this keeps the token STRINGS, because
+    // BPE needs to know WHICH pair to merge, not just how many repeat.
+    "q_bpe_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(tokens(col("text")).as("tk"))
+      val n = size(col("tk"))
+      base.filter(n >= 2)
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), n - 1).as("t0"),
+          slice(col("tk"), lit(2), n - 1).as("t1"))).as("z"))
+        .select(concat_ws(" ", col("z.t0"), col("z.t1")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // --- PII redaction: mask emails then long digit runs, report the
+    // per-source redaction accounting plus a content check of the
+    // redacted text. The synthetic corpus carries no PII, so a
+    // deterministic contact line derived from doc_id is appended
+    // IN-PLAN (identically in the oracle) — the redaction regexes and
+    // the two-pass masking order (emails BEFORE numbers, so the digits
+    // inside an address never double-mask) are what's under test.
+    // Per-row regex work in the scan stage; one hash agg. Regexes kept
+    // to the Java∩RE2 common dialect.
+    "q_pii_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example tel "),
+        (col("doc_id") * 7919 + 1000000).cast("string"))
+      val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+      val numPat = "[0-9]{4,}"
+      val redacted = regexp_replace(
+        regexp_replace(aug, emailPat, "<EMAIL>"), numPat, "<NUM>")
+      docs.select(col("source"),
+          regexp_count(aug, lit(emailPat)).as("n_email"),
+          regexp_count(regexp_replace(aug, emailPat, "<EMAIL>"), lit(numPat))
+            .as("n_num"),
+          md5(redacted).as("rmd5"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_email").as("emails_masked"),
+          sum("n_num").as("numbers_masked"), min("rmd5").as("content_md5"))
+        .orderBy("source")
+    }),
+
+    // --- per-label embedding centroids (the "class prototype" /
+    // k-means-assignment-step primitive): mean vector per label for the
+    // first 8 dimensions. posexplode keeps the dim loop inside the scan
+    // stage; the aggregate is (n_labels × 8) cells — bounded, so the
+    // plan is one hash agg at any corpus size. Rounded to 4 decimals
+    // (FIXTURES float rule; same tolerance q_vector_stats proved stable).
+    "q_label_centroids" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("col")), 4).as("centroid"))
+        .select(col("label"), col("pos").as("dim"), col("n"), col("centroid"))
+        .orderBy("label", "dim")
+    }),
+
+    // --- parquet schema evolution: two writer generations of the same
+    // table (v1 without the price columns, v2 with them) land in one
+    // dataset; `mergeSchema` unions the footers so old files read with
+    // nulls for the new columns — the lakehouse-standard forward-compat
+    // read. Oracle is derived from `orders` directly (each generation
+    // contributes every order once). Schema merge is a FOOTER-level
+    // operation — cost scales with file count, not bytes.
+    "q_schema_merge" -> ((s, d) => {
+      val base = s"/tmp/graft_io/orders_evo"
+      val ord = Tables.orders(s, d)
+      ord.select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$base/gen=1")
+      ord.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$base/gen=2")
+      s.read.option("mergeSchema", "true").parquet(base)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("n_custkey"),
+          count(col("o_totalprice")).as("n_price"),
+          // decimal-stable sum (q_math_funcs trick): double addition is
+          // order-dependent at this magnitude, decimal addition is exact
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_domain_mix" ->
+      """WITH tot AS (
+        |  SELECT count(*) AS n_total_corpus, count(DISTINCT lang) AS n_langs
+        |  FROM documents),
+        |per_lang AS (
+        |  SELECT lang, count(*) AS n_total,
+        |    least(1.0, 0.6 * (SELECT n_total_corpus FROM tot)
+        |      / ((SELECT n_langs FROM tot) * count(*))) AS rate
+        |  FROM documents GROUP BY 1),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN per_lang p USING (lang)
+        |  WHERE substr(regexp_replace(md5('mix:' || d.doc_id::VARCHAR),
+        |          '[a-f]', '', 'g') || '0000', 1, 4)::INT / 10000.0 < p.rate
+        |  GROUP BY 1)
+        |SELECT lang, n_total, coalesce(n_kept, 0) AS n_kept,
+        |  round(rate, 4) AS rate,
+        |  round(coalesce(n_kept, 0) / n_total::DOUBLE, 4) AS kept_frac
+        |FROM per_lang LEFT JOIN kept USING (lang)
+        |ORDER BY lang""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |                    t -> t <> ''))::BIGINT AS n_tok
+        |  FROM documents),
+        |b AS (SELECT floor(0.5 * sum(n_tok))::BIGINT AS budget FROM d),
+        |ranked AS (
+        |  SELECT lang, n_tok,
+        |    sum(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS tokens_kept
+        |FROM ranked WHERE cum <= (SELECT budget FROM b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (
+        |      ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) AS pos
+        |  FROM documents)
+        |SELECT ((pos - 1) % 8)::INT AS shard, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY pos)) AS order_md5
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS pair
+        |  FROM toks WHERE len(tk) >= 2)
+        |SELECT pair, count(*) AS cnt FROM pairs
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    text || ' contact user' || doc_id::VARCHAR
+        |         || '@mail.example tel '
+        |         || (doc_id * 7919 + 1000000)::VARCHAR AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS n_email,
+        |    len(regexp_extract_all(
+        |      regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}')) AS n_num,
+        |    md5(regexp_replace(
+        |      regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{4,}', '<NUM>', 'g')) AS rmd5
+        |  FROM aug)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_email)::BIGINT AS emails_masked,
+        |  sum(n_num)::BIGINT AS numbers_masked,
+        |  min(rmd5) AS content_md5
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, (i - 1)::INT AS dim, count(*) AS n,
+        |  round(avg(embedding[i]), 4) AS centroid
+        |FROM embeddings, generate_series(1, 8) AS t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_schema_merge" ->
+      """SELECT 2 * count(*) AS n_rows, 2 * count(*) AS n_custkey,
+        |  count(*) AS n_price,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
+        |  count(DISTINCT o_orderkey) AS n_keys
+        |FROM orders""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.CurationQueries
+
+/**
+ * Corpus-curation operators (round 5 continuation): language
+ * rebalancing, token-budget selection, deterministic shuffle/sharding,
+ * BPE pair stats, PII redaction, label centroids, schema-evolution
+ * reads. Tests pin the INVARIANTS the DuckDB oracles can't express
+ * (greedy maximality, shard balance, permutation determinism,
+ * redaction completeness), each against an independent driver-side
+ * recomputation on the sf0.001 corpus.
+ */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  private def run(name: String) = CurationQueries.queries(name)(spark, sf)
+
+  test("q_domain_mix: scarce languages keep rate 1.0, kept <= total, budget respected") {
+    val rows = run("q_domain_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, kept, rate) =>
+      assert(kept <= total)
+      assert(rate > 0.0 && rate <= 1.0)
+      // the md5 gate tracks the rate closely at corpus scale (±15%)
+      assert(math.abs(kept.toDouble / total - rate) < 0.15,
+        s"kept/total ${kept.toDouble / total} vs rate $rate")
+    }
+    // English is ~2× oversampled in this corpus → gated hardest: its
+    // rate is the strict minimum (rates are inversely proportional to
+    // language frequency until they cap at 1.0)
+    val enRate = rows.find(_._1 == "en").get._4
+    assert(enRate < 1.0)
+    assert(rows.filter(_._1 != "en").forall(_._4 > enRate))
+  }
+
+  test("q_token_budget equals the greedy (n_tok desc, doc_id) prefix scan") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong))
+    val budget = docs.map(_._3).sum / 2
+    var cum = 0L
+    val kept = docs.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+      cum += t._3; cum <= budget
+    }
+    val expected = kept.groupBy(_._2)
+      .map { case (l, ds) => (l, ds.size.toLong, ds.map(_._3).sum) }.toSet
+    val got = run("q_token_budget").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(expected.toSeq.map(_._3).sum <= budget)
+  }
+
+  test("q_corpus_shuffle: shards balanced ±1, partition covers corpus, rerun-identical") {
+    val a = run("q_corpus_shuffle").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3)))
+    val sizes = a.map(_._2)
+    assert(a.length == 8)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: ${sizes.toSeq}")
+    assert(sizes.sum == Tables.documents(spark, sf).count())
+    // seeded permutation: a second run reproduces every per-shard order
+    val b = run("q_corpus_shuffle").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(3)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q_bpe_pairs matches a driver-side bigram count") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val tk = r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      tk.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = p.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = run("q_bpe_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("q_pii_redact: every email and every >=4-digit run is masked") {
+    // recompute the redaction in-engine and assert NOTHING survives
+    val docs = Tables.documents(spark, sf)
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example tel "),
+      (col("doc_id") * 7919 + 1000000).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(aug, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>"),
+      "[0-9]{4,}", "<NUM>")
+    val leftovers = docs.select(
+      sum(regexp_count(redacted, lit("[a-z0-9._]+@[a-z0-9.]+"))).as("em"),
+      sum(regexp_count(redacted, lit("[0-9]{4,}"))).as("num")).head()
+    assert(leftovers.getLong(0) == 0L)
+    assert(leftovers.getLong(1) == 0L)
+    // and the query accounts one synthetic email + one phone per doc
+    val total = run("q_pii_redact").agg(
+      sum("emails_masked"), sum("numbers_masked"), sum("n_docs")).head()
+    assert(total.getLong(0) == total.getLong(2))
+    assert(total.getLong(1) == total.getLong(2))
+  }
+
+  test("q_label_centroids matches a driver-side mean on dim 0") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("label"), element_at(col("embedding"), 1)).collect()
+      .map(r => (r.getInt(0), r.getFloat(1).toDouble))
+    val expected = rows.groupBy(_._1).map { case (l, vs) =>
+      (l, vs.size.toLong,
+        BigDecimal(vs.map(_._2).sum / vs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = run("q_label_centroids").filter(col("dim") === 0).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    assert(run("q_label_centroids").count() ==
+      rows.map(_._1).distinct.length * 8)
+  }
+
+  test("q_schema_merge: old-generation files read as null for the added columns") {
+    val merged = run("q_schema_merge").head()
+    val n = Tables.orders(spark, sf).count()
+    assert(merged.getLong(0) == 2 * n)   // both generations contribute
+    assert(merged.getLong(1) == 2 * n)   // o_custkey present in both
+    assert(merged.getLong(2) == n)       // o_totalprice only in gen=2
+    assert(merged.getLong(4) == n)       // keys dedup across generations
+  }
+}
