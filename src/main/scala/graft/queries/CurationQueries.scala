@@ -53,20 +53,21 @@ object CurationQueries {
     // join; the gate keeps resampling deterministic under retries.
     "q_domain_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tot = docs.agg(
-        count(lit(1)).as("n_total_corpus"),
-        countDistinct(col("lang")).as("n_langs"))
+      // corpus totals ride a window OVER THE PER-LANGUAGE AGGREGATE
+      // (bounded by #languages), not a second corpus scan: one pass
+      // counts, one pass gates — the minimum for a rate-from-stats
+      // sampler
+      val all = Window.partitionBy(lit(1))
       val perLang = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-        .crossJoin(broadcast(tot))
         .withColumn("rate", least(lit(1.0),
-          lit(0.6) * col("n_total_corpus")
-            / (col("n_langs") * col("n_total"))))
+          lit(0.6) * sum("n_total").over(all)
+            / (count(lit(1)).over(all) * col("n_total"))))
       val kept = docs
         .join(broadcast(perLang.select("lang", "rate")), "lang")
         .filter(gateU("mix", col("doc_id")) < col("rate"))
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       perLang.select(col("lang"), col("n_total"), round(col("rate"), 4).as("rate"))
-        .join(kept, Seq("lang"), "left")
+        .join(broadcast(kept), Seq("lang"), "left")
         .select(col("lang"), col("n_total"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("rate"),
           round(coalesce(col("n_kept"), lit(0L)) / col("n_total").cast("double"), 4)
@@ -88,13 +89,16 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"),
           size(tokens(col("text"))).cast("long").as("n_tok"))
-      val tot = docs.agg(floor(lit(0.5) * sum("n_tok")).cast("long").as("budget"))
+      // the budget (50% of corpus tokens) derives from the histogram's
+      // own mass column via a window — no second corpus scan
       val hist = docs.groupBy("n_tok").agg(
           count(lit(1)).as("cnt"), sum("n_tok").as("mass"))
         .withColumn("cum", sum("mass").over(
           Window.orderBy(col("n_tok").desc)
             .rowsBetween(Window.unboundedPreceding, 0)))
-        .crossJoin(broadcast(tot))
+        .withColumn("budget",
+          floor(lit(0.5) * sum("mass").over(Window.partitionBy(lit(1))))
+            .cast("long"))
       val fullLens = hist.filter(col("cum") <= col("budget")).select("n_tok")
       val boundary = hist
         .filter(col("cum") > col("budget")
