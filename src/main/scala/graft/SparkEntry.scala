@@ -36,6 +36,7 @@ object SparkEntry {
     VectorQueries.queries ++
     MultimodalQueries.queries ++
     CurationQueries.queries ++
+    BehaviorQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -46,5 +47,6 @@ object SparkEntry {
     VectorQueries.oracleSql ++
     MultimodalQueries.oracleSql ++
     CurationQueries.oracleSql ++
+    BehaviorQueries.oracleSql ++
     StreamingQueries.oracleSql
 }
