@@ -37,6 +37,7 @@ object SparkEntry {
     MultimodalQueries.queries ++
     CurationQueries.queries ++
     BehaviorQueries.queries ++
+    MaintenanceQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -48,5 +49,6 @@ object SparkEntry {
     MultimodalQueries.oracleSql ++
     CurationQueries.oracleSql ++
     BehaviorQueries.oracleSql ++
+    MaintenanceQueries.oracleSql ++
     StreamingQueries.oracleSql
 }

@@ -209,6 +209,31 @@ object CurationQueries {
         .orderBy("label", "dim")
     }),
 
+    // --- vocabulary coverage: what fraction of each language's token
+    // occurrences a top-10 global vocabulary captures — the
+    // tokenizer-design question (vocab size vs OOV rate). One corpus
+    // scan builds the (lang, token) count table; the vocabulary is a
+    // re-aggregation of that table (bounded by vocab cardinality) and
+    // broadcasts back for the coverage split. No second corpus pass,
+    // no all-token sort — only the (already aggregated) term table is
+    // ranked.
+    "q_vocab_coverage" -> ((s, d) => {
+      val lt = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tk"))
+        .groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
+      val vocab = lt.groupBy("tk").agg(sum("cnt").as("tot"))
+        .orderBy(col("tot").desc, col("tk")).limit(10)
+      val cov = lt.join(broadcast(vocab.select("tk")), Seq("tk"), "left_semi")
+        .groupBy("lang").agg(sum("cnt").as("covered_tokens"))
+      lt.groupBy("lang").agg(sum("cnt").as("total_tokens"))
+        .join(cov, Seq("lang"), "left")
+        .select(col("lang"), col("total_tokens"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          round(coalesce(col("covered_tokens"), lit(0L))
+            / col("total_tokens").cast("double"), 4).as("coverage"))
+        .orderBy("lang")
+    }),
+
     // --- parquet schema evolution: two writer generations of the same
     // table (v1 without the price columns, v2 with them) land in one
     // dataset; `mergeSchema` unions the footers so old files read with
@@ -321,6 +346,22 @@ object CurationQueries {
         |  round(avg(embedding[i]), 4) AS centroid
         |FROM embeddings, generate_series(1, 8) AS t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |                                  t -> t <> '')) AS tk
+        |  FROM documents),
+        |lt AS (SELECT lang, tk, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT tk FROM (SELECT tk, sum(cnt) AS tot FROM lt GROUP BY 1)
+        |  ORDER BY tot DESC, tk LIMIT 10)
+        |SELECT lang, sum(cnt)::BIGINT AS total_tokens,
+        |  coalesce(sum(cnt) FILTER (tk IN (SELECT tk FROM vocab)), 0)::BIGINT
+        |    AS covered_tokens,
+        |  round(coalesce(sum(cnt) FILTER (tk IN (SELECT tk FROM vocab)), 0)
+        |    / sum(cnt)::DOUBLE, 4) AS coverage
+        |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_schema_merge" ->
       """SELECT 2 * count(*) AS n_rows, 2 * count(*) AS n_custkey,

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Table-maintenance operators (SURVEY.md §2 round-5 continuation) — the
+ * copy-on-write upkeep every lakehouse table needs: CDC upsert/merge
+ * application and small-file compaction. No table format ships in this
+ * container (no Delta/Iceberg jars), so the operators implement the
+ * format-agnostic CORE of both: the keyed merge join and the
+ * rewrite-with-audit, over plain parquet.
+ */
+object MaintenanceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // --- CDC merge (MERGE INTO semantics): apply a change batch of
+    // updates / deletes / inserts to the orders table in ONE full-outer
+    // shuffle join on the key — the copy-on-write merge shape (at scale
+    // the join keys co-partition base and delta; a format layer would
+    // add file pruning on top, the dataflow is exactly this). The change
+    // batch is derived deterministically from the base (keys ≡ 0 mod 10
+    // get a 10% price bump, ≡ 1 are deleted, ≡ 2 are re-inserted under
+    // new keys) so the oracle can rebuild the same batch.
+    "q_cdc_merge" -> ((s, d) => {
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val k = col("o_orderkey")
+      val changes =
+        base.filter(k % 10 === 0)
+          .select(k.as("c_key"), (col("o_totalprice") * 1.1).as("c_price"),
+            lit("U").as("op"))
+        .unionAll(base.filter(k % 10 === 1)
+          .select(k.as("c_key"), lit(null).cast("double").as("c_price"),
+            lit("D").as("op")))
+        .unionAll(base.filter(k % 10 === 2)
+          .select((k + 100000000L).as("c_key"),
+            col("o_totalprice").as("c_price"), lit("I").as("op")))
+      val merged = base
+        .join(changes, col("o_orderkey") === col("c_key"), "full_outer")
+        .select(
+          coalesce(col("c_key"), col("o_orderkey")).as("key"),
+          col("op"),
+          when(col("op") === "U" || col("op") === "I", col("c_price"))
+            .otherwise(col("o_totalprice")).as("price"))
+      merged.agg(
+          count(when(col("op").isNull || col("op") =!= "D", lit(1))).as("n_rows"),
+          count(when(col("op") === "U", lit(1))).as("n_updated"),
+          count(when(col("op") === "I", lit(1))).as("n_inserted"),
+          count(when(col("op") === "D", lit(1))).as("n_deleted"),
+          round(sum(when(col("op").isNull || col("op") =!= "D",
+            col("price")).cast("decimal(30,12)")), 4).cast("double")
+            .as("sum_price"))
+    }),
+
+    // --- small-file compaction: a fragmented write (64 files) is
+    // rewritten to 4 right-sized files; the audit joins the before and
+    // after `_metadata` stats to prove row- and content-preservation
+    // plus the file-count drop. The rewrite is one round-robin
+    // repartition (no key skew risk); at 100 TB compaction planning
+    // works per partition-directory with exactly this per-directory
+    // dataflow. Guarantee flags make the audit oracle-checkable from
+    // the base table alone.
+    "q_compaction" -> ((s, d) => {
+      val basePath = "/tmp/graft_io/compaction"
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      li.repartition(64).write.mode("overwrite").parquet(s"$basePath/frag")
+      val frag = s.read.parquet(s"$basePath/frag")
+      frag.repartition(4).write.mode("overwrite").parquet(s"$basePath/compact")
+      val stats = (p: String) => s.read.parquet(p)
+        .select(col("l_extendedprice"), col("_metadata.file_path").as("fp"))
+        .agg(count(lit(1)).as("rows"),
+          round(sum(col("l_extendedprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"),
+          countDistinct(col("fp")).as("files"))
+      val before = stats(s"$basePath/frag")
+        .select(col("rows").as("rows_before"), col("sum_price").as("sum_before"),
+          col("files").as("files_before"))
+      val after = stats(s"$basePath/compact")
+        .select(col("rows").as("rows_after"), col("sum_price").as("sum_after"),
+          col("files").as("files_after"))
+      before.crossJoin(after).select(
+        col("rows_after"),
+        round(col("sum_after"), 4).as("sum_price"),
+        (col("rows_before") === col("rows_after")).as("rows_ok"),
+        (col("sum_before") === col("sum_after")).as("content_ok"),
+        (col("files_before") === 64 && col("files_after") === 4).as("files_ok"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      """WITH merged AS (
+        |  SELECT o_totalprice AS price FROM orders
+        |    WHERE o_orderkey % 10 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_totalprice * 1.1 FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 2)
+        |SELECT
+        |  (SELECT count(*) FROM merged) AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS n_updated,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 2) AS n_inserted,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 1) AS n_deleted,
+        |  (SELECT round(sum(price::DECIMAL(30,12)), 4)::DOUBLE FROM merged)
+        |    AS sum_price""".stripMargin,
+
+    "q_compaction" ->
+      """SELECT count(*) AS rows_after,
+        |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
+        |  true AS rows_ok, true AS content_ok, true AS files_ok
+        |FROM lineitem""".stripMargin)
+}

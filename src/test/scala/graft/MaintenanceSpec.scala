@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CurationQueries, MaintenanceQueries}
+
+/**
+ * Table-maintenance operators (CDC merge, compaction) + vocabulary
+ * coverage: invariants checked against driver-side recomputations on
+ * sf0.001.
+ */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  test("q_cdc_merge row accounting matches the mod-10 change derivation") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val nUpd = keys.count(_ % 10 == 0)
+    val nDel = keys.count(_ % 10 == 1)
+    val nIns = keys.count(_ % 10 == 2)
+    val r = MaintenanceQueries.queries("q_cdc_merge")(spark, sf).head()
+    assert(r.getLong(0) == keys.length - nDel + nIns)
+    assert(r.getLong(1) == nUpd)
+    assert(r.getLong(2) == nIns)
+    assert(r.getLong(3) == nDel)
+    // merge must never collide keys: inserts land in a disjoint range
+    assert(keys.forall(_ < 100000000L))
+  }
+
+  test("q_cdc_merge price delta equals 10% of the updated keys' prices") {
+    val base = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))))
+    val expected = base.filter(_._1 % 10 != 1).map(_._2).sum +
+      base.filter(_._1 % 10 == 0).map(_._2 * BigDecimal("0.1")).sum.setScale(10, BigDecimal.RoundingMode.HALF_UP) +
+      base.filter(_._1 % 10 == 2).map(_._2).sum
+    val got = MaintenanceQueries.queries("q_cdc_merge")(spark, sf)
+      .head().getDouble(4)
+    // the reference recomputation multiplies in BigDecimal, the engine in
+    // double — compare loosely (the ORACLE does the exact same double math)
+    assert(math.abs(got - expected.toDouble) < 1.0, s"$got vs $expected")
+  }
+
+  test("q_compaction preserves rows and content while cutting files 64 -> 4") {
+    val r = MaintenanceQueries.queries("q_compaction")(spark, sf).head()
+    assert(r.getLong(0) == Tables.lineitem(spark, sf).count())
+    assert(r.getBoolean(2), "rows_ok")
+    assert(r.getBoolean(3), "content_ok")
+    assert(r.getBoolean(4), "files_ok")
+  }
+
+  test("q_vocab_coverage: coverage in (0,1], and the top-10 vocab dominates") {
+    val rows = CurationQueries.queries("q_vocab_coverage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, covered, cov) =>
+      assert(covered <= total)
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+    // driver-side recount of global top-10 coverage
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L)
+    }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+      .map(_._1).toSet
+    val totalAll = counts.values.sum
+    val coveredAll = counts.filter(kv => vocab(kv._1)).values.sum
+    assert(rows.map(_._2).sum == totalAll)
+    assert(rows.map(_._3).sum == coveredAll)
+  }
+}
