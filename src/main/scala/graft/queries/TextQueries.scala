@@ -156,8 +156,10 @@ object TextQueries {
    * then verify the distance — EXACT for the hamming predicate, never
    * all-pairs.
    */
-  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSigs(s, d)
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFromSigs(simhashSigs(s, d))
+
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
@@ -287,22 +289,40 @@ object TextQueries {
     // (the literal-TRUE oracle trick of hll_ok/recall_ok):
     // (a) blocking_complete — the chunk-blocked pair set EQUALS the
     //     all-pairs hamming≤3 set (the pigeonhole guarantee, verified
-    //     against a sig cross join; the audit stage is quadratic in DOCS
-    //     over 8-byte sigs and exists only to check the linear blocking);
+    //     against a sig cross join over a deterministic ≤1400-doc
+    //     witness sample — the audit cost is CONSTANT in corpus size,
+    //     only the linear blocking scales with the data);
     // (b) pairs_vocab_ok — every emitted pair's UNIGRAM (token-set)
     //     Jaccard ≥ 0.8: simhash measures bag-of-tokens similarity, so
     //     the vocabulary floor — not the order-sensitive n-gram floor —
     //     is its truth (observed min 0.86–0.90; simhash deliberately
     //     catches REORDERED near-dups whose 3-gram Jaccard is ~0).
     "q_simhash_neardup" -> ((s, d) => {
-      val pairs = simhashPairs(s, d)
-      val sigs = simhashSigs(s, d)
-      val sa = sigs.toDF("id_a", "sig_a")
-      val sb = sigs.toDF("id_b", "sig_b")
+      // signatures are the expensive pass (64 bit-vote sums over every
+      // token) — materialize ONCE (localCheckpoint, n×16 bytes) and fan
+      // out to blocking, audit, and verify instead of recomputing per
+      // consumer (was 3 corpus passes)
+      val sigs = simhashSigs(s, d).localCheckpoint()
+      val pairs = simhashPairsFromSigs(sigs)
+      // the all-pairs completeness audit is bounded to a deterministic
+      // witness sample (≤ ~1400 docs → ≤ 1M sig pairs, CONSTANT at any
+      // corpus size): the pigeonhole guarantee it checks is uniform over
+      // doc subsets, so a fixed-size witness keeps the empirical proof
+      // without an O(n²) stage at 100 TB
+      val step = sigs.agg(
+        greatest(lit(1L), floor(count(lit(1)) / 1400.0).cast("long")).as("step"))
+      val sub = sigs.crossJoin(broadcast(step))
+        .filter(pmod(col("doc_id"), col("step")) === 0)
+        .select("doc_id", "sig")
+      val sa = sub.toDF("id_a", "sig_a")
+      val sb = sub.toDF("id_b", "sig_b")
       val nAll = sa.crossJoin(sb).filter(col("id_a") < col("id_b"))
         .filter(hamming64(col("sig_a"), col("sig_b")) <= 3)
         .agg(count(lit(1)).as("n_all"))
-      val nBlocked = pairs.agg(count(lit(1)).as("n_blocked"))
+      val nBlocked = pairs.crossJoin(broadcast(step))
+        .filter(pmod(col("id_a"), col("step")) === 0
+          && pmod(col("id_b"), col("step")) === 0)
+        .agg(count(lit(1)).as("n_blocked"))
       val uniPostings = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("gh")).distinct()
