@@ -352,6 +352,9 @@ object TextQueries {
     "q_ngram_jaccard_prefix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val t = 0.79995 // 0.8 relaxed for the 4-decimal rounding boundary
+      // NOT localCheckpointed: the three consumers share one exchange
+      // (identical posting subtrees reuse the shuffle), so forcing a
+      // materialization here measured SLOWER than the reused exchange
       val postings = gramHashPostings(Tables.documents(s, d)).distinct()
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       // global order: rarest grams first → fewest candidate collisions
@@ -397,7 +400,9 @@ object TextQueries {
     // so the join is linear in shared postings, never |train|×|bench|.
     // The benchmark set is a deterministic stand-in (doc_id % 20 == 0).
     "q_contamination" -> ((s, d) => {
-      val postings = postingsOf(s, d)
+      // one materialized posting set feeds bench/train/freq and both
+      // verify joins (was recomputed per consumer)
+      val postings = postingsOf(s, d).localCheckpoint()
       val bench = postings.filter(col("doc_id") % 20 === 0)
         .toDF("bench_id", "gh")
       val train = postings.filter(col("doc_id") % 20 =!= 0)
