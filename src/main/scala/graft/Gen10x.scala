@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: regenerate the 10× validation set at /tmp/sf1 — ten
+  * per-token-tagged (gram-disjoint) copies of sf0.1 documents plus ten
+  * key-offset copies of events/orders/lineitem/embeddings, dims as-is.
+  * Gram-disjoint copies are the honest scale-out test for the posting-
+  * join family (see BASELINE.md: prefix-sharing copies instead measure
+  * the hot-key failure mode, not scale-out). */
+object Gen10x {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/sf1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(c => f(df, c)).reduce(_ unionAll _)
+
+    val docs = Tables.documents(spark, src)
+    copies(docs, (d, c) => d.select(
+        (col("doc_id") + c * 1000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"x$c"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = Tables.events(spark, src)
+    copies(ev, (d, c) => d.select(
+        (col("event_id") + c * 10000000L).as("event_id"), col("ts"),
+        (col("user_id") + c * 100000L).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val ord = Tables.orders(spark, src)
+    copies(ord, (d, c) => d.withColumn("o_orderkey",
+        col("o_orderkey") + c * 10000000L))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = Tables.lineitem(spark, src)
+    copies(li, (d, c) => d.withColumn("l_orderkey",
+        col("l_orderkey") + c * 10000000L))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    copies(emb, (d, c) => d.withColumn("vec_id", col("vec_id") + c * 1000000L))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
+      Tables(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println("[gen10x] done")
+    spark.stop()
+  }
+}
