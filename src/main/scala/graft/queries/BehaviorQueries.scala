@@ -70,6 +70,80 @@ object BehaviorQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // --- equi-depth histogram (range-partition planning): exact
+    // 8-bucket boundaries over l_extendedprice + per-bucket counts and
+    // bounds — what a range partitioner / sort-merge planner computes
+    // before a global sort. Two passes: one percentile aggregate (exact
+    // here; at 100 TB the same plan swaps in approx_percentile — the
+    // bucket-count pass is unchanged), then a broadcast of the 1-row
+    // boundary vector and a hash agg. No global sort anywhere.
+    "q_equidepth_hist" -> ((s, d) => {
+      val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+      val qs = v.agg(expr(
+        "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))").as("q"))
+      v.crossJoin(broadcast(qs))
+        .withColumn("bucket",
+          (0 until 7).map(i => when(col("v") > element_at(col("q"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _) + lit(1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("v"), 4).as("lo"), round(max("v"), 4).as("hi"))
+        .orderBy("bucket")
+    }),
+
+    // --- robust anomaly detection (median/MAD): per event type, flag
+    // values above median + 1.5·MAD — the outlier rule that survives
+    // skewed data where mean/stddev break. Three bounded aggregates
+    // chained by broadcast joins (median → MAD needs the median → flag
+    // pass needs both); every pass is a hash agg over the events scan.
+    "q_anomaly_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          max("med").as("med"))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("value") > col("med") + lit(1.5) * col("mad"), lit(1)))
+            .as("n_anomalies"),
+          round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"))
+        .orderBy("event_type")
+    }),
+
+    // --- PageRank over the near-dup similarity graph (3 unrolled
+    // iterations, damping 0.85): ranks the "most central" documents of
+    // each duplicate neighborhood — the centrality complement to
+    // q_dedup_clusters' membership. Each iteration is one edge⋈rank
+    // shuffle join + one hash agg (the textbook distributed PageRank
+    // step); the node table rides a broadcast 1-row count. The pair
+    // graph is undirected (edges mirrored), so there are no dangling
+    // nodes and rank mass is conserved per component.
+    "q_pagerank_neardup" -> ((s, d) => {
+      val pairs = TextQueries.jaccardPairs(s, d).select("id_a", "id_b")
+        .localCheckpoint()
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n1 = deg.agg(count(lit(1)).as("n"))
+      val nodes = deg.crossJoin(broadcast(n1))
+      var ranks = nodes.select(col("src").as("node"), col("deg"), col("n"),
+        (lit(1.0) / col("n")).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = edges.join(ranks, col("src") === col("node"))
+          .select(col("dst"), (col("rank") / col("deg")).as("c"))
+          .groupBy("dst").agg(sum("c").as("csum"))
+        ranks = nodes.join(contrib, col("src") === col("dst"), "left")
+          .select(col("src").as("node"), col("deg"), col("n"),
+            (lit(0.15) / col("n")
+              + lit(0.85) * coalesce(col("csum"), lit(0.0))).as("rank"))
+      }
+      ranks.select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(10)
+    }),
+
     // --- star join (TPC-H Q5 flavor): per-region revenue in a date
     // window across region⋈nation⋈customer⋈orders⋈lineitem. The three
     // dimension tables broadcast (they stay KB–MB at any TPC-H scale
@@ -131,6 +205,74 @@ object BehaviorQueries {
         |FROM ev JOIN first USING (user_id)
         |WHERE day - cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n,
+        |  round(min(v), 4) AS lo, round(max(v), 4) AS hi
+        |FROM (
+        |  SELECT l_extendedprice AS v,
+        |    1 + (l_extendedprice > q[1])::INT + (l_extendedprice > q[2])::INT
+        |      + (l_extendedprice > q[3])::INT + (l_extendedprice > q[4])::INT
+        |      + (l_extendedprice > q[5])::INT + (l_extendedprice > q[6])::INT
+        |      + (l_extendedprice > q[7])::INT AS bucket
+        |  FROM lineitem, b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad,
+        |    max(med) AS med
+        |  FROM events JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_type, count(*) AS n_total,
+        |  count(*) FILTER (value > med + 1.5 * mad) AS n_anomalies,
+        |  round(max(med), 4) AS med, round(max(mad), 4) AS mad
+        |FROM events JOIN stats USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pagerank_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+        |c1 AS (SELECT e.dst, sum(r.rank / r.deg) AS csum
+        |       FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1),
+        |r1 AS (SELECT d.src AS node, d.deg,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+        |       FROM deg d LEFT JOIN c1 c ON c.dst = d.src),
+        |c2 AS (SELECT e.dst, sum(r.rank / r.deg) AS csum
+        |       FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1),
+        |r2 AS (SELECT d.src AS node, d.deg,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+        |       FROM deg d LEFT JOIN c2 c ON c.dst = d.src),
+        |c3 AS (SELECT e.dst, sum(r.rank / r.deg) AS csum
+        |       FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1),
+        |r3 AS (SELECT d.src AS node, d.deg,
+        |         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.csum, 0) AS rank
+        |       FROM deg d LEFT JOIN c3 c ON c.dst = d.src)
+        |SELECT node, round(rank, 4) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 10""".stripMargin,
 
     "q_star_join" ->
       """SELECT r_name, count(*) AS n_items,

@@ -55,6 +55,56 @@ class BehaviorSpec extends AnyFunSuite {
     rows.filter(_._2 > 0).foreach { case (c, _, n) => assert(n <= d0(c)) }
   }
 
+  test("q_equidepth_hist: buckets are contiguous, exhaustive, and balanced") {
+    val rows = BehaviorQueries.queries("q_equidepth_hist")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._1).toSeq == (1 to 8))
+    assert(rows.map(_._2).sum == n)
+    // equi-depth: every bucket within 2% of n/8 (ties at boundaries only)
+    rows.foreach { case (b, cnt, lo, hi) =>
+      assert(math.abs(cnt - n / 8.0) <= n * 0.02, s"bucket $b count $cnt")
+      assert(lo <= hi)
+    }
+    // buckets ordered by value range
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+  }
+
+  test("q_anomaly_mad: anomalies are a minority and stats are sane") {
+    val rows = BehaviorQueries.queries("q_anomaly_mad")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, total, anom, med, mad) =>
+      assert(anom < total / 2) // above-median+1.5MAD is always a minority
+      assert(mad >= 0.0 && med > 0.0)
+    }
+  }
+
+  test("q_pagerank_neardup conserves rank mass and favors high-degree nodes") {
+    import graft.queries.TextQueries
+    val pairs = TextQueries.jaccardPairs(spark, sf).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    // driver-side 3-iteration reference
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var rank = nodes.map(_ -> 1.0 / nodes.length).toMap
+    for (_ <- 1 to 3) {
+      rank = nodes.map { v =>
+        v -> (0.15 / nodes.length +
+          0.85 * adj(v).map(u => rank(u) / adj(u).length).sum)
+      }.toMap
+    }
+    val expected = rank.toSeq
+      .map { case (k, v) => (k, BigDecimal(v).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (k, v) => (-v, k) }.take(10)
+    val got = graft.queries.BehaviorQueries.queries("q_pagerank_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
   test("q_star_join revenue matches an in-memory hash join") {
     val cust = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
