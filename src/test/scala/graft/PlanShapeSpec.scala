@@ -135,4 +135,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rangeIdx < 0 || rangeIdx < packIdx,
       s"global sort below the packing pass (the shard sort must be local):\n$plan")
   }
+
+  test("q_star_join: every dimension broadcasts; only the fact-fact join shuffles") {
+    val plan = planOf("q_star_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"customer/nation/region must broadcast (got $bhj BHJ):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop in the star join:\n$plan")
+    // the date filter must reach the orders scan, not sit above the join
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || plan.contains("o_orderdate"),
+      s"expected the date filter pushed down:\n$plan")
+  }
+
+  test("q_cdc_merge: one shuffle join applies the whole change batch") {
+    val plan = planOf("q_cdc_merge")
+    // full-outer on the key: SMJ (or shuffled hash) — never nested-loop
+    assert(plan.contains("FullOuter"), s"expected a full-outer merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"merge must be key-partitioned, never all-pairs:\n$plan")
+  }
+
+  test("q_label_centroids: one hash aggregate over the exploded dims, no sort agg") {
+    val plan = planOf("q_label_centroids")
+    assert(!plan.contains("SortAggregate"),
+      s"centroid agg must stay hash-based:\n$plan")
+    assert(plan.contains("Generate posexplode"),
+      s"expected the dim generator:\n$plan")
+  }
+
+  test("q_domain_mix and q_token_budget: rates/budget ride broadcasts, corpus never sorts") {
+    for (q <- Seq("q_domain_mix", "q_token_budget")) {
+      val plan = planOf(q)
+      // rangepartitioning may appear ONLY for the final ORDER BY over the
+      // tiny per-lang output — never before a corpus-sized operator; the
+      // cheap proxy: no rangepartitioning on doc-level columns
+      assert(!plan.contains("rangepartitioning(doc_id") &&
+        !plan.contains("rangepartitioning(n_tok"),
+        s"$q must not globally sort the corpus:\n$plan")
+      assert(plan.contains("BroadcastExchange") || plan.contains("broadcast"),
+        s"$q: expected broadcast stats:\n$plan")
+    }
+  }
+
+  test("q_pagerank_neardup: every iteration joins on the key, never all-pairs") {
+    val plan = planOf("q_pagerank_neardup")
+    assert(!plan.contains("CartesianProduct"),
+      s"rank propagation must stay key-partitioned:\n$plan")
+    // 3 iterations → at least 3 contribution aggregates in one plan
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 6, s"expected >=6 hash aggregates (3 iterations):\n$plan")
+  }
 }
