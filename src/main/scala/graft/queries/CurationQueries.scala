@@ -209,6 +209,38 @@ object CurationQueries {
         .orderBy("label", "dim")
     }),
 
+    // --- PMI collocations: pointwise mutual information of adjacent
+    // token pairs, ln(p(ab) / (p(a)·p(b))), min support 30 — the
+    // collocation statistic phrase-mining and tokenizer-merge scoring
+    // run (the probability-normalized complement of q_bpe_pairs' raw
+    // counts). Unigram and bigram tables are two hash aggs off the same
+    // scan shape; totals ride 1-row broadcast aggregates and the
+    // (vocab-bounded) unigram table broadcasts into the bigram join.
+    "q_pmi_pairs" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(tokens(col("text")).as("tk"))
+      val n = size(col("tk"))
+      val uni = base.select(explode(col("tk")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cu"))
+      val bg = base.filter(n >= 2)
+        .select(explode(arrays_zip(
+          slice(col("tk"), lit(1), n - 1).as("t0"),
+          slice(col("tk"), lit(2), n - 1).as("t1"))).as("z"))
+        .select(col("z.t0").as("t0"), col("z.t1").as("t1"))
+        .groupBy("t0", "t1").agg(count(lit(1)).as("cb"))
+      val totU = uni.agg(sum("cu").as("total_u"))
+      val totB = bg.agg(sum("cb").as("total_b"))
+      bg.filter(col("cb") >= 30)
+        .join(broadcast(uni.select(col("t").as("t0"), col("cu").as("cu0"))), "t0")
+        .join(broadcast(uni.select(col("t").as("t1"), col("cu").as("cu1"))), "t1")
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .select(concat_ws(" ", col("t0"), col("t1")).as("pair"), col("cb"),
+          round(log((col("cb") / col("total_b"))
+            / ((col("cu0") / col("total_u")) * (col("cu1") / col("total_u")))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("pair"))
+        .limit(15)
+    }),
+
     // --- vocabulary coverage: what fraction of each language's token
     // occurrences a top-10 global vocabulary captures — the
     // tokenizer-design question (vocab size vs OOV rate). One corpus
@@ -346,6 +378,29 @@ object CurationQueries {
         |  round(avg(embedding[i]), 4) AS centroid
         |FROM embeddings, generate_series(1, 8) AS t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT unnest(tk) AS t FROM toks),
+        |cu AS (SELECT t, count(*) AS cu FROM uni GROUP BY 1),
+        |bg AS (
+        |  SELECT unnest([tk[i] FOR i IN range(1, len(tk))]) AS t0,
+        |         unnest([tk[i+1] FOR i IN range(1, len(tk))]) AS t1
+        |  FROM toks WHERE len(tk) >= 2),
+        |cb AS (SELECT t0, t1, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |tu AS (SELECT sum(cu)::DOUBLE AS total_u FROM cu),
+        |tb AS (SELECT sum(cb)::DOUBLE AS total_b FROM cb)
+        |SELECT t0 || ' ' || t1 AS pair, cb,
+        |  round(ln((cb::DOUBLE / total_b)
+        |    / ((a.cu::DOUBLE / total_u) * (b.cu::DOUBLE / total_u))), 4) AS pmi
+        |FROM cb
+        |JOIN cu a ON a.t = cb.t0
+        |JOIN cu b ON b.t = cb.t1, tu, tb
+        |WHERE cb >= 30
+        |ORDER BY pmi DESC, pair LIMIT 15""".stripMargin,
 
     "q_vocab_coverage" ->
       """WITH tok AS (

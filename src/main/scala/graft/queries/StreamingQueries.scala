@@ -27,9 +27,29 @@ object StreamingQueries {
     "q_stream_timer_session" -> ((s, d) => StreamingPipelines.sessionTimerCounts(s, d)),
     "q_stream_stream_join" -> ((s, d) => StreamingPipelines.streamStreamJoin(s, d)),
     "q_stream_outer_join" -> ((s, d) => StreamingPipelines.streamOuterJoin(s, d)),
-    "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)))
+    "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)),
+    "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // streaming CDC apply converges to the same end state as the batch
+    // MERGE (LWW-by-seq is batching-independent) → shares q_cdc_merge's
+    // derived oracle
+    "q_stream_cdc_apply" ->
+      """WITH merged AS (
+        |  SELECT o_totalprice AS price FROM orders
+        |    WHERE o_orderkey % 10 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT o_totalprice * 1.1 FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 10 = 2)
+        |SELECT
+        |  (SELECT count(*) FROM merged) AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) AS n_updated,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 2) AS n_inserted,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 1) AS n_deleted,
+        |  (SELECT round(sum(price::DECIMAL(30,12)), 4)::DOUBLE FROM merged)
+        |    AS sum_price""".stripMargin,
+
     // tumbling 1-day windows == time_bucket days (epoch-aligned in both)
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 day', ts)::DATE AS day,

@@ -407,6 +407,80 @@ object StreamingPipelines {
     }
   }
 
+  /**
+   * Streaming CDC apply (foreachBatch MERGE sink): a change stream is
+   * applied incrementally to a versioned parquet base table — the
+   * Structured-Streaming-to-lakehouse upsert every CDC pipeline runs.
+   * Merge semantics are LAST-WRITER-WINS BY SEQUENCE (`max_by(…, seq)`
+   * per key, tombstones kept as 'D' rows), which makes the apply
+   * order- and batching-independent: one batch of three files or three
+   * batches of one file converge to the same table, and a replayed
+   * batch is a no-op — exactly the idempotence a restartable streaming
+   * sink needs. Each micro-batch is one key-partitioned merge join
+   * (the q_cdc_merge shape); `maxFilesPerTrigger=1` forces the
+   * multi-batch path so the test exercises real incremental applies.
+   * The change batch is the same mod-10 derivation as q_cdc_merge, so
+   * the two share one oracle.
+   */
+  def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val io = "/tmp/graft_io/stream_cdc"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val ord = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price"))
+    val k = col("key")
+    ord.select(k, col("price"), lit(0L).as("seq"), lit("U").as("op"))
+      .write.parquet(s"$io/v0")
+    // three single-file change sets: update / delete / insert
+    def oneFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$io/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/changes/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/changes"))
+    oneFile(ord.filter(k % 10 === 0).select(k,
+      (col("price") * 1.1).as("price"), lit(1L).as("seq"), lit("U").as("op")), "c1")
+    oneFile(ord.filter(k % 10 === 1).select(k,
+      lit(null).cast("double").as("price"), lit(2L).as("seq"), lit("D").as("op")), "c2")
+    oneFile(ord.filter(k % 10 === 2).select((k + 100000000L).as("key"),
+      col("price"), lit(3L).as("seq"), lit("I").as("op")), "c3")
+    val chSchema = StructType(Seq(
+      StructField("key", LongType), StructField("price", DoubleType),
+      StructField("seq", LongType), StructField("op", StringType)))
+    var cur = s"$io/v0"
+    var ver = 0
+    val q = spark.readStream.schema(chSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/changes/c*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = spark.read.parquet(cur).unionByName(batch)
+          .groupBy("key")
+          .agg(max_by(struct(col("price"), col("op")), col("seq")).as("b"),
+            max("seq").as("seq"))
+          .select(col("key"), col("b.price").as("price"), col("seq"),
+            col("b.op").as("op"))
+        ver += 1
+        val next = s"$io/v$ver"
+        merged.write.parquet(next)
+        cur = next
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(cur).agg(
+      count(when(col("op") =!= "D", lit(1))).as("n_rows"),
+      count(when(col("op") === "U" && col("seq") === 1, lit(1))).as("n_updated"),
+      count(when(col("op") === "I", lit(1))).as("n_inserted"),
+      count(when(col("op") === "D", lit(1))).as("n_deleted"),
+      round(sum(when(col("op") =!= "D", col("price")).cast("decimal(30,12)")), 4)
+        .cast("double").as("sum_price"))
+  }
+
   /** foreachBatch sink: per-micro-batch side effect publishing batch
     * counts (DStream `foreachRDD` twin). */
   def foreachBatchCounts(spark: SparkSession, sfDir: String): DataFrame = {

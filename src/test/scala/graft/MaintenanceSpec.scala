@@ -50,6 +50,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r.getBoolean(4), "files_ok")
   }
 
+  test("q_stream_cdc_apply converges to the batch merge result (LWW idempotence)") {
+    import graft.streaming.StreamingPipelines
+    val streamed = StreamingPipelines.streamCdcApply(spark, sf).head()
+    val batch = MaintenanceQueries.queries("q_cdc_merge")(spark, sf).head()
+    // identical end state regardless of batching: same row accounting
+    // and the same decimal-stable price sum
+    (0 until 5).foreach(i => assert(streamed.get(i) == batch.get(i),
+      s"col $i: ${streamed.get(i)} vs ${batch.get(i)}"))
+    // rerun from scratch → same result (the apply is deterministic)
+    val again = StreamingPipelines.streamCdcApply(spark, sf).head()
+    (0 until 5).foreach(i => assert(again.get(i) == streamed.get(i)))
+  }
+
+  test("q_pmi_pairs: PMI is bounded by -ln(p(ab)) and counts meet support") {
+    val rows = CurationQueries.queries("q_pmi_pairs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 15)
+    rows.foreach { case (_, cb, _) => assert(cb >= 30) }
+    // descending by (pmi, pair) as declared
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+    }
+  }
+
   test("q_vocab_coverage: coverage in (0,1], and the top-10 vocab dominates") {
     val rows = CurationQueries.queries("q_vocab_coverage")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
