@@ -166,9 +166,32 @@ object SourceQueries {
       .select(col("p_partkey"),
         levenshtein(lower(col("p_brand")), lower(substring(col("p_type"), 1, 8)))
           .as("edit_dist"))
-      .orderBy("p_partkey").limit(200)))
+      .orderBy("p_partkey").limit(200)),
+
+    // custom DataSource V2 (2a engine tier): the `graftgen` generator
+    // source ([[graft.sources.GraftGenSource]]) — range predicates on
+    // `id` push INTO the source and narrow the generated range itself
+    // (the scan never produces the filtered rows), columns prune at
+    // generation, partitions are 8 independent range slices. Every
+    // column is a pure function of id, so the DuckDB oracle recomputes
+    // the identical table from generate_series. Dsv2SourceSpec pins the
+    // pushdown/pruning/partitioning plan facts.
+    "q_dsv2_scan" -> ((s, _) => s.read.format("graftgen")
+      .option("rows", 100000).option("parts", 8).load()
+      .filter(col("id") >= 20000L && col("id") < 80000L)
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n"), round(sum("val"), 4).as("sum_val"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("cat")))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsv2_scan" ->
+      """SELECT 'c' || (i % 7) AS cat, count(*) AS n,
+        |  round(sum(((i * 2654435761) % 1000) / 10.0), 4) AS sum_val,
+        |  min(i) AS min_id, max(i) AS max_id
+        |FROM generate_series(20000, 79999) AS t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_kll_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_disc(l_extendedprice, 0.5), 4) AS kll_p50,
