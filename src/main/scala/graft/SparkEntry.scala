@@ -38,6 +38,7 @@ object SparkEntry {
     CurationQueries.queries ++
     BehaviorQueries.queries ++
     MaintenanceQueries.queries ++
+    WarehouseQueries.queries ++
     StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -50,5 +51,6 @@ object SparkEntry {
     CurationQueries.oracleSql ++
     BehaviorQueries.oracleSql ++
     MaintenanceQueries.oracleSql ++
+    WarehouseQueries.oracleSql ++
     StreamingQueries.oracleSql
 }

@@ -1,0 +1,447 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.WelfordVariance
+
+/**
+ * Warehouse / data-layout operators (SURVEY.md §2, round 5): the
+ * slowly-changing-dimension build, Z-order file layout, skew-salted
+ * joins, interval-overlap joins, distribution-drift detection, feature
+ * scaling, token-entropy quality, XML interchange, recursive CTEs, and
+ * custom-UDAF window frames — the remaining surface a warehouse /
+ * feature-pipeline user expects from the engine.
+ *
+ * Scale rules: every per-row derivation is codegen'd inside the scan
+ * stage; cross-row decisions ride on BOUNDED aggregates broadcast back
+ * (scaling stats per segment, drift totals per half, interval bins);
+ * the one intentionally skewed join is salted so no task ever sees a
+ * hot key's full row set.
+ */
+object WarehouseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Morton/Z-order interleave of the low 8 bits of two long columns →
+    * 16-bit z-key, built as a codegen'd shift-or chain (no UDF). Bit i
+    * of `a` lands at 2i, bit i of `b` at 2i+1. */
+  private def zkey8(a: Column, b: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Same interleave as SQL text, for the DuckDB oracle. */
+  private def zkey8Sql(a: String, b: String): String =
+    (0 until 8).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  val queries: Map[String, Q] = Map(
+
+    // --- SCD Type 2 dimension build: compress each customer's order
+    // history into validity-interval versions of o_orderpriority —
+    // a run starts whenever the attribute differs from the previous
+    // observation (gaps-and-islands: lag → change flag → running sum =
+    // version id → per-version min/max + lead for effective_to). All
+    // windows partition by o_custkey, so the build is one shuffle on
+    // the dimension key regardless of history length.
+    "q_scd2_dimension" -> ((s, d) => {
+      val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val versions = Tables.orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("chg",
+          when(lag("o_orderpriority", 1).over(byTime).isNull ||
+            lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum("chg").over(byTime))
+        .groupBy("o_custkey", "version", "o_orderpriority")
+        .agg(min("o_orderdate").as("effective_from"),
+          count(lit(1)).as("n_observations"))
+      versions
+        .withColumn("effective_to",
+          lead("effective_from", 1).over(
+            Window.partitionBy("o_custkey").orderBy("version")))
+        .orderBy("o_custkey", "version")
+    }),
+
+    // --- Z-order (Morton) layout audit: interleave the low 8 bits of
+    // (l_partkey, l_suppkey), bucket rows by the z-key's top 4 bits —
+    // a range split over the z-curve, NO global sort — and report each
+    // bucket's bounding box in BOTH dimensions, against the same audit
+    // for a linear partkey-only layout. Z-buckets bound both dims
+    // (small area → file skipping works for either predicate); linear
+    // buckets bound only partkey. This is the min-max-pruning planning
+    // computation behind a Z-ordered table rewrite.
+    "q_zorder_layout" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+        col("l_partkey").bitwiseAND(lit(255L)).as("p8"),
+        col("l_suppkey").bitwiseAND(lit(255L)).as("s8"))
+      val z = rows
+        .withColumn("bucket", shiftright(zkey8(col("p8"), col("s8")), 12))
+        .withColumn("layout", lit("zorder"))
+      val linear = rows
+        .withColumn("bucket", shiftright(col("p8"), 4))
+        .withColumn("layout", lit("linear"))
+      z.unionAll(linear)
+        .groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("p8").as("min_p"), max("p8").as("max_p"),
+          min("s8").as("min_s"), max("s8").as("max_s"))
+        .withColumn("bbox_area",
+          (col("max_p") - col("min_p") + 1) * (col("max_s") - col("min_s") + 1))
+        .orderBy("layout", "bucket")
+    }),
+
+    // --- skew-salted join: ~every 4th fact row shares ONE hot key (0);
+    // the fix is mechanical — fact side gets salt = hash(row identity)
+    // mod 16, dim side is exploded 16×, the join key becomes (key,
+    // salt) so the hot key's rows spread over 16 tasks instead of one.
+    // The merge hint forces the shuffle join the technique exists for
+    // (a broadcast would hide the skew — and at 100 TB the dim side of
+    // a skewed join is rarely broadcastable). Salt never reaches the
+    // output: the aggregate collapses it, so the oracle is the plain
+    // unsalted join.
+    "q_salted_join" -> ((s, d) => {
+      val fact = Tables.lineitem(s, d)
+        .select(
+          when(col("l_linenumber") === 1, 0L).otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"), col("l_returnflag"),
+          pmod(xxhash64(col("l_orderkey") * 7 + col("l_linenumber")), lit(16L)).as("salt"))
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        .unionAll(s.range(1).select(lit(0L).as("k"), lit(100.0).as("price")))
+        .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+      fact.hint("merge").join(dim, Seq("k", "salt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity") * col("price")) / 1e6, 2).as("weighted_m"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- interval-overlap join, binned: campaigns (14-day windows
+    // derived from part) × orders (10-day windows). Instead of the
+    // quadratic BNLJ `a.start < b.end AND b.start < a.end`, both sides
+    // explode to the 7-day epoch bins their interval covers and
+    // equi-join on the bin — each pair meets in ≥1 shared bin, the
+    // distinct() collapses multi-bin duplicates, and the shuffle is
+    // linear in (rows × interval_len/bin_len). The standard scalable
+    // interval-join shape.
+    "q_interval_overlap" -> ((s, d) => {
+      val day = lit(86400L)
+      val campaigns = Tables.part(s, d)
+        .filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey").as("campaign_id"),
+          (lit(788918400L) + (col("p_partkey") % 700) * day).as("c_start"))
+        .withColumn("c_end", col("c_start") + lit(14L) * day)
+      // o_orderdate is TIMESTAMP_NTZ at midnight → day-number arithmetic
+      // (unix_date) is exact and timezone-free in both engines
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (unix_date(col("o_orderdate").cast("date")).cast("long") * day).as("o_start"))
+        .withColumn("o_end", col("o_start") + lit(10L) * day)
+      val week = lit(604800L)
+      def bin(c: Column): Column = floor(c / week).cast("long")
+      val cBins = campaigns.withColumn("bin",
+        explode(sequence(bin(col("c_start")), bin(col("c_end") - 1))))
+      val oBins = orders.withColumn("bin",
+        explode(sequence(bin(col("o_start")), bin(col("o_end") - 1))))
+      cBins.join(oBins, Seq("bin"))
+        .filter(col("o_start") < col("c_end") && col("c_start") < col("o_end"))
+        .select("campaign_id", "o_orderkey").distinct()
+        .groupBy("campaign_id")
+        .agg(count(lit(1)).as("n_overlapping_orders"))
+        .orderBy("campaign_id")
+    }),
+
+    // --- distribution drift (PSI): split the event stream at its
+    // temporal midpoint (computed as one broadcast 1-row aggregate —
+    // `2·ts < min+max` avoids any division), compare per-event-type
+    // shares between halves via the population-stability-index
+    // contribution (p−q)·ln(p/q). The monitoring primitive that decides
+    // "has the corpus shifted since the last training run".
+    "q_drift_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      val halves = ev.crossJoin(broadcast(bounds))
+        .withColumn("half", when(col("us") * 2 < col("mn") + col("mx"), "a").otherwise("b"))
+        .groupBy("event_type")
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+      val tot = halves.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      halves.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_a") / col("t_a"))
+        .withColumn("q", col("n_b") / col("t_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi"))
+        .orderBy("event_type")
+    }),
+
+    // --- feature scaling: z-score, min-max, and robust (median/IQR)
+    // normalization of account balance per market segment. The stats
+    // table is one bounded hash agg (segments × 7 numbers) broadcast
+    // back onto the row stream — never a per-row window over the
+    // partition, which would sort 100 TB to scale 100 TB.
+    "q_feature_scale" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val stats = cust.groupBy("c_mktsegment").agg(
+        avg("c_acctbal").as("mu"), stddev_samp("c_acctbal").as("sd"),
+        min("c_acctbal").as("mn"), max("c_acctbal").as("mx"),
+        expr("percentile(c_acctbal, 0.5)").as("med"),
+        expr("percentile(c_acctbal, 0.25)").as("p25"),
+        expr("percentile(c_acctbal, 0.75)").as("p75"))
+      cust.join(broadcast(stats), "c_mktsegment")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round((col("c_acctbal") - col("mu")) / col("sd"), 4).as("zscore"),
+          round((col("c_acctbal") - col("mn")) / (col("mx") - col("mn")), 4).as("minmax"),
+          round((col("c_acctbal") - col("med")) / (col("p75") - col("p25")), 4).as("robust"))
+        .orderBy("c_custkey")
+    }),
+
+    // --- token-entropy quality: per-document Shannon entropy of the
+    // token distribution plus type-token ratio — the
+    // vocabulary-richness quality signal (low entropy = repetitive
+    // boilerplate). Per-doc token histogram → one hash agg keyed by
+    // (doc, token), then a per-doc reduce; both shuffle on doc_id only.
+    "q_entropy_quality" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val hist = toks.groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+      hist.groupBy("doc_id", "lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c"))).as("clogc"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
+          round(log(col("n_tokens")) - col("clogc") / col("n_tokens"), 4).as("entropy"),
+          round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"))
+        .filter(col("doc_id") % 3 === 0)
+        .orderBy("doc_id")
+    }),
+
+    // --- XML interchange: serialize order rows to XML with to_xml,
+    // parse them back with from_xml (schema-on-read), and extract a
+    // field from a hand-built fragment via xpath — the Spark 4 XML
+    // lane, all codegen'd expressions, proving lossless roundtrip
+    // against the source table as oracle.
+    "q_xml_funcs" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_orderkey") % 11 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val xml = o.select(to_xml(struct(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))).as("x"))
+      val parsed = xml.select(from_xml(col("x"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")).as("r"))
+      parsed.select(col("r.o_orderkey").as("k"),
+          col("r.o_orderstatus").as("status"),
+          round(col("r.o_totalprice"), 2).as("price"),
+          expr("CAST(xpath_string(concat('<o><k>', r.o_orderkey, '</k></o>'), '/o/k') AS BIGINT)").as("xpath_k"))
+        .orderBy("k")
+    }),
+
+    // --- recursive CTE (Spark 4 WITH RECURSIVE): generate the monthly
+    // calendar between the order stream's bounds by recursion — the
+    // anchor is a 1-row aggregate, each step adds one month — then
+    // left-join the per-month order counts so empty months surface as
+    // zero. ~48 iterations at this date range, far under the recursion
+    // cap; the heavy side (the per-month counts) is a plain hash agg,
+    // the recursion only builds the bounded spine.
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_rcte")
+      s.sql("""
+        WITH RECURSIVE months(m, depth, mx) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)), 0,
+                 date_trunc('MONTH', max(o_orderdate))
+          FROM orders_rcte
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH, depth + 1, mx FROM months WHERE m < mx
+        ),
+        cnt AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n_orders,
+                 round(sum(o_totalprice) / 1e6, 3) AS rev_m
+          FROM orders_rcte GROUP BY 1
+        )
+        SELECT months.m, months.depth, coalesce(cnt.n_orders, 0) AS n_orders,
+               coalesce(cnt.rev_m, 0.0) AS rev_m
+        FROM months LEFT JOIN cnt ON months.m = cnt.m
+        ORDER BY months.m
+      """)
+    }),
+
+    // --- custom UDAF over a window frame: the Welford/Chan typed
+    // Aggregator (exact-merge variance) evaluated over a moving 10-row
+    // frame, against the built-in var_samp on the same frame — the
+    // surface that proves a TypedImperativeAggregate-backed UDAF is a
+    // first-class window function. NaN (the Aggregator's <2-obs
+    // sentinel) is mapped back to null to match var_samp.
+    "q_window_udaf" -> ((s, d) => {
+      val welford = udaf(new WelfordVariance)
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+      Tables.lineitem(s, d)
+        .filter(col("l_partkey") % 20 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          welford(col("l_quantity")).over(w).as("wf_raw"),
+          var_samp("l_quantity").over(w).as("vs_raw"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(when(!isnan(col("wf_raw")), col("wf_raw")), 4).as("var_welford"),
+          round(col("vs_raw"), 4).as("var_builtin"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_scd2_dimension" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM obs),
+        |versions AS (
+        |  SELECT o_custkey, version, o_orderpriority,
+        |    min(o_orderdate) AS effective_from,
+        |    count(*) AS n_observations
+        |  FROM runs GROUP BY 1, 2, 3)
+        |SELECT o_custkey, version::BIGINT AS version, o_orderpriority,
+        |  effective_from, n_observations,
+        |  lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |    AS effective_to
+        |FROM versions ORDER BY o_custkey, version""".stripMargin,
+
+    "q_zorder_layout" -> {
+      val z = zkey8Sql("p8", "s8")
+      s"""WITH rows_ AS (
+         |  SELECT l_partkey & 255 AS p8, l_suppkey & 255 AS s8 FROM lineitem),
+         |tagged AS (
+         |  SELECT 'zorder' AS layout, ($z >> 12) AS bucket, p8, s8 FROM rows_
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, (p8 >> 4) AS bucket, p8, s8 FROM rows_)
+         |SELECT layout, bucket, count(*) AS n_rows,
+         |  min(p8) AS min_p, max(p8) AS max_p,
+         |  min(s8) AS min_s, max(s8) AS max_s,
+         |  (max(p8) - min(p8) + 1) * (max(s8) - min(s8) + 1) AS bbox_area
+         |FROM tagged GROUP BY 1, 2 ORDER BY layout, bucket""".stripMargin
+    },
+
+    "q_salted_join" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey END AS k,
+        |         l_quantity, l_returnflag
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        |  UNION ALL SELECT 0, 100.0)
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity * price) / 1e6, 2) AS weighted_m
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH campaigns AS (
+        |  SELECT p_partkey AS campaign_id,
+        |    788918400 + (p_partkey % 700) * 86400 AS c_start,
+        |    788918400 + (p_partkey % 700) * 86400 + 14 * 86400 AS c_end
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |ords AS (
+        |  SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS o_start,
+        |    epoch(o_orderdate)::BIGINT + 10 * 86400 AS o_end
+        |  FROM orders)
+        |SELECT campaign_id, count(*) AS n_overlapping_orders
+        |FROM campaigns JOIN ords
+        |  ON o_start < c_end AND c_start < o_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        |halves AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN us * 2 < mn + mx THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END) AS n_b
+        |  FROM ev CROSS JOIN b GROUP BY 1),
+        |tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM halves)
+        |SELECT event_type, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        |  round((n_a / t_a - n_b / t_b) * ln((n_a / t_a) / (n_b / t_b)), 6) AS psi
+        |FROM halves CROSS JOIN tot ORDER BY event_type""".stripMargin,
+
+    "q_feature_scale" ->
+      """WITH stats AS (
+        |  SELECT c_mktsegment, avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd,
+        |    min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+        |    quantile_cont(c_acctbal, 0.5) AS med,
+        |    quantile_cont(c_acctbal, 0.25) AS p25,
+        |    quantile_cont(c_acctbal, 0.75) AS p75
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment,
+        |  round((c_acctbal - mu) / sd, 4) AS zscore,
+        |  round((c_acctbal - mn) / (mx - mn), 4) AS minmax,
+        |  round((c_acctbal - med) / (p75 - p25), 4) AS robust
+        |FROM customer JOIN stats USING (c_mktsegment)
+        |WHERE c_custkey % 7 = 0
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_entropy_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+        |per_doc AS (
+        |  SELECT doc_id, lang, sum(c) AS n_tokens, count(*) AS n_types,
+        |    sum(c * ln(c)) AS clogc
+        |  FROM hist GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tokens::BIGINT AS n_tokens,
+        |  n_types::BIGINT AS n_types,
+        |  round(ln(n_tokens) - clogc / n_tokens, 4) AS entropy,
+        |  round(n_types::DOUBLE / n_tokens, 4) AS ttr
+        |FROM per_doc WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    "q_xml_funcs" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  round(o_totalprice, 2) AS price, o_orderkey AS xpath_k
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""".stripMargin,
+
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(m, depth) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)), 0 FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH, depth + 1 FROM months
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |),
+        |cnt AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+        |    round(sum(o_totalprice) / 1e6, 3) AS rev_m
+        |  FROM orders GROUP BY 1)
+        |SELECT months.m, months.depth,
+        |  coalesce(cnt.n_orders, 0) AS n_orders,
+        |  coalesce(cnt.rev_m, 0.0) AS rev_m
+        |FROM months LEFT JOIN cnt ON months.m = cnt.m
+        |ORDER BY months.m""".stripMargin,
+
+    "q_window_udaf" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  round(var_samp(l_quantity) OVER w, 4) AS var_welford,
+        |  round(var_samp(l_quantity) OVER w, 4) AS var_builtin
+        |FROM lineitem WHERE l_partkey % 20 = 0
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+  )
+}
