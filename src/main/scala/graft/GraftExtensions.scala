@@ -77,7 +77,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.VecQuantizeI8(args(0), args(1))),
     ("vec_dot_i8",
       info("vec_dot_i8", "vec_dot_i8(a, b) - exact BIGINT dot product of int8 code vectors"),
-      (args: Seq[Expression]) => graft.functions.VecDotI8(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.VecDotI8(args(0), args(1))),
+    ("pos_ngrams",
+      info("pos_ngrams", "pos_ngrams(tokens, n) - generator: one (pos, gram) row per n-token window"),
+      (args: Seq[Expression]) => graft.functions.PosNGrams(args(0), args(1))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

@@ -52,6 +52,14 @@ package object functions {
       Shims.expression(id), Shims.expression(lit(k)))
       .toAggregateExpression())
 
+  /** Custom `Generator` (UDTF surface): one (pos, gram) row per n-token
+    * window of the array — windows stream straight off the token array,
+    * no per-row n-gram array materialization; see
+    * [[graft.functions.PosNGrams]]. Multi-alias the result:
+    * `pos_ngrams(tk, 3).as(Seq("pos", "gram"))`. */
+  def pos_ngrams(tokens: Column, n: Int): Column =
+    Shims.column(PosNGrams(Shims.expression(tokens), Shims.expression(lit(n))))
+
   /** Point-frequency estimate from a serialized CMS: f ≤ f̂ ≤ f + ε·N. */
   def cms_estimate(sketch: Column, value: Column): Column =
     Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))

@@ -41,6 +41,49 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- weighted sampling (Efraimidis–Spirakis A-Res, log form): rank
+    // every doc by ln(u)/w where u is the seeded md5-uniform and
+    // w = n_chars, keep the top 300 — the quality-weighted corpus
+    // sampler. One scan + a bounded TakeOrdered (k rows per partition
+    // reach the driver-side merge, never a global sort); the key is a
+    // pure function of (seed, doc_id), so any retry, any partitioning,
+    // any cluster size draws the SAME sample. u is shifted to (0,1] so
+    // the key is always finite.
+    "q_weighted_sample" -> ((s, d) => {
+      val digits = substring(
+        concat(regexp_replace(md5(concat_ws(":", lit("ws42"),
+          col("doc_id").cast("string"))), "[a-f]", ""), lit("0000")), 1, 4)
+        .cast("int")
+      val u1 = (digits + 1) / lit(10001.0)
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log(u1) / w).as("key_raw"))
+        .orderBy(desc("key_raw"), asc("doc_id"))
+        .limit(300)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("key_raw") * 1e4, 6).as("es_key_e4"))
+    }),
+
+    // --- deterministic train/val/test split: the md5 gate buckets each
+    // doc 80/10/10; per-(split, lang) counts + volume stats audit the
+    // assignment. Shuffle-free row work + one bounded hash agg — and
+    // because the gate is keyed on doc_id alone, adding or removing
+    // OTHER docs never reassigns an existing one (stable splits under
+    // corpus growth, the property that keeps eval sets uncontaminated
+    // across corpus versions).
+    "q_dataset_split" -> ((s, d) => {
+      val u = gateU("split42", col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // --- language rebalancing (domain mixing): down-sample each
     // language toward an EQUAL target share under a 60%-of-corpus
     // budget — the mixing step every multilingual training build runs
@@ -292,6 +335,32 @@ object CurationQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((substr(regexp_replace(md5('ws42:' || doc_id::VARCHAR),
+        |          '[a-f]', '', 'g') || '0000', 1, 4)::INT + 1) / 10001.0)
+        |      / greatest(n_chars, 1)::DOUBLE AS key_raw
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  round(key_raw * 1e4, 6) AS es_key_e4
+        |FROM keyed
+        |ORDER BY key_raw DESC, doc_id
+        |LIMIT 300""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH gated AS (
+        |  SELECT *,
+        |    substr(regexp_replace(md5('split42:' || doc_id::VARCHAR),
+        |      '[a-f]', '', 'g') || '0000', 1, 4)::INT / 10000.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM gated GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
     "q_domain_mix" ->
       """WITH tot AS (
         |  SELECT count(*) AS n_total_corpus, count(DISTINCT lang) AS n_langs

@@ -176,6 +176,22 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- custom-Generator trigram statistics (SURVEY.md §2i UDTF): the
+    // pos_ngrams Generator streams (pos, gram) windows straight off each
+    // document's token array — no per-doc n-gram array materialization
+    // (the composable transform(sequence(...))+explode form allocates
+    // one) — then a plain hash agg + bounded top-k. At 100 TB the
+    // generator keeps per-row memory O(tokens) even for 1M-token docs.
+    "q_trigram_topk" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(tokens(col("text")).as("tk"))
+        .select(pos_ngrams(col("tk"), 3).as(Seq("pos", "gram")))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"), round(avg("pos"), 4).as("avg_pos"))
+        .orderBy(desc("n"), asc("gram"))
+        .limit(15)
+    }),
+
     // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
     "q_dedup_exact" -> ((s, d) => Tables.documents(s, d)
       .groupBy("lang")
@@ -772,6 +788,19 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_trigram_topk" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest([
+        |    {'pos': i - 1, 'gram': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]}
+        |    FOR i IN range(1, len(tk) - 1)]) AS s
+        |  FROM toks WHERE len(tk) >= 3)
+        |SELECT s.gram AS gram, count(*) AS n,
+        |  round(avg(s.pos), 4) AS avg_pos
+        |FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 15""".stripMargin,
+
     // banding proposes, exact verify disposes → the output IS the exact
     // Jaccard ≥ 0.8 pair set (see the query comment for the collision
     // probability argument), so the oracle is the same all-pairs ground

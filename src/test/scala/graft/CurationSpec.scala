@@ -129,4 +129,31 @@ class CurationSpec extends AnyFunSuite {
     assert(merged.getLong(2) == n)       // o_totalprice only in gen=2
     assert(merged.getLong(4) == n)       // keys dedup across generations
   }
+
+  test("q_weighted_sample: length-weighted draw skews long, rerun-identical") {
+    val q = CurationQueries.queries("q_weighted_sample")
+    val sample = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(sample.length == 300)
+    val corpusAvg = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).collect()(0).getDouble(0)
+    val sampleAvg = sample.map(_._2).sum.toDouble / sample.length
+    // E-S with w = n_chars: long docs are strictly favored, so the
+    // sample mean must sit clearly above the corpus mean
+    assert(sampleAvg > corpusAvg * 1.05,
+      s"sample avg $sampleAvg not above corpus avg $corpusAvg")
+    val rerun = q(spark, sf).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sample.toSeq == rerun.toSeq)
+  }
+
+  test("q_dataset_split: halves cover the corpus at ~80/10/10") {
+    val rows = CurationQueries.queries("q_dataset_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = bySplit.values.sum
+    assert(total == Tables.documents(spark, sf).count())
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"train frac $trainFrac")
+    assert(bySplit.keySet == Set("train", "val", "test"))
+  }
 }
