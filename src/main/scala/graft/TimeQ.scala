@@ -1,17 +1,37 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Local perf iteration: time the named queries (comma-separated in
+  * args(0)) against args(1) (default sf0.1), N repeats via args(2). */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries("q_exact_counts")(spark, sfDir).count()
-    args.foreach { n =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"[timeq] $n ${(System.nanoTime()-t0)/1e9}%.2f s")
+    val names = args(0).split(",")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shm = sys.env.get("SPARK_GRAFT_SHM").map { _ =>
+      val p = "/dev/shm/graft_scratch"
+      new java.io.File(p).mkdirs()
+      System.setProperty("java.io.tmpdir", p)
+      p
+    }
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "15s")
+    shm.foreach(p => b.config("spark.local.dir", s"$p/local"))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries("q_exact_counts")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    names.foreach { name =>
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[timeq] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

@@ -65,6 +65,31 @@ object CurationQueries {
           round(col("key_raw") * 1e4, 6).as("es_key_e4"))
     }),
 
+    // --- per-group weighted reservoir: the E-S key again, but drawn
+    // per LANGUAGE through the bounded TopKAgg heap — each (partition,
+    // lang) keeps a 50-element min-heap, so the shuffle carries ≤ 50
+    // rows per group per partition instead of every candidate. This is
+    // the per-stratum sampler (balanced fine-tuning mixes) in the shape
+    // that survives a 100 TB corpus: agg state is O(groups × k), never
+    // a per-group sort.
+    "q_group_sample" -> ((s, d) => {
+      val digits = substring(
+        concat(regexp_replace(md5(concat_ws(":", lit("gs42"),
+          col("doc_id").cast("string"))), "[a-f]", ""), lit("0000")), 1, 4)
+        .cast("int")
+      val u1 = (digits + 1) / lit(10001.0)
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), (log(u1) / w).as("key_raw"))
+        .groupBy("lang")
+        .agg(topk_agg(col("key_raw"), col("doc_id"), 50).as("tk"))
+        .select(col("lang"), posexplode(col("tk")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"),
+          round(col("col.score") * 1e4, 6).as("es_key_e4"))
+        .orderBy("lang", "rank")
+    }),
+
     // --- deterministic train/val/test split: the md5 gate buckets each
     // doc 80/10/10; per-(split, lang) counts + volume stats audit the
     // assignment. Shuffle-free row work + one bounded hash agg — and
@@ -347,6 +372,21 @@ object CurationQueries {
         |FROM keyed
         |ORDER BY key_raw DESC, doc_id
         |LIMIT 300""".stripMargin,
+
+    "q_group_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |    ln((substr(regexp_replace(md5('gs42:' || doc_id::VARCHAR),
+        |          '[a-f]', '', 'g') || '0000', 1, 4)::INT + 1) / 10001.0)
+        |      / greatest(n_chars, 1)::DOUBLE AS key_raw
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, doc_id, key_raw,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY key_raw DESC, doc_id) AS rank
+        |  FROM keyed)
+        |SELECT lang, rank, doc_id, round(key_raw * 1e4, 6) AS es_key_e4
+        |FROM ranked WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
 
     "q_dataset_split" ->
       """WITH gated AS (

@@ -68,6 +68,51 @@ object WarehouseQueries {
         .orderBy("o_custkey", "version")
     }),
 
+    // --- SCD2 point-in-time lookup: revenue per customer-priority
+    // version VALID AT EACH LINEITEM'S SHIP DATE. The scalable shape is
+    // the union-merge as-of: version starts (tag 0) and probes (tag 1)
+    // union into one stream, one shuffle+sort per custkey, and
+    // last(ignoreNulls) carries the in-effect attribute forward — no
+    // range join, no per-probe subquery. Probes sort after dim rows at
+    // equal timestamps (tag), and version order breaks same-day version
+    // ties.
+    "q_scd2_lookup" -> ((s, d) => {
+      val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val versions = Tables.orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .withColumn("chg",
+          when(lag("o_orderpriority", 1).over(byTime).isNull ||
+            lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum("chg").over(byTime))
+        .groupBy("o_custkey", "version", "o_orderpriority")
+        .agg(min("o_orderdate").as("t"))
+      val probes = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate").as("t"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val tagged = versions
+        .select(col("o_custkey"), col("t"), lit(0).as("tag"), col("version"),
+          col("o_orderpriority").as("prio"), lit(null).cast("double").as("rev"))
+        .unionAll(probes.select(col("o_custkey"), col("t"), lit(1).as("tag"),
+          lit(Long.MaxValue).as("version"), lit(null).cast("string").as("prio"),
+          col("rev")))
+      val merge = Window.partitionBy("o_custkey")
+        .orderBy("t", "tag", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("prio_at_ship", last("prio", ignoreNulls = true).over(merge))
+        .filter(col("tag") === 1)
+        .groupBy("prio_at_ship")
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum("rev") / 1e6, 3).as("rev_m"))
+        // the NULL group is real: this synthetic lineitem ships ~half
+        // its rows BEFORE the order date, so a probe can precede the
+        // customer's first version — "no version in effect yet"
+        .orderBy(asc_nulls_first("prio_at_ship"))
+    }),
+
     // --- Z-order (Morton) layout audit: interleave the low 8 bits of
     // (l_partkey, l_suppkey), bucket rows by the z-key's top 4 bits —
     // a range split over the z-curve, NO global sort — and report each
@@ -321,6 +366,42 @@ object WarehouseQueries {
         |  lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY version)
         |    AS effective_to
         |FROM versions ORDER BY o_custkey, version""".stripMargin,
+
+    "q_scd2_lookup" ->
+      """WITH obs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM obs),
+        |versions AS (
+        |  SELECT o_custkey, version, o_orderpriority, min(o_orderdate) AS t
+        |  FROM runs GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT o.o_custkey, l.l_shipdate AS t,
+        |    l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |tagged AS (
+        |  SELECT o_custkey, t, 0 AS tag, version, o_orderpriority AS prio,
+        |    NULL::DOUBLE AS rev
+        |  FROM versions
+        |  UNION ALL
+        |  SELECT o_custkey, t, 1, 9223372036854775807, NULL, rev FROM probes),
+        |m AS (
+        |  SELECT *, last_value(prio IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY t, tag, version
+        |    ROWS UNBOUNDED PRECEDING) AS prio_at_ship
+        |  FROM tagged)
+        |SELECT prio_at_ship, count(*) AS n_lineitems,
+        |  round(sum(rev) / 1e6, 3) AS rev_m
+        |FROM m WHERE tag = 1 GROUP BY 1
+        |ORDER BY 1 ASC NULLS FIRST""".stripMargin,
 
     "q_zorder_layout" -> {
       val z = zkey8Sql("p8", "s8")

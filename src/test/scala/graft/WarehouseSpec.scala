@@ -130,6 +130,57 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scd2_lookup matches a per-customer sequential timeline scan") {
+    val got = run("q_scd2_lookup").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
+    // driver-side recompute: walk each customer's (date, key, prio)
+    // observations in order, compress to version starts, then binary-
+    // search each lineitem's shipdate against the starts
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+    val custOf = orders.map(o => o._1 -> o._2).toMap
+    val timeline: Map[Long, Seq[(java.time.LocalDateTime, String)]] =
+      orders.groupBy(_._2).view.mapValues { os =>
+        val sorted = os.sortBy(o => (o._3.toString, o._1))
+        val starts = scala.collection.mutable.ArrayBuffer.empty[(java.time.LocalDateTime, String)]
+        var prev: String = null
+        sorted.foreach { o =>
+          if (o._4 != prev) { starts += ((o._3, o._4)); prev = o._4 }
+        }
+        starts.toSeq
+      }.toMap
+    val lineitems = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val want = scala.collection.mutable.Map.empty[Option[String], Long]
+      .withDefaultValue(0L)
+    lineitems.foreach { case (ok, ship) =>
+      val versions = timeline(custOf(ok))
+      val inEffect = versions.takeWhile(v => !v._1.isAfter(ship)).lastOption
+      want(inEffect.map(_._2)) += 1
+    }
+    assert(got.view.mapValues(identity).toMap == want.toMap)
+  }
+
+  test("q_group_sample: contiguous ranks, bounded size, rerun-identical") {
+    val q = graft.queries.CurationQueries.queries("q_group_sample")
+    val rows = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length).toSeq)
+      assert(rs.length == math.min(50, perLang(lang)))
+      assert(rs.map(_._3).distinct.length == rs.length)
+    }
+    val rerun = q(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == rerun.toSeq)
+  }
+
   test("q_interval_overlap: binned equi-join equals direct overlap scan") {
     val got = run("q_interval_overlap").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
