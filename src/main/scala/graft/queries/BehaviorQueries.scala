@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -144,6 +145,60 @@ object BehaviorQueries {
         .orderBy(col("rank").desc, col("node")).limit(10)
     }),
 
+    // --- two-sample Kolmogorov–Smirnov: exact D statistic between the
+    // value distributions of the stream's temporal halves, per event
+    // type — the "did this feature's distribution move" test that backs
+    // q_drift_psi with an exact nonparametric statistic. Distributed
+    // shape: one (type, value)-keyed hash agg, then windows PARTITIONED
+    // BY TYPE (cumulative CDFs sort each type's distinct values, never
+    // the raw events), max-abs-diff per type.
+    "q_ks_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      val cells = ev.crossJoin(broadcast(bounds))
+        .groupBy("event_type", "value")
+        .agg(sum(when(col("us") * 2 < col("mn") + col("mx"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("us") * 2 < col("mn") + col("mx"), 0L).otherwise(1L)).as("n_b"))
+      val byVal = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("event_type")
+      cells
+        .withColumn("ca", sum("n_a").over(byVal))
+        .withColumn("cb", sum("n_b").over(byVal))
+        .withColumn("ta", sum("n_a").over(whole))
+        .withColumn("tb", sum("n_b").over(whole))
+        .groupBy(col("event_type"), col("ta").as("n_a"), col("tb").as("n_b"))
+        .agg(round(max(abs(col("ca") / col("ta") - col("cb") / col("tb"))), 6)
+          .as("ks_d"))
+        .select("event_type", "n_a", "n_b", "ks_d")
+        .orderBy("event_type")
+    }),
+
+    // --- chi-square independence: event_type × user-cohort contingency
+    // table, per-type contribution Σ(o−e)²/e. The contingency is a
+    // BOUNDED hash agg (types × cohorts cells); marginals are windows
+    // over that tiny cell table, so the only corpus-sized work is the
+    // one grouped count.
+    "q_chi_square" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 4).as("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy("event_type")
+      val byCohort = Window.partitionBy("cohort")
+      val all = Window.partitionBy(lit(1))
+      cells
+        .withColumn("expected",
+          sum("n").over(byType) * sum("n").over(byCohort)
+            / sum("n").over(all).cast("double"))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          round(sum((col("n") - col("expected")) * (col("n") - col("expected"))
+            / col("expected")), 6).as("chi2_part"))
+        .orderBy("event_type")
+    }),
+
     // --- star join (TPC-H Q5 flavor): per-region revenue in a date
     // window across region⋈nation⋈customer⋈orders⋈lineitem. The three
     // dimension tables broadcast (they stay KB–MB at any TPC-H scale
@@ -175,6 +230,43 @@ object BehaviorQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev),
+        |cells AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN us * 2 < mn + mx THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN us * 2 < mn + mx THEN 0 ELSE 1 END) AS n_b
+        |  FROM ev CROSS JOIN b GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(n_a) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(n_b) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(n_a) OVER (PARTITION BY event_type) AS ta,
+        |    sum(n_b) OVER (PARTITION BY event_type) AS tb
+        |  FROM cells)
+        |SELECT event_type, ta::BIGINT AS n_a, tb::BIGINT AS n_b,
+        |  round(max(abs(ca / ta - cb / tb)), 6) AS ks_d
+        |FROM cum GROUP BY event_type, ta, tb
+        |ORDER BY event_type""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id % 4 AS cohort, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |exp_ AS (
+        |  SELECT event_type, cohort, n,
+        |    sum(n) OVER (PARTITION BY event_type)
+        |      * sum(n) OVER (PARTITION BY cohort)
+        |      / (sum(n) OVER ())::DOUBLE AS expected
+        |  FROM cells)
+        |SELECT event_type, sum(n)::BIGINT AS n_events,
+        |  round(sum((n - expected) * (n - expected) / expected), 6) AS chi2_part
+        |FROM exp_ GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_event_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view

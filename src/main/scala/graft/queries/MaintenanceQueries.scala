@@ -89,6 +89,44 @@ object MaintenanceQueries {
         (col("rows_before") === col("rows_after")).as("rows_ok"),
         (col("sum_before") === col("sum_after")).as("content_ok"),
         (col("files_before") === 64 && col("files_after") === 4).as("files_ok"))
+    }),
+
+    // --- snapshot versioning / time travel, partition-level
+    // copy-on-write: orders hash-partitioned into 4 directories;
+    // version 2 changes only keys ≡ 0 (mod 16) — every one lives in
+    // partition 0 — so the v2 snapshot REWRITES p0 AND REUSES v1's
+    // p1-p3 untouched (the manifest, not the data, carries the
+    // version). Reading AS OF v is a multi-path scan of the manifest's
+    // file list; the output proves both snapshots stay readable
+    // side-by-side and that v2 touched exactly one partition's worth
+    // of bytes. This is the Iceberg/Delta snapshot mechanic in its
+    // minimal form — at 100 TB, time travel costs one partition
+    // rewrite, never a table copy.
+    "q_time_travel" -> ((s, d) => {
+      val base = "/tmp/graft_io/time_travel"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      (0 to 3).foreach { p =>
+        o.filter(col("p") === p).drop("p")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/v1/p$p")
+      }
+      // v2: +10% on keys % 16 == 0 → all in partition 0; rewrite only p0
+      o.filter(col("p") === 0).drop("p")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 16 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v2/p0")
+      val manifest: Map[Int, Seq[String]] = Map(
+        1 -> (0 to 3).map(p => s"$base/v1/p$p"),
+        2 -> (s"$base/v2/p0" +: (1 to 3).map(p => s"$base/v1/p$p")))
+      val snap = (v: Int) => s.read.parquet(manifest(v): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      snap(1).unionAll(snap(2))
+        .withColumn("reused_partitions", lit(3))
+        .orderBy("version")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -112,5 +150,19 @@ object MaintenanceQueries {
       """SELECT count(*) AS rows_after,
         |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
         |  true AS rows_ok, true AS content_ok, true AS files_ok
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+
+    "q_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n_rows,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
+        |  3 AS reused_partitions
+        |FROM orders
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  round(sum((CASE WHEN o_orderkey % 16 = 0
+        |    THEN o_totalprice * 1.1 ELSE o_totalprice END)::DECIMAL(30,12)),
+        |    4)::DOUBLE,
+        |  3
+        |FROM orders
+        |ORDER BY version""".stripMargin)
 }

@@ -131,4 +131,37 @@ class BehaviorSpec extends AnyFunSuite {
       assert(math.abs(got(rn) - v.toDouble) < 0.01, s"$rn: ${got(rn)} vs $v")
     }
   }
+
+  test("q_ks_test matches a driver-side exact two-sample D") {
+    val evs = Tables.events(spark, sf)
+      .select("event_type", "value", "ts").collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000))
+    val mn = evs.map(_._3).min; val mx = evs.map(_._3).max
+    val got = BehaviorQueries.queries("q_ks_test")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    evs.groupBy(_._1).foreach { case (t, es) =>
+      val (a, b) = es.partition(e => e._3 * 2 < mn + mx)
+      val va = a.map(_._2).sorted; val vb = b.map(_._2).sorted
+      val thresholds = (va ++ vb).distinct.sorted
+      val d = thresholds.map { x =>
+        math.abs(va.count(_ <= x).toDouble / va.length
+          - vb.count(_ <= x).toDouble / vb.length)
+      }.max
+      val (na, nb, ksd) = got(t)
+      assert(na == va.length && nb == vb.length)
+      assert(math.abs(ksd - d) < 1e-4, s"$t: ks_d $ksd vs driver $d")
+      assert(ksd >= 0.0 && ksd <= 1.0)
+    }
+  }
+
+  test("q_chi_square: non-negative parts, events fully covered") {
+    val rows = BehaviorQueries.queries("q_chi_square")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._2).sum == Tables.events(spark, sf).count())
+    rows.foreach { case (t, n, chi2) =>
+      assert(n > 0)
+      assert(chi2 >= 0.0, s"$t negative chi2 $chi2")
+    }
+  }
 }
