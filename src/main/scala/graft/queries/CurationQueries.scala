@@ -65,6 +65,46 @@ object CurationQueries {
           round(col("key_raw") * 1e4, 6).as("es_key_e4"))
     }),
 
+    // --- BPE merge LEARNING (3 rounds): the iterative half of the
+    // tokenizer-training loop that q_bpe_pairs only scores once. Each
+    // round is (a) adjacent-pair counts over the current symbol
+    // sequences — streamed off the split array by the pos_ngrams
+    // generator, one corpus-wide hash agg — (b) argmax pair by
+    // (count desc, pair asc) as a 1-row broadcast, (c) merge applied
+    // as TWO passes of codegen'd non-overlapping replace (pass 1 can
+    // skip an occurrence whose leading space the previous match
+    // consumed; pass 2 catches exactly those — the two-pass semantics
+    // is the documented contract, identical in the oracle). Merged
+    // symbols join with U+001F so later rounds can pick pairs built
+    // from earlier merges. 100 TB shape: per round one bounded agg +
+    // one broadcast + one scan-stage rewrite; rounds scale as O(R)
+    // corpus scans, state never leaves the executors.
+    "q_bpe_learn" -> ((s, d) => {
+      val sep = "\u001f"
+      var cur = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("s"))
+      var tops: Seq[DataFrame] = Nil
+      for (r <- 1 to 3) {
+        val top1 = cur
+          .select(pos_ngrams(split(trim(col("s"), " "), " "), 2).as(Seq("pos", "gram")))
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("gram")).limit(1)
+        tops = tops :+ top1.select(lit(r).as("round"), col("gram").as("pair"),
+          col("n").as("n_pair"))
+        cur = cur.crossJoin(broadcast(top1.select(col("gram").as("g"))))
+          .withColumn("pat", concat(lit(" "), col("g"), lit(" ")))
+          .withColumn("rep",
+            concat(lit(" "), translate(col("g"), " ", sep), lit(" ")))
+          .withColumn("s", expr("replace(replace(s, pat, rep), pat, rep)"))
+          .select("doc_id", "s")
+      }
+      val symCount = cur
+        .select(size(split(trim(col("s"), " "), " ")).cast("long").as("k"))
+        .agg(sum("k").as("n_pair"))
+        .select(lit(4).as("round"), lit("TOTAL_SYMBOLS").as("pair"), col("n_pair"))
+      tops.reduce(_ unionAll _).unionAll(symCount).orderBy("round")
+    }),
+
     // --- per-group weighted reservoir: the E-S key again, but drawn
     // per LANGUAGE through the bounded TopKAgg heap — each (partition,
     // lang) keeps a 50-element min-heap, so the shuffle carries ≤ 50
@@ -359,7 +399,46 @@ object CurationQueries {
           countDistinct(col("o_orderkey")).as("n_keys"))
     }))
 
+  /** DuckDB twin of q_bpe_learn, 3 rounds unrolled: round r counts
+    * adjacent pairs over d(r-1), t_r is the argmax pair, d_r applies the
+    * same two-pass replace with chr(31) joining merged symbols. */
+  private def bpeLearnOracle: String = {
+    def pairs(dPrev: String, t: String): String =
+      s"""$t AS (
+         |  SELECT gram, count(*) AS n FROM (
+         |    SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS gram
+         |    FROM (SELECT string_split(trim(s, ' '), ' ') AS tk FROM $dPrev))
+         |  GROUP BY 1 ORDER BY n DESC, gram LIMIT 1)""".stripMargin
+    def merge(dPrev: String, t: String, dNext: String): String =
+      s"""$dNext AS (
+         |  SELECT doc_id, replace(replace(s,
+         |      ' ' || (SELECT gram FROM $t) || ' ',
+         |      ' ' || replace((SELECT gram FROM $t), ' ', chr(31)) || ' '),
+         |      ' ' || (SELECT gram FROM $t) || ' ',
+         |      ' ' || replace((SELECT gram FROM $t), ' ', chr(31)) || ' ') AS s
+         |  FROM $dPrev)""".stripMargin
+    s"""WITH d0 AS (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(list_filter(string_split(lower(text), ' '),
+       |        t -> t <> ''), ' ') || ' ' AS s
+       |  FROM documents),
+       |${pairs("d0", "t1")},
+       |${merge("d0", "t1", "d1")},
+       |${pairs("d1", "t2")},
+       |${merge("d1", "t2", "d2")},
+       |${pairs("d2", "t3")},
+       |${merge("d2", "t3", "d3")}
+       |SELECT 1 AS round, gram AS pair, n AS n_pair FROM t1
+       |UNION ALL SELECT 2, gram, n FROM t2
+       |UNION ALL SELECT 3, gram, n FROM t3
+       |UNION ALL SELECT 4, 'TOTAL_SYMBOLS',
+       |  (SELECT sum(len(string_split(trim(s, ' '), ' ')))::BIGINT FROM d3)
+       |ORDER BY round""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_learn" -> bpeLearnOracle,
+
     "q_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, n_chars,

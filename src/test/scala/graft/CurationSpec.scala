@@ -146,6 +146,34 @@ class CurationSpec extends AnyFunSuite {
     assert(sample.toSeq == rerun.toSeq)
   }
 
+  test("q_bpe_learn: round-1 argmax matches a driver-side scan; merges shrink the corpus") {
+    val rows = CurationQueries.queries("q_bpe_learn")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 4)
+    // driver-side round-1 recompute: adjacent-pair counts over tokens
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    var baseSymbols = 0L
+    Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      val tk = r.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      baseSymbols += math.max(tk.length, 1) // split('') = [""] in the query
+      tk.sliding(2).foreach {
+        case Array(a, b) =>
+          val g = s"$a $b"; counts(g) = counts.getOrElse(g, 0L) + 1L
+        case _ =>
+      }
+    }
+    val (bestPair, bestN) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+    assert(rows(0)._2 == bestPair && rows(0)._3 == bestN,
+      s"round 1 got ${rows(0)}, driver says ($bestPair, $bestN)")
+    // every round with a positive count performs >=1 merge (each -1
+    // symbol); a round can't merge more occurrences than it counted
+    // (overlaps may merge fewer)
+    val merged = rows.take(3).map(_._3).sum
+    assert(rows(3)._3 <= baseSymbols - 3, "three rounds must each merge something")
+    assert(rows(3)._3 >= baseSymbols - merged,
+      "cannot shrink by more than the selected pair counts")
+  }
+
   test("q_dataset_split: halves cover the corpus at ~80/10/10") {
     val rows = CurationQueries.queries("q_dataset_split")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2)))
