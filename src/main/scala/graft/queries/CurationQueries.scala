@@ -97,6 +97,10 @@ object CurationQueries {
             concat(lit(" "), translate(col("g"), " ", sep), lit(" ")))
           .withColumn("s", expr("replace(replace(s, pat, rep), pat, rep)"))
           .select("doc_id", "s")
+          // materialize each round's merge once: without this, round r
+          // re-derives every earlier round's replace from the scan
+          // (O(R²) corpus passes; measured 4.2→~2.5s at sf0.1)
+          .localCheckpoint()
       }
       val symCount = cur
         .select(size(split(trim(col("s"), " "), " ")).cast("long").as("k"))

@@ -182,9 +182,39 @@ object SourceQueries {
       .groupBy("cat")
       .agg(count(lit(1)).as("n"), round(sum("val"), 4).as("sum_val"),
         min("id").as("min_id"), max("id").as("max_id"))
-      .orderBy("cat")))
+      .orderBy("cat")),
+
+    // DataSource V2 WRITE path (2a engine tier): push a deterministic
+    // slice of orders through the `graftmem` connector's transactional
+    // protocol — per-partition DataWriters, task commit messages, one
+    // atomic job commit — overwrite it with a second (narrower) write
+    // to prove truncate semantics, then read the committed snapshot
+    // back through the connector's own sliced scan. The oracle sees
+    // only the SECOND write: an aborted or partial first job could
+    // never leak into it.
+    "q_dsv2_write" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 3 === 0)
+        .write.format("graftmem").option("table", "orders_w").mode("overwrite").save()
+      // second write REPLACES the first (SupportsTruncate → atomic swap)
+      o.filter(col("o_orderkey") % 21 === 0)
+        .write.format("graftmem").option("table", "orders_w").mode("overwrite").save()
+      s.read.format("graftmem").option("table", "orders_w").option("parts", 4).load()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderstatus")
+    }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dsv2_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price
+        |FROM orders WHERE o_orderkey % 21 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dsv2_scan" ->
       """SELECT 'c' || (i % 7) AS cat, count(*) AS n,
         |  round(sum(((i * 2654435761) % 1000) / 10.0), 4) AS sum_val,

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `graftmem` — the WRITE half of the DataSource V2 surface
+ * (SURVEY.md §2a engine tier; read half = [[GraftGenSource]]): a named
+ * in-memory table store exercising the full connector write protocol —
+ * `WriteBuilder` (with `SupportsTruncate` for overwrite), `BatchWrite`,
+ * per-partition `DataWriter`s whose buffered rows travel to the driver
+ * as `WriterCommitMessage`s, and an ATOMIC `commit()` that publishes
+ * all partitions at once (readers see the old snapshot until commit
+ * returns; `abort()` discards everything, so a failed job leaves the
+ * table untouched — the transactional contract files get from a
+ * manifest swap, here from one volatile reference swap).
+ *
+ * Scope: rows-through-commit-messages is the pattern of Spark's own
+ * memory/noop sinks and is single-process by design — the right shape
+ * for tests and for the protocol demonstration. A production writer
+ * ships FILES and commits a manifest (exactly the mechanic
+ * `q_time_travel` builds at the query level); the protocol surface
+ * (task commit → job commit → atomic publish) is identical.
+ *
+ * Supported column types: BIGINT, INT, DOUBLE, STRING, BOOLEAN
+ * (commit messages carry JVM-serializable copies).
+ */
+class GraftMemSink extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graftmem"
+  // on read: the committed schema; on first write: empty (the table
+  // accepts the incoming write schema via ACCEPT_ANY_SCHEMA)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftMemStore.tables.get(GraftMemStore.nameOf(options))
+      .map(_.schema).getOrElse(new StructType())
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftMemTable(
+      GraftMemStore.nameOf(new CaseInsensitiveStringMap(properties)),
+      new CaseInsensitiveStringMap(properties).getInt("parts", 4))
+}
+
+/** Driver-side table registry: one atomic reference per table name. */
+object GraftMemStore {
+  case class Committed(schema: StructType, rows: Array[Array[Any]])
+  val tables: TrieMap[String, Committed] = TrieMap.empty
+  def nameOf(options: CaseInsensitiveStringMap): String =
+    options.getOrDefault("table", "default")
+
+  def toJvm(row: InternalRow, schema: StructType): Array[Any] = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      out(i) =
+        if (row.isNullAt(i)) null
+        else schema(i).dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case BooleanType => row.getBoolean(i)
+          case StringType => row.getUTF8String(i).toString
+          case t => throw new IllegalArgumentException(
+            s"graftmem does not support ${t.catalogString}")
+        }
+      i += 1
+    }
+    out
+  }
+
+  def toInternal(vals: Array[Any], schema: StructType): InternalRow = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      out(i) = (vals(i), schema(i).dataType) match {
+        case (null, _) => null
+        case (v: String, StringType) => UTF8String.fromString(v)
+        case (v, _) => v
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}
+
+class GraftMemTable(tableName: String, parts: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graftmem($tableName)"
+  override def schema(): StructType =
+    GraftMemStore.tables.get(tableName).map(_.schema).getOrElse(new StructType())
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  // ---- read path: range-sliced scan over the committed snapshot ----
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan with Batch {
+      private val snap = GraftMemStore.tables.getOrElse(tableName,
+        throw new IllegalStateException(s"graftmem table $tableName not committed"))
+      override def readSchema(): StructType = snap.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val n = snap.rows.length
+        val per = math.max(1, (n + parts - 1) / parts)
+        (0 until n by per).map(start =>
+          MemSlice(tableName, start, math.min(start + per, n)): InputPartition)
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        (p: InputPartition) => new PartitionReader[InternalRow] {
+          private val MemSlice(t, start, end) = p.asInstanceOf[MemSlice]
+          private val snap = GraftMemStore.tables(t)
+          private var i = start - 1
+          override def next(): Boolean = { i += 1; i < end }
+          override def get(): InternalRow =
+            GraftMemStore.toInternal(snap.rows(i), snap.schema)
+          override def close(): Unit = ()
+        }
+    }
+
+  // ---- write path: task buffers -> commit messages -> atomic publish ----
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // overwrite mode arrives here; both paths publish via the same
+      // atomic swap, so truncate needs no extra state
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val schema = info.schema()
+          override def createBatchWriterFactory(
+              pi: PhysicalWriteInfo): DataWriterFactory =
+            MemWriterFactory(schema)
+          override def commit(messages: Array[WriterCommitMessage]): Unit = {
+            val all = messages.flatMap(_.asInstanceOf[MemCommit].rows)
+            // single volatile swap = atomic publish of every partition
+            GraftMemStore.tables.put(tableName,
+              GraftMemStore.Committed(schema, all))
+          }
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+}
+
+case class MemSlice(table: String, start: Int, end: Int) extends InputPartition
+
+case class MemCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+case class MemWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(row: InternalRow): Unit =
+        buf += GraftMemStore.toJvm(row, schema)
+      override def commit(): WriterCommitMessage = MemCommit(buf.toArray)
+      // a failed task discards its buffer; the job sees only committed
+      // task messages, so retries cannot double-write
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

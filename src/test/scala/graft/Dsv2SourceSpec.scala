@@ -60,4 +60,47 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val df = gen(1000, 4).filter(col("id") >= 5000L)
     assert(df.count() == 0L)
   }
+
+  // ---- graftmem: the WRITE half of the connector surface ----
+
+  test("graftmem roundtrips a write and slices the read into partitions") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 2).cast("double").as("v"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("tag"))
+    df.write.format("graftmem").option("table", "spec_rt").mode("overwrite").save()
+    val back = spark.read.format("graftmem")
+      .option("table", "spec_rt").option("parts", 4).load()
+    assert(back.count() == 100)
+    assert(back.agg(sum("v")).collect()(0).getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+    val parts = back.groupBy(spark_partition_id()).count().collect()
+    assert(parts.length == 4, s"expected 4 read slices, got ${parts.length}")
+  }
+
+  test("graftmem overwrite is an atomic replace — readers never see a blend") {
+    spark.range(50).select(col("id"), lit(1.0).as("v"), lit("a").as("tag"))
+      .write.format("graftmem").option("table", "spec_ow").mode("overwrite").save()
+    spark.range(7).select(col("id"), lit(2.0).as("v"), lit("b").as("tag"))
+      .write.format("graftmem").option("table", "spec_ow").mode("overwrite").save()
+    val rows = spark.read.format("graftmem").option("table", "spec_ow").load()
+      .select("tag").distinct().collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("b"))
+    assert(spark.read.format("graftmem").option("table", "spec_ow").load()
+      .count() == 7)
+  }
+
+  test("graftmem failed job leaves the previous snapshot intact") {
+    spark.range(10).select(col("id"), lit(1.0).as("v"), lit("keep").as("tag"))
+      .write.format("graftmem").option("table", "spec_ab").mode("overwrite").save()
+    // a write whose tasks throw (ANSI division by zero): job fails ->
+    // commit() never runs -> the previous snapshot stays installed
+    val bad = spark.range(10).select(col("id"),
+      (lit(1.0) / (col("id") - col("id"))).as("v"),
+      lit("bad").as("tag"))
+    intercept[Exception] {
+      bad.write.format("graftmem").option("table", "spec_ab").mode("overwrite").save()
+    }
+    val tags = spark.read.format("graftmem").option("table", "spec_ab").load()
+      .select("tag").distinct().collect().map(_.getString(0))
+    assert(tags.toSeq == Seq("keep"), "failed job must not replace the snapshot")
+  }
 }
