@@ -159,7 +159,49 @@ object VectorQueries {
       .limit(10)
   }
 
+  private val kmDims = 1 to 8
+
+  /** Left-assoc squared-distance chain over the first 8 dims — written
+    * identically in the DuckDB oracle so the IEEE result is identical. */
+  private def kmDist = kmDims
+    .map(i => (col(s"x$i") - col(s"c$i")) * (col(s"x$i") - col(s"c$i")))
+    .reduce(_ + _)
+
   val queries: Map[String, Q] = Map(
+
+    // --- distributed k-means (Lloyd, 3 iterations, k = 10 label
+    // prototypes as seed): assignment = k-way broadcast join + argmin
+    // (min over (dist, cid) structs — deterministic tie-break),
+    // re-estimation = one bounded hash agg whose per-dim means use
+    // DECIMAL sums (exact, associative — the floating sum order of a
+    // distributed agg would otherwise leak into centroid LSBs and flip
+    // borderline assignments between engines). Per iteration: one scan,
+    // one broadcast, one agg — the canonical scale shape; clusters that
+    // lose every point drop out (none do on this data).
+    "q_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id") +: col("label") +:
+          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      def centroids(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.groupBy(key.as("cid")).agg(
+          count(lit(1)).as("cn"),
+          kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+            / count(lit(1))).as(s"c$i")): _*)
+      var cent = centroids(emb, col("label"))
+      for (_ <- 1 to 3) {
+        val assigned = emb
+          .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
+          .withColumn("dc", struct(kmDist.as("d"), col("cid").as("c")))
+          .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+          .agg(min("dc").as("m"))
+          .select(col("m.c").as("asg") +: kmDims.map(i => col(s"x$i")): _*)
+        cent = centroids(assigned, col("asg"))
+      }
+      cent.select(col("cid"), col("cn").as("n"),
+          round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
+          round(col("c3"), 4).as("c3"), round(col("c4"), 4).as("c4"))
+        .orderBy("cid")
+    }),
 
     "q_knn_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
@@ -224,7 +266,38 @@ object VectorQueries {
         round(avg(element_at(col("embedding"), 1)), 4).as("avg_c0"))
       .orderBy("label")))
 
+  /** DuckDB twin of q_kmeans: 3 Lloyd iterations unrolled, identical
+    * decimal-exact centroid sums and left-assoc distance chains. */
+  private def kmeansOracle: String = {
+    val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
+    def cent(src: String, key: String, out: String): String = {
+      val cs = kmDims.map(i =>
+        s"sum(x$i::DECIMAL(20,10))::DOUBLE / count(*) AS c$i").mkString(", ")
+      s"$out AS (SELECT $key AS cid, count(*) AS cn, $cs FROM $src GROUP BY 1)"
+    }
+    def assign(centSrc: String, out: String): String = {
+      val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
+      val keep = kmDims.map(i => s"x$i").mkString(", ")
+      s"""$out AS (
+         |  SELECT vec_id, $keep, (min({'d': $dist, 'c': cid})).c AS asg
+         |  FROM emb CROSS JOIN $centSrc GROUP BY vec_id, $keep)""".stripMargin
+    }
+    s"""WITH emb AS (SELECT vec_id, label, $xs FROM embeddings),
+       |${cent("emb", "label", "k0")},
+       |${assign("k0", "a1")},
+       |${cent("a1", "asg", "k1")},
+       |${assign("k1", "a2")},
+       |${cent("a2", "asg", "k2")},
+       |${assign("k2", "a3")},
+       |${cent("a3", "asg", "k3")}
+       |SELECT cid, cn AS n, round(c1, 4) AS c1, round(c2, 4) AS c2,
+       |  round(c3, 4) AS c3, round(c4, 4) AS c4
+       |FROM k3 ORDER BY cid""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracle,
+
     "q_knn_brute" ->
       """SELECT e.vec_id,
         |  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.VectorQueries
+
+/**
+ * q_kmeans: full driver-side Lloyd recompute (BigDecimal centroid sums,
+ * the same exact-arithmetic design as the query) and the monotone-
+ * inertia property every correct Lloyd implementation has.
+ */
+class KMeansSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+  private val D = 8
+
+  private def lloyd(vecs: Array[(Long, Int, Array[Double])], iters: Int)
+      : (Map[Int, (Long, Array[Double])], Seq[Double]) = {
+    def centroids(groups: Map[Int, Array[Array[Double]]]) =
+      groups.map { case (cid, xs) =>
+        val sums = Array.fill(D)(BigDecimal(0))
+        xs.foreach { x =>
+          (0 until D).foreach { i =>
+            sums(i) += BigDecimal(x(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+        cid -> (xs.length.toLong, sums.map(s => s.toDouble / xs.length))
+      }
+    var cent = centroids(vecs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap)
+    val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to iters).foreach { _ =>
+      val assigned = vecs.map { case (id, _, x) =>
+        val best = cent.toSeq.map { case (cid, (_, c)) =>
+          val d = (0 until D).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+          (d, cid)
+        }.min
+        (id, best._2, x, best._1)
+      }
+      inertias += assigned.map(_._4).sum
+      cent = centroids(assigned.groupBy(_._2).view.mapValues(_.map(_._3)).toMap)
+    }
+    (cent, inertias.toSeq)
+  }
+
+  private lazy val vecs: Array[(Long, Int, Array[Double])] =
+    Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).take(D).map(_.toDouble).toArray))
+
+  test("q_kmeans matches a driver-side exact-arithmetic Lloyd run") {
+    val got = VectorQueries.queries("q_kmeans")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (want, _) = lloyd(vecs, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (cid, (n, cs)) =>
+      val (wn, wc) = want(cid)
+      assert(n == wn, s"cluster $cid size $n vs $wn")
+      (0 until 4).foreach { i =>
+        assert(math.abs(cs(i) - wc(i)) < 5e-4,
+          s"cluster $cid dim $i: ${cs(i)} vs ${wc(i)}")
+      }
+    }
+  }
+
+  test("Lloyd inertia is non-increasing across the unrolled iterations") {
+    val (_, inertias) = lloyd(vecs, 3)
+    inertias.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-9, s"inertia rose: $a -> $b")
+      case _ =>
+    }
+  }
+}
