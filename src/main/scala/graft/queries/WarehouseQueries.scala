@@ -142,24 +142,35 @@ object WarehouseQueries {
     }),
 
     // --- skew-salted join: ~every 4th fact row shares ONE hot key (0);
-    // the fix is mechanical — fact side gets salt = hash(row identity)
-    // mod 16, dim side is exploded 16×, the join key becomes (key,
-    // salt) so the hot key's rows spread over 16 tasks instead of one.
-    // The merge hint forces the shuffle join the technique exists for
-    // (a broadcast would hide the skew — and at 100 TB the dim side of
-    // a skewed join is rarely broadcastable). Salt never reaches the
-    // output: the aggregate collapses it, so the oracle is the plain
-    // unsalted join.
+    // the fix is mechanical and TARGETED — fact rows on a hot key get
+    // salt = hash(row identity) mod 16, all other rows salt 0; the dim
+    // side replicates ONLY its hot rows 16× (cold rows pass through
+    // once, salt 0). The join key becomes (key, salt), so the hot key's
+    // rows spread over 16 tasks while the dim shuffle grows by just
+    // 16 × |hot set| rows — replicating the WHOLE dim side instead
+    // measured 15× at the 10× scale test and is the classic salting
+    // mistake. The merge hint forces the shuffle join the technique
+    // exists for (a broadcast would hide the skew — and at 100 TB the
+    // dim side of a skewed join is rarely broadcastable). Salt never
+    // reaches the output: the aggregate collapses it, so the oracle is
+    // the plain unsalted join.
     "q_salted_join" -> ((s, d) => {
+      val hot = lit(0L) // the known hot key (from stats / AQE skew metrics)
       val fact = Tables.lineitem(s, d)
         .select(
           when(col("l_linenumber") === 1, 0L).otherwise(col("l_orderkey")).as("k"),
           col("l_quantity"), col("l_returnflag"),
-          pmod(xxhash64(col("l_orderkey") * 7 + col("l_linenumber")), lit(16L)).as("salt"))
+          pmod(xxhash64(col("l_orderkey") * 7 + col("l_linenumber")), lit(16L))
+            .as("rowhash"))
+        .withColumn("salt",
+          when(col("k") === hot, col("rowhash")).otherwise(lit(0L)))
+        .drop("rowhash")
       val dim = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
         .unionAll(s.range(1).select(lit(0L).as("k"), lit(100.0).as("price")))
-        .withColumn("salt", explode(sequence(lit(0L), lit(15L))))
+        .withColumn("salt",
+          explode(when(col("k") === hot, sequence(lit(0L), lit(15L)))
+            .otherwise(array(lit(0L)))))
       fact.hint("merge").join(dim, Seq("k", "salt"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
