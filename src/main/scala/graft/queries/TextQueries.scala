@@ -192,6 +192,32 @@ object TextQueries {
         .limit(15)
     }),
 
+    // --- bigram LM quality scoring (CCNet-style perplexity filter):
+    // train the MLE bigram model ON the corpus (global pair counts +
+    // left-token totals — two hash aggs over the generator stream) and
+    // score each doc by avg ln p(w2|w1) and its perplexity exp(-avg).
+    // The model stays DISTRIBUTED: docs join the count tables on the
+    // gram key (vocabulary-sized relations, no broadcast), so the same
+    // plan trains-and-scores at any corpus size; scored docs are
+    // filtered BEFORE the join, the model side never is.
+    "q_lm_score" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), pos_ngrams(col("tk"), 2).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("gram"),
+          substring_index(col("gram"), " ", 1).as("left_"))
+      val cg = bg.groupBy("gram").agg(count(lit(1)).as("c"))
+      val cl = bg.groupBy("left_").agg(count(lit(1)).as("m"))
+      val lp = log(col("c").cast("double") / col("m"))
+      bg.filter(col("doc_id") % 7 === 0)
+        .join(cg, "gram").join(cl, "left_")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(lp), 4).as("avg_logp"),
+          round(exp(-avg(lp)), 4).as("ppl"))
+        .orderBy("doc_id")
+    }),
+
     // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
     "q_dedup_exact" -> ((s, d) => Tables.documents(s, d)
       .groupBy("lang")
@@ -788,6 +814,26 @@ object TextQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([{'g': tk[i] || ' ' || tk[i+1], 'l': tk[i]}
+        |      FOR i IN range(1, len(tk))]) AS s
+        |  FROM toks),
+        |b AS (SELECT doc_id, s.g AS gram, s.l AS left_ FROM bg),
+        |cg AS (SELECT gram, count(*) AS c FROM b GROUP BY 1),
+        |cl AS (SELECT left_, count(*) AS m FROM b GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(c::DOUBLE / m)), 4) AS avg_logp,
+        |  round(exp(-avg(ln(c::DOUBLE / m))), 4) AS ppl
+        |FROM b JOIN cg USING (gram) JOIN cl USING (left_)
+        |WHERE doc_id % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_trigram_topk" ->
       """WITH toks AS (
         |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

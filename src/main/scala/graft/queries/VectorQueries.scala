@@ -167,6 +167,33 @@ object VectorQueries {
     .map(i => (col(s"x$i") - col(s"c$i")) * (col(s"x$i") - col(s"c$i")))
     .reduce(_ + _)
 
+  /** 3 Lloyd iterations (k = 10 label-prototype seed); see q_kmeans for
+    * the determinism design. Returns (final assignment (vec_id, asg,
+    * x1..x8), final centroids (cid, cn, c1..c8)). */
+  private def kmRun(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id") +: col("label") +:
+        kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+    def centroids(df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.groupBy(key.as("cid")).agg(
+        count(lit(1)).as("cn"),
+        kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as(s"c$i")): _*)
+    def assign(cent: DataFrame) = emb
+      .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
+      .withColumn("dc", struct(kmDist.as("d"), col("cid").as("c")))
+      .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+      .agg(min("dc").as("m"))
+      .select(col("m.c").as("asg") +: col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+    var cent = centroids(emb, col("label"))
+    var assigned = assign(cent)
+    for (_ <- 1 to 2) {
+      cent = centroids(assigned, col("asg"))
+      assigned = assign(cent)
+    }
+    (assigned, centroids(assigned, col("asg")))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- distributed k-means (Lloyd, 3 iterations, k = 10 label
@@ -179,27 +206,42 @@ object VectorQueries {
     // one broadcast, one agg — the canonical scale shape; clusters that
     // lose every point drop out (none do on this data).
     "q_kmeans" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(
-        col("vec_id") +: col("label") +:
-          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
-      def centroids(df: DataFrame, key: org.apache.spark.sql.Column) =
-        df.groupBy(key.as("cid")).agg(
-          count(lit(1)).as("cn"),
-          kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
-            / count(lit(1))).as(s"c$i")): _*)
-      var cent = centroids(emb, col("label"))
-      for (_ <- 1 to 3) {
-        val assigned = emb
-          .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
-          .withColumn("dc", struct(kmDist.as("d"), col("cid").as("c")))
-          .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
-          .agg(min("dc").as("m"))
-          .select(col("m.c").as("asg") +: kmDims.map(i => col(s"x$i")): _*)
-        cent = centroids(assigned, col("asg"))
-      }
+      val (_, cent) = kmRun(s, d)
       cent.select(col("cid"), col("cn").as("n"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
           round(col("c3"), 4).as("c3"), round(col("c4"), 4).as("c4"))
+        .orderBy("cid")
+    }),
+
+    // --- semantic dedup (SemDeDup shape): within each k-means cluster,
+    // the member closest to the centroid becomes the cluster
+    // representative (medoid; argmin over (dist, vec_id) structs), and
+    // members whose cosine to the representative exceeds 0.95 are
+    // counted as semantic duplicates. Cluster granularity bounds the
+    // candidate comparisons — every member compares against ONE rep
+    // (broadcast k rows), never pairwise, which is what makes
+    // embedding dedup tractable at corpus scale.
+    "q_semantic_dedup" -> ((s, d) => {
+      val (assigned, cent) = kmRun(s, d)
+      val withDist = assigned.withColumnRenamed("asg", "cid")
+        .join(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)), "cid")
+      val reps = withDist
+        .withColumn("dv", struct(
+          kmDist.as("d") +: col("vec_id").as("v") +:
+            kmDims.map(i => col(s"x$i").as(s"r$i")): _*))
+        .groupBy("cid").agg(min("dv").as("rep"))
+        .select(col("cid") +: col("rep.v").as("rep_id") +:
+          kmDims.map(i => col(s"rep.r$i").as(s"r$i")): _*)
+      val dot = kmDims.map(i => col(s"x$i") * col(s"r$i")).reduce(_ + _)
+      val nx = sqrt(kmDims.map(i => col(s"x$i") * col(s"x$i")).reduce(_ + _))
+      val nr = sqrt(kmDims.map(i => col(s"r$i") * col(s"r$i")).reduce(_ + _))
+      assigned.withColumnRenamed("asg", "cid")
+        .join(broadcast(reps), "cid")
+        .withColumn("is_dup",
+          col("vec_id") =!= col("rep_id") && dot / (nx * nr) >= 0.95)
+        .groupBy(col("cid"), col("rep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
         .orderBy("cid")
     }),
 
@@ -266,9 +308,10 @@ object VectorQueries {
         round(avg(element_at(col("embedding"), 1)), 4).as("avg_c0"))
       .orderBy("label")))
 
-  /** DuckDB twin of q_kmeans: 3 Lloyd iterations unrolled, identical
-    * decimal-exact centroid sums and left-assoc distance chains. */
-  private def kmeansOracle: String = {
+  /** Shared CTE chain for the k-means oracles: 3 Lloyd iterations
+    * unrolled, identical decimal-exact centroid sums and left-assoc
+    * distance chains; ends with assignment `a3` and centroids `k3`. */
+  private def kmeansCtes: String = {
     val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
     def cent(src: String, key: String, out: String): String = {
       val cs = kmDims.map(i =>
@@ -289,14 +332,39 @@ object VectorQueries {
        |${assign("k1", "a2")},
        |${cent("a2", "asg", "k2")},
        |${assign("k2", "a3")},
-       |${cent("a3", "asg", "k3")}
+       |${cent("a3", "asg", "k3")}""".stripMargin
+  }
+
+  private def kmeansOracle: String =
+    s"""$kmeansCtes
        |SELECT cid, cn AS n, round(c1, 4) AS c1, round(c2, 4) AS c2,
        |  round(c3, 4) AS c3, round(c4, 4) AS c4
        |FROM k3 ORDER BY cid""".stripMargin
+
+  private def semanticDedupOracle: String = {
+    val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
+    val repFields = (s"'v': vec_id" +:
+      kmDims.map(i => s"'r$i': x$i")).mkString(", ")
+    val dot = kmDims.map(i => s"x$i * r$i").mkString(" + ")
+    val nx = kmDims.map(i => s"x$i * x$i").mkString(" + ")
+    val nr = kmDims.map(i => s"r$i * r$i").mkString(" + ")
+    val repCols = kmDims.map(i => s"(rep).r$i AS r$i").mkString(", ")
+    s"""$kmeansCtes,
+       |reps AS (
+       |  SELECT asg AS cid, min({'d': $dist, $repFields}) AS rep
+       |  FROM a3 JOIN k3 ON a3.asg = k3.cid GROUP BY 1),
+       |repx AS (SELECT cid, (rep).v AS rep_id, $repCols FROM reps)
+       |SELECT cid, rep_id, count(*) AS n_members,
+       |  sum(CASE WHEN vec_id <> rep_id
+       |    AND ($dot) / (sqrt($nx) * sqrt($nr)) >= 0.95
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_dups
+       |FROM a3 JOIN repx ON a3.asg = repx.cid
+       |GROUP BY 1, 2 ORDER BY cid""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
+    "q_semantic_dedup" -> semanticDedupOracle,
 
     "q_knn_brute" ->
       """SELECT e.vec_id,

@@ -208,4 +208,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("q_lm_score matches a driver-side MLE bigram model") {
+    val rows = graft.queries.TextQueries.queries("q_lm_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // driver model: global bigram + left-token counts, then score docs
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val cg = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, tk) =>
+      tk.sliding(2).foreach {
+        case Array(a, b) => cg((a, b)) = cg.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val cl = cg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    rows.foreach { case (docId, nBg, avgLp, ppl) =>
+      val tk = docs.find(_._1 == docId).get._2
+      val lps = tk.sliding(2).collect {
+        case Array(a, b) => math.log(cg((a, b)).toDouble / cl(a))
+      }.toSeq
+      assert(lps.length.toLong == nBg)
+      val want = lps.sum / lps.length
+      assert(math.abs(avgLp - want) < 1e-3, s"doc $docId: $avgLp vs $want")
+      assert(math.abs(ppl - math.exp(-want)) < math.exp(-want) * 1e-2)
+      assert(avgLp <= 1e-9)
+    }
+  }
 }

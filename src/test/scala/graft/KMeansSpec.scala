@@ -15,8 +15,10 @@ class KMeansSpec extends AnyFunSuite {
   private val sf = GraftSpark.sf
   private val D = 8
 
+  /** Returns (final centroids c_N, inertias per iteration, final
+    * assignment a_N — the one computed from c_{N-1}, like the query). */
   private def lloyd(vecs: Array[(Long, Int, Array[Double])], iters: Int)
-      : (Map[Int, (Long, Array[Double])], Seq[Double]) = {
+      : (Map[Int, (Long, Array[Double])], Seq[Double], Map[Long, Int]) = {
     def centroids(groups: Map[Int, Array[Array[Double]]]) =
       groups.map { case (cid, xs) =>
         val sums = Array.fill(D)(BigDecimal(0))
@@ -29,6 +31,7 @@ class KMeansSpec extends AnyFunSuite {
       }
     var cent = centroids(vecs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap)
     val inertias = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var lastAssign = Map.empty[Long, Int]
     (1 to iters).foreach { _ =>
       val assigned = vecs.map { case (id, _, x) =>
         val best = cent.toSeq.map { case (cid, (_, c)) =>
@@ -38,9 +41,10 @@ class KMeansSpec extends AnyFunSuite {
         (id, best._2, x, best._1)
       }
       inertias += assigned.map(_._4).sum
+      lastAssign = assigned.map(a => a._1 -> a._2).toMap
       cent = centroids(assigned.groupBy(_._2).view.mapValues(_.map(_._3)).toMap)
     }
-    (cent, inertias.toSeq)
+    (cent, inertias.toSeq, lastAssign)
   }
 
   private lazy val vecs: Array[(Long, Int, Array[Double])] =
@@ -54,7 +58,7 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> (r.getLong(1),
         Array(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
       .toMap
-    val (want, _) = lloyd(vecs, 3)
+    val (want, _, _) = lloyd(vecs, 3)
     assert(got.keySet == want.keySet)
     got.foreach { case (cid, (n, cs)) =>
       val (wn, wc) = want(cid)
@@ -66,8 +70,29 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q_semantic_dedup: reps are medoids of their own cluster, counts partition") {
+    val rows = VectorQueries.queries("q_semantic_dedup")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == vecs.length)
+    // driver-side: the query's reps minimize (dist-to-FINAL-centroid,
+    // vec_id) within the FINAL assignment's clusters
+    val (cent, _, assign) = lloyd(vecs, 3)
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    rows.foreach { case (cid, repId, n, dups) =>
+      assert(n >= 1 && dups >= 0 && dups < n)
+      val c = cent(cid)._2
+      val members = vecs.filter(v => assign(v._1) == cid)
+      assert(members.length.toLong == n)
+      val medoid = members.map { case (id, _, x) =>
+        ((0 until D).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum, id)
+      }.min._2
+      assert(repId == medoid, s"cluster $cid rep $repId vs driver medoid $medoid")
+      assert(byId.contains(repId))
+    }
+  }
+
   test("Lloyd inertia is non-increasing across the unrolled iterations") {
-    val (_, inertias) = lloyd(vecs, 3)
+    val (_, inertias, _) = lloyd(vecs, 3)
     inertias.sliding(2).foreach {
       case Seq(a, b) => assert(b <= a + 1e-9, s"inertia rose: $a -> $b")
       case _ =>
