@@ -178,6 +178,31 @@ object WarehouseQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- join-key skew diagnostics: the planning pass that DECIDES
+    // salting (q_salted_join is the cure; this is the diagnosis). One
+    // per-key hash agg, then only bounded re-aggregates over the key
+    // histogram: total/distinct, the top-1 and top-10 key shares, and
+    // the p99/median key-count ratio. At 100 TB this is the cheap
+    // pre-join pass whose output picks between plain SMJ, broadcast,
+    // AQE skew split, or explicit salting.
+    "q_skew_diagnostics" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .select(when(col("l_linenumber") === 1, 0L)
+          .otherwise(col("l_orderkey")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+      val top10 = counts.orderBy(desc("c"), asc("k")).limit(10)
+        .agg(sum("c").as("top10"), max("c").as("top1"))
+      val stats = counts.agg(
+        sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+        expr("percentile(c, 0.99)").as("p99"),
+        expr("percentile(c, 0.5)").as("p50"))
+      stats.crossJoin(broadcast(top10)).select(
+        col("n_rows"), col("n_keys"),
+        round(col("top1") / col("n_rows"), 6).as("top1_share"),
+        round(col("top10") / col("n_rows"), 6).as("top10_share"),
+        round(col("p99") / col("p50"), 4).as("p99_over_median"))
+    }),
+
     // --- interval-overlap join, binned: campaigns (14-day windows
     // derived from part) × orders (10-day windows). Instead of the
     // quadratic BNLJ `a.start < b.end AND b.start < a.end`, both sides
@@ -441,6 +466,24 @@ object WarehouseQueries {
         |  round(sum(l_quantity * price) / 1e6, 2) AS weighted_m
         |FROM fact JOIN dim USING (k)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_skew_diagnostics" ->
+      """WITH counts AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN 0 ELSE l_orderkey END AS k,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |t10 AS (
+        |  SELECT sum(c) AS top10, max(c) AS top1
+        |  FROM (SELECT c FROM counts ORDER BY c DESC, k LIMIT 10)),
+        |st AS (
+        |  SELECT sum(c) AS n_rows, count(*) AS n_keys,
+        |    quantile_cont(c, 0.99) AS p99, quantile_cont(c, 0.5) AS p50
+        |  FROM counts)
+        |SELECT n_rows::BIGINT AS n_rows, n_keys,
+        |  round(top1 / n_rows, 6) AS top1_share,
+        |  round(top10 / n_rows, 6) AS top10_share,
+        |  round(p99 / p50, 4) AS p99_over_median
+        |FROM st CROSS JOIN t10""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH campaigns AS (
