@@ -178,6 +178,50 @@ object WarehouseQueries {
         .orderBy("l_returnflag")
     }),
 
+    // --- data-quality report (the expectations gate a warehouse runs
+    // before publishing a table): one agg pass per table computes every
+    // column-level check (null fractions, key uniqueness, domain
+    // violations, freshness) as columns of a single row, one anti-join
+    // counts referential orphans, and an unpivot turns the row into the
+    // (check, value) report. 2 scans + 1 join total, independent of how
+    // many checks ride along — the shape that audits a 100 TB table
+    // without one pass per expectation.
+    "q_dq_report" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      val ordersChecks = o.agg(
+        count(lit(1)).cast("double").as("orders_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .cast("double").as("orders_dup_keys"),
+        avg(col("o_orderpriority").isNull.cast("int"))
+          .cast("double").as("orders_null_priority_frac"),
+        sum((col("o_totalprice") <= 0).cast("int"))
+          .cast("double").as("orders_nonpositive_price"),
+        unix_date(max(col("o_orderdate")).cast("date"))
+          .cast("double").as("orders_max_date_epochday"))
+      val liChecks = li.agg(
+        count(lit(1)).cast("double").as("lineitem_rows"),
+        sum((col("l_quantity") < 1 || col("l_quantity") > 50).cast("int"))
+          .cast("double").as("lineitem_qty_out_of_domain"),
+        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("int"))
+          .cast("double").as("lineitem_discount_out_of_domain"))
+      val orphans = li.join(o.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).cast("double").as("lineitem_orphans"))
+      ordersChecks.crossJoin(liChecks).crossJoin(orphans)
+        .selectExpr("""stack(9,
+          'orders_rows', orders_rows,
+          'orders_dup_keys', orders_dup_keys,
+          'orders_null_priority_frac', orders_null_priority_frac,
+          'orders_nonpositive_price', orders_nonpositive_price,
+          'orders_max_date_epochday', orders_max_date_epochday,
+          'lineitem_rows', lineitem_rows,
+          'lineitem_qty_out_of_domain', lineitem_qty_out_of_domain,
+          'lineitem_discount_out_of_domain', lineitem_discount_out_of_domain,
+          'lineitem_orphans', lineitem_orphans) AS (check, value)""")
+        .orderBy("check")
+    }),
+
     // --- join-key skew diagnostics: the planning pass that DECIDES
     // salting (q_salted_join is the cure; this is the diagnosis). One
     // per-key hash agg, then only bounded re-aggregates over the key
@@ -466,6 +510,40 @@ object WarehouseQueries {
         |  round(sum(l_quantity * price) / 1e6, 2) AS weighted_m
         |FROM fact JOIN dim USING (k)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dq_report" ->
+      """WITH oc AS (
+        |  SELECT count(*)::DOUBLE AS orders_rows,
+        |    (count(*) - count(DISTINCT o_orderkey))::DOUBLE AS orders_dup_keys,
+        |    avg(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      AS orders_null_priority_frac,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::DOUBLE
+        |      AS orders_nonpositive_price,
+        |    date_diff('day', DATE '1970-01-01', max(o_orderdate)::DATE)::DOUBLE
+        |      AS orders_max_date_epochday
+        |  FROM orders),
+        |lc AS (
+        |  SELECT count(*)::DOUBLE AS lineitem_rows,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::DOUBLE
+        |      AS lineitem_qty_out_of_domain,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |      AS lineitem_discount_out_of_domain
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*)::DOUBLE AS lineitem_orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |SELECT "check", value FROM oc CROSS JOIN lc CROSS JOIN orph,
+        |LATERAL (VALUES
+        |  ('orders_rows', orders_rows),
+        |  ('orders_dup_keys', orders_dup_keys),
+        |  ('orders_null_priority_frac', orders_null_priority_frac),
+        |  ('orders_nonpositive_price', orders_nonpositive_price),
+        |  ('orders_max_date_epochday', orders_max_date_epochday),
+        |  ('lineitem_rows', lineitem_rows),
+        |  ('lineitem_qty_out_of_domain', lineitem_qty_out_of_domain),
+        |  ('lineitem_discount_out_of_domain', lineitem_discount_out_of_domain),
+        |  ('lineitem_orphans', lineitem_orphans)) AS t("check", value)
+        |ORDER BY "check"""".stripMargin,
 
     "q_skew_diagnostics" ->
       """WITH counts AS (
