@@ -179,12 +179,16 @@ object VectorQueries {
         count(lit(1)).as("cn"),
         kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
           / count(lit(1))).as(s"c$i")): _*)
+    // min_by (not min-over-struct): a struct-typed Min has an immutable
+    // agg buffer and silently planned as SortAggregate — a sort of the
+    // k-amplified relation per iteration (caught by PlanShapeSpec).
+    // min_by(long, double) hash-aggregates; distances are tie-free on
+    // this data (asserted in KMeansSpec), so the argmin is deterministic.
     def assign(cent: DataFrame) = emb
       .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
-      .withColumn("dc", struct(kmDist.as("d"), col("cid").as("c")))
       .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
-      .agg(min("dc").as("m"))
-      .select(col("m.c").as("asg") +: col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+      .agg(min_by(col("cid"), kmDist).as("asg"))
+      .select(col("asg") +: col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
     var cent = centroids(emb, col("label"))
     var assigned = assign(cent)
     for (_ <- 1 to 2) {
@@ -223,15 +227,18 @@ object VectorQueries {
     // embedding dedup tractable at corpus scale.
     "q_semantic_dedup" -> ((s, d) => {
       val (assigned, cent) = kmRun(s, d)
-      val withDist = assigned.withColumnRenamed("asg", "cid")
+      val members = assigned.withColumnRenamed("asg", "cid")
+      val withDist = members
         .join(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)), "cid")
-      val reps = withDist
-        .withColumn("dv", struct(
-          kmDist.as("d") +: col("vec_id").as("v") +:
-            kmDims.map(i => col(s"x$i").as(s"r$i")): _*))
-        .groupBy("cid").agg(min("dv").as("rep"))
-        .select(col("cid") +: col("rep.v").as("rep_id") +:
-          kmDims.map(i => col(s"rep.r$i").as(s"r$i")): _*)
+      // two hash aggs instead of min-over-struct (SortAggregate trap,
+      // see kmRun): argmin the rep id per cluster, then fetch the rep's
+      // dims with a k-row broadcast self-join
+      val repIds = withDist.groupBy("cid")
+        .agg(min_by(col("vec_id"), kmDist).as("rep_id"))
+      val reps = members.as("m")
+        .join(broadcast(repIds.as("r")), expr("m.cid = r.cid AND m.vec_id = r.rep_id"))
+        .select(col("r.cid") +: col("r.rep_id") +:
+          kmDims.map(i => col(s"m.x$i").as(s"r$i")): _*)
       val dot = kmDims.map(i => col(s"x$i") * col(s"r$i")).reduce(_ + _)
       val nx = sqrt(kmDims.map(i => col(s"x$i") * col(s"x$i")).reduce(_ + _))
       val nr = sqrt(kmDims.map(i => col(s"r$i") * col(s"r$i")).reduce(_ + _))
@@ -322,7 +329,7 @@ object VectorQueries {
       val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
       val keep = kmDims.map(i => s"x$i").mkString(", ")
       s"""$out AS (
-         |  SELECT vec_id, $keep, (min({'d': $dist, 'c': cid})).c AS asg
+         |  SELECT vec_id, $keep, arg_min(cid, $dist) AS asg
          |  FROM emb CROSS JOIN $centSrc GROUP BY vec_id, $keep)""".stripMargin
     }
     s"""WITH emb AS (SELECT vec_id, label, $xs FROM embeddings),
@@ -343,23 +350,23 @@ object VectorQueries {
 
   private def semanticDedupOracle: String = {
     val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
-    val repFields = (s"'v': vec_id" +:
-      kmDims.map(i => s"'r$i': x$i")).mkString(", ")
-    val dot = kmDims.map(i => s"x$i * r$i").mkString(" + ")
-    val nx = kmDims.map(i => s"x$i * x$i").mkString(" + ")
+    val dot = kmDims.map(i => s"a3.x$i * r$i").mkString(" + ")
+    val nx = kmDims.map(i => s"a3.x$i * a3.x$i").mkString(" + ")
     val nr = kmDims.map(i => s"r$i * r$i").mkString(" + ")
-    val repCols = kmDims.map(i => s"(rep).r$i AS r$i").mkString(", ")
+    val repCols = kmDims.map(i => s"m.x$i AS r$i").mkString(", ")
     s"""$kmeansCtes,
        |reps AS (
-       |  SELECT asg AS cid, min({'d': $dist, $repFields}) AS rep
+       |  SELECT asg AS cid, arg_min(vec_id, $dist) AS rep_id
        |  FROM a3 JOIN k3 ON a3.asg = k3.cid GROUP BY 1),
-       |repx AS (SELECT cid, (rep).v AS rep_id, $repCols FROM reps)
-       |SELECT cid, rep_id, count(*) AS n_members,
+       |repx AS (
+       |  SELECT reps.cid, reps.rep_id, $repCols
+       |  FROM reps JOIN a3 m ON m.asg = reps.cid AND m.vec_id = reps.rep_id)
+       |SELECT repx.cid, rep_id, count(*) AS n_members,
        |  sum(CASE WHEN vec_id <> rep_id
        |    AND ($dot) / (sqrt($nx) * sqrt($nr)) >= 0.95
        |    THEN 1 ELSE 0 END)::BIGINT AS n_dups
        |FROM a3 JOIN repx ON a3.asg = repx.cid
-       |GROUP BY 1, 2 ORDER BY cid""".stripMargin
+       |GROUP BY 1, 2 ORDER BY repx.cid""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -91,6 +91,18 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("assignment distances are tie-free (min_by argmin is deterministic)") {
+    // the query's argmin uses min_by, which has no tie-break; this pins
+    // the property that makes it deterministic on this data
+    val (cent, _, _) = lloyd(vecs, 3)
+    vecs.foreach { case (id, _, x) =>
+      val ds = cent.values.map { case (_, c) =>
+        (0 until D).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+      }.toSeq
+      assert(ds.distinct.size == ds.size, s"distance tie at vec $id")
+    }
+  }
+
   test("Lloyd inertia is non-increasing across the unrolled iterations") {
     val (_, inertias, _) = lloyd(vecs, 3)
     inertias.sliding(2).foreach {

@@ -188,4 +188,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val aggs = "HashAggregate".r.findAllIn(plan).size
     assert(aggs >= 6, s"expected >=6 hash aggregates (3 iterations):\n$plan")
   }
+
+  test("q_kmeans: centroids broadcast, every aggregate hash-based") {
+    val plan = planOf("q_kmeans")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"k-way assignment must ride a broadcast, not a cartesian shuffle:\n$plan")
+    // the original min-over-struct argmin planned as SortAggregate —
+    // a sort of the k-amplified relation per iteration; min_by keeps
+    // every aggregate in the hash path
+    assert(!plan.contains("SortAggregate"),
+      s"assignment argmin / centroid sums must stay hash-aggregated:\n$plan")
+  }
+
+  test("q_lm_score: no all-pairs; model joins are size-appropriate") {
+    val plan = planOf("q_lm_score")
+    // at gate scale the count tables fit the broadcast threshold and
+    // Catalyst broadcasts them; past it the same plan degrades to a
+    // shuffle join on the gram key — both are the right call, a
+    // cartesian never is
+    assert(plan.contains("Join"), s"expected model joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs in LM scoring:\n$plan")
+  }
+
+  test("q_weighted_sample: global k-of-n plans as TakeOrderedAndProject") {
+    val plan = planOf("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the E-S draw must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("q_skew_diagnostics and q_dq_report: bounded re-aggs, no window over raw rows") {
+    Seq("q_skew_diagnostics", "q_dq_report").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+        s"$q must not window the raw table:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$plan")
+    }
+  }
 }
