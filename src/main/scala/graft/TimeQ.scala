@@ -10,18 +10,12 @@ object TimeQ {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shm = sys.env.get("SPARK_GRAFT_SHM").map { _ =>
-      val p = "/dev/shm/graft_scratch"
-      new java.io.File(p).mkdirs()
-      System.setProperty("java.io.tmpdir", p)
-      p
-    }
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "15s")
-    shm.foreach(p => b.config("spark.local.dir", s"$p/local"))
+    Bench.tmpfsScratch().foreach(p => b.config("spark.local.dir", s"$p/local"))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q_exact_counts")(spark, sfDir).count()

@@ -68,10 +68,12 @@ case class PosNGrams(child: Expression, n: Expression)
         val parts = new Array[UTF8String](nv)
         var j = 0
         while (j < nv) {
-          // null tokens render as empty, matching concat_ws semantics
-          val t = if (arr.isNullAt(i + j)) null
-                  else arr.getUTF8String(i + j)
-          parts(j) = if (t == null) UTF8String.EMPTY_UTF8 else t
+          // pass nulls through: UTF8String.concatWs SKIPS null inputs,
+          // exactly like the concat_ws expression — so a window with a
+          // null token joins the remaining tokens with single spaces,
+          // matching the documented composable-equivalent formulation
+          parts(j) = if (arr.isNullAt(i + j)) null
+                     else arr.getUTF8String(i + j)
           j += 1
         }
         val row = InternalRow(i, UTF8String.concatWs(space, parts: _*))

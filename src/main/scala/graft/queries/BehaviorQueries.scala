@@ -169,7 +169,10 @@ object BehaviorQueries {
         .withColumn("ta", sum("n_a").over(whole))
         .withColumn("tb", sum("n_b").over(whole))
         .groupBy(col("event_type"), col("ta").as("n_a"), col("tb").as("n_b"))
-        .agg(round(max(abs(col("ca") / col("ta") - col("cb") / col("tb"))), 6)
+        // a type entirely absent from one half has no two-sample D;
+        // NULL instead of an ANSI divide-by-zero
+        .agg(round(max(when(col("ta") > 0 && col("tb") > 0,
+          abs(col("ca") / col("ta") - col("cb") / col("tb")))), 6)
           .as("ks_d"))
         .select("event_type", "n_a", "n_b", "ks_d")
         .orderBy("event_type")
@@ -181,10 +184,18 @@ object BehaviorQueries {
     // over that tiny cell table, so the only corpus-sized work is the
     // one grouped count.
     "q_chi_square" -> ((s, d) => {
-      val cells = Tables.events(s, d)
+      val observed = Tables.events(s, d)
         .select(col("event_type"), (col("user_id") % 4).as("cohort"))
         .groupBy("event_type", "cohort")
         .agg(count(lit(1)).as("n"))
+      // complete the grid: an EMPTY (type, cohort) cell still contributes
+      // (0 − e)²/e = e to the statistic — dropping it understates chi².
+      // The grid is bounded (types × cohorts), built from two tiny
+      // distinct sets, so completion costs nothing at any scale.
+      val cells = observed.select("event_type").distinct()
+        .crossJoin(observed.select("cohort").distinct())
+        .join(observed, Seq("event_type", "cohort"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
       val byType = Window.partitionBy("event_type")
       val byCohort = Window.partitionBy("cohort")
       val all = Window.partitionBy(lit(1))
@@ -249,14 +260,21 @@ object BehaviorQueries {
         |    sum(n_b) OVER (PARTITION BY event_type) AS tb
         |  FROM cells)
         |SELECT event_type, ta::BIGINT AS n_a, tb::BIGINT AS n_b,
-        |  round(max(abs(ca / ta - cb / tb)), 6) AS ks_d
+        |  round(max(CASE WHEN ta > 0 AND tb > 0
+        |    THEN abs(ca / ta - cb / tb) END), 6) AS ks_d
         |FROM cum GROUP BY event_type, ta, tb
         |ORDER BY event_type""".stripMargin,
 
     "q_chi_square" ->
-      """WITH cells AS (
+      """WITH observed AS (
         |  SELECT event_type, user_id % 4 AS cohort, count(*) AS n
         |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT t.event_type, c.cohort, coalesce(o.n, 0) AS n
+        |  FROM (SELECT DISTINCT event_type FROM observed) t
+        |  CROSS JOIN (SELECT DISTINCT cohort FROM observed) c
+        |  LEFT JOIN observed o
+        |    ON o.event_type = t.event_type AND o.cohort = c.cohort),
         |exp_ AS (
         |  SELECT event_type, cohort, n,
         |    sum(n) OVER (PARTITION BY event_type)

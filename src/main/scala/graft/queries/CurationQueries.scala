@@ -39,6 +39,19 @@ object CurationQueries {
       concat(regexp_replace(md5(concat_ws(":", lit(tag), key.cast("string"))),
         "[a-f]", ""), lit("0000")), 1, 4).cast("int") / 10000.0
 
+  /** Efraimidis–Spirakis A-Res ranking key in log form, ln(u)/w: the
+    * md5-digit uniform shifted to (0,1] (always-finite ln) over a
+    * weight floored at 1. Pure function of (tag, doc_id) — shared by
+    * the global (q_weighted_sample) and per-stratum (q_group_sample)
+    * reservoirs so the two samplers can never drift apart. */
+  private def esKey(tag: String, w: org.apache.spark.sql.Column) = {
+    val digits = substring(
+      concat(regexp_replace(md5(concat_ws(":", lit(tag),
+        col("doc_id").cast("string"))), "[a-f]", ""), lit("0000")), 1, 4)
+      .cast("int")
+    log((digits + 1) / lit(10001.0)) / greatest(w, lit(1L)).cast("double")
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- weighted sampling (Efraimidis–Spirakis A-Res, log form): rank
@@ -50,15 +63,9 @@ object CurationQueries {
     // any cluster size draws the SAME sample. u is shifted to (0,1] so
     // the key is always finite.
     "q_weighted_sample" -> ((s, d) => {
-      val digits = substring(
-        concat(regexp_replace(md5(concat_ws(":", lit("ws42"),
-          col("doc_id").cast("string"))), "[a-f]", ""), lit("0000")), 1, 4)
-        .cast("int")
-      val u1 = (digits + 1) / lit(10001.0)
-      val w = greatest(col("n_chars"), lit(1L)).cast("double")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          (log(u1) / w).as("key_raw"))
+          esKey("ws42", col("n_chars")).as("key_raw"))
         .orderBy(desc("key_raw"), asc("doc_id"))
         .limit(300)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -123,14 +130,9 @@ object CurationQueries {
     // that survives a 100 TB corpus: agg state is O(groups × k), never
     // a per-group sort.
     "q_group_sample" -> ((s, d) => {
-      val digits = substring(
-        concat(regexp_replace(md5(concat_ws(":", lit("gs42"),
-          col("doc_id").cast("string"))), "[a-f]", ""), lit("0000")), 1, 4)
-        .cast("int")
-      val u1 = (digits + 1) / lit(10001.0)
-      val w = greatest(col("n_chars"), lit(1L)).cast("double")
       Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"), (log(u1) / w).as("key_raw"))
+        .select(col("lang"), col("doc_id"),
+          esKey("gs42", col("n_chars")).as("key_raw"))
         .groupBy("lang")
         .agg(topk_agg(col("key_raw"), col("doc_id"), 50).as("tk"))
         .select(col("lang"), posexplode(col("tk")))

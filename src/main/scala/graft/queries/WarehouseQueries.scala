@@ -40,6 +40,46 @@ object WarehouseQueries {
       s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
+  /** SCD2 version build shared by q_scd2_dimension and q_scd2_lookup:
+    * gaps-and-islands change compression of o_orderpriority per custkey
+    * → (o_custkey, version, o_orderpriority, effective_from,
+    * n_observations). All windows partition on the dimension key. */
+  private def scd2Versions(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .withColumn("chg",
+        when(lag("o_orderpriority", 1).over(byTime).isNull ||
+          lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum("chg").over(byTime))
+      .groupBy("o_custkey", "version", "o_orderpriority")
+      .agg(min("o_orderdate").as("effective_from"),
+        count(lit(1)).as("n_observations"))
+  }
+
+  /** DuckDB twin of [[scd2Versions]] — the shared oracle CTE prefix
+    * ending in `versions(o_custkey, version, o_orderpriority,
+    * effective_from, n_observations)`. */
+  private val scd2VersionCtes: String =
+    """obs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+      |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |runs AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS version
+      |  FROM obs),
+      |versions AS (
+      |  SELECT o_custkey, version, o_orderpriority,
+      |    min(o_orderdate) AS effective_from,
+      |    count(*) AS n_observations
+      |  FROM runs GROUP BY 1, 2, 3)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // --- SCD Type 2 dimension build: compress each customer's order
@@ -50,18 +90,7 @@ object WarehouseQueries {
     // windows partition by o_custkey, so the build is one shuffle on
     // the dimension key regardless of history length.
     "q_scd2_dimension" -> ((s, d) => {
-      val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val versions = Tables.orders(s, d)
-        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
-        .withColumn("chg",
-          when(lag("o_orderpriority", 1).over(byTime).isNull ||
-            lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum("chg").over(byTime))
-        .groupBy("o_custkey", "version", "o_orderpriority")
-        .agg(min("o_orderdate").as("effective_from"),
-          count(lit(1)).as("n_observations"))
-      versions
+      scd2Versions(s, d)
         .withColumn("effective_to",
           lead("effective_from", 1).over(
             Window.partitionBy("o_custkey").orderBy("version")))
@@ -77,16 +106,9 @@ object WarehouseQueries {
     // equal timestamps (tag), and version order breaks same-day version
     // ties.
     "q_scd2_lookup" -> ((s, d) => {
-      val byTime = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-      val versions = Tables.orders(s, d)
-        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
-        .withColumn("chg",
-          when(lag("o_orderpriority", 1).over(byTime).isNull ||
-            lag("o_orderpriority", 1).over(byTime) =!= col("o_orderpriority"), 1L)
-            .otherwise(0L))
-        .withColumn("version", sum("chg").over(byTime))
-        .groupBy("o_custkey", "version", "o_orderpriority")
-        .agg(min("o_orderdate").as("t"))
+      val versions = scd2Versions(s, d)
+        .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+          col("effective_from").as("t"))
       val probes = Tables.lineitem(s, d)
         .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
@@ -300,8 +322,13 @@ object WarehouseQueries {
       halves.crossJoin(broadcast(tot))
         .withColumn("p", col("n_a") / col("t_a"))
         .withColumn("q", col("n_b") / col("t_b"))
+        // a type seen in only one half is maximal drift, not a crash:
+        // ANSI division/log would throw on q=0, so emit NULL psi and
+        // let the caller treat it as "new/vanished category"
         .select(col("event_type"), col("n_a"), col("n_b"),
-          round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi"))
+          when(col("n_a") > 0 && col("n_b") > 0,
+            round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+            .as("psi"))
         .orderBy("event_type")
     }),
 
@@ -424,23 +451,7 @@ object WarehouseQueries {
   val oracleSql: Map[String, String] = Map(
 
     "q_scd2_dimension" ->
-      """WITH obs AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
-        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |runs AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM obs),
-        |versions AS (
-        |  SELECT o_custkey, version, o_orderpriority,
-        |    min(o_orderdate) AS effective_from,
-        |    count(*) AS n_observations
-        |  FROM runs GROUP BY 1, 2, 3)
+      s"""WITH $scd2VersionCtes
         |SELECT o_custkey, version::BIGINT AS version, o_orderpriority,
         |  effective_from, n_observations,
         |  lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY version)
@@ -448,28 +459,14 @@ object WarehouseQueries {
         |FROM versions ORDER BY o_custkey, version""".stripMargin,
 
     "q_scd2_lookup" ->
-      """WITH obs AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
-        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |runs AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS version
-        |  FROM obs),
-        |versions AS (
-        |  SELECT o_custkey, version, o_orderpriority, min(o_orderdate) AS t
-        |  FROM runs GROUP BY 1, 2, 3),
+      s"""WITH $scd2VersionCtes,
         |probes AS (
         |  SELECT o.o_custkey, l.l_shipdate AS t,
         |    l.l_extendedprice * (1 - l.l_discount) AS rev
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
         |tagged AS (
-        |  SELECT o_custkey, t, 0 AS tag, version, o_orderpriority AS prio,
-        |    NULL::DOUBLE AS rev
+        |  SELECT o_custkey, effective_from AS t, 0 AS tag, version,
+        |    o_orderpriority AS prio, NULL::DOUBLE AS rev
         |  FROM versions
         |  UNION ALL
         |  SELECT o_custkey, t, 1, 9223372036854775807, NULL, rev FROM probes),
@@ -589,7 +586,9 @@ object WarehouseQueries {
         |  FROM ev CROSS JOIN b GROUP BY 1),
         |tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM halves)
         |SELECT event_type, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
-        |  round((n_a / t_a - n_b / t_b) * ln((n_a / t_a) / (n_b / t_b)), 6) AS psi
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round((n_a / t_a - n_b / t_b) * ln((n_a / t_a) / (n_b / t_b)), 6)
+        |  END AS psi
         |FROM halves CROSS JOIN tot ORDER BY event_type""".stripMargin,
 
     "q_feature_scale" ->

@@ -132,18 +132,24 @@ class GraftMemTable(tableName: String, parts: Int)
   // ---- write path: task buffers -> commit messages -> atomic publish ----
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      // overwrite mode arrives here; both paths publish via the same
-      // atomic swap, so truncate needs no extra state
-      override def truncate(): WriteBuilder = this
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
+        private val doReplace = replace
         override def toBatch: BatchWrite = new BatchWrite {
           private val schema = info.schema()
           override def createBatchWriterFactory(
               pi: PhysicalWriteInfo): DataWriterFactory =
             MemWriterFactory(schema)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
-            val all = messages.flatMap(_.asInstanceOf[MemCommit].rows)
-            // single volatile swap = atomic publish of every partition
+            val batch = messages.flatMap(_.asInstanceOf[MemCommit].rows)
+            // append keeps the prior snapshot's rows; overwrite
+            // (truncate) discards them — either way ONE put publishes
+            // the whole job atomically
+            val all =
+              if (doReplace) batch
+              else GraftMemStore.tables.get(tableName)
+                .map(_.rows ++ batch).getOrElse(batch)
             GraftMemStore.tables.put(tableName,
               GraftMemStore.Committed(schema, all))
           }

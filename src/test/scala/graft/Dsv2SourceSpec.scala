@@ -88,6 +88,17 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .count() == 7)
   }
 
+  test("graftmem append mode accumulates instead of replacing") {
+    spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
+      .write.format("graftmem").option("table", "spec_ap").mode("overwrite").save()
+    spark.range(3).select(col("id") + 100, lit(2.0).as("v"), lit("y").as("tag"))
+      .write.format("graftmem").option("table", "spec_ap").mode("append").save()
+    val back = spark.read.format("graftmem").option("table", "spec_ap").load()
+    assert(back.count() == 8)
+    assert(back.filter(col("tag") === "x").count() == 5)
+    assert(back.filter(col("tag") === "y").count() == 3)
+  }
+
   test("graftmem failed job leaves the previous snapshot intact") {
     spark.range(10).select(col("id"), lit(1.0).as("v"), lit("keep").as("tag"))
       .write.format("graftmem").option("table", "spec_ab").mode("overwrite").save()

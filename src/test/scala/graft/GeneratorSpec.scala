@@ -43,6 +43,18 @@ class GeneratorSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("pos_ngrams skips null tokens like concat_ws (single separator)") {
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS tk")
+    val out = df.select(pos_ngrams(col("tk"), 3).as(Seq("pos", "gram"))).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "a b",
+      s"null token must be skipped, got '${out(0).getString(1)}'")
+    // and it matches the composable concat_ws formulation exactly
+    val want = df.selectExpr("concat_ws(' ', tk[0], tk[1], tk[2]) AS g")
+      .collect()(0).getString(0)
+    assert(out(0).getString(1) == want)
+  }
+
   test("pos_ngrams emits nothing for short or null arrays") {
     val df = spark.sql(
       "SELECT * FROM VALUES (array('a','b')), (CAST(NULL AS ARRAY<STRING>)) AS t(tk)")

@@ -91,15 +91,33 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
-  test("assignment distances are tie-free (min_by argmin is deterministic)") {
+  test("distances are tie-free at EVERY iteration (min_by argmin is deterministic)") {
     // the query's argmin uses min_by, which has no tie-break; this pins
-    // the property that makes it deterministic on this data
-    val (cent, _, _) = lloyd(vecs, 3)
-    vecs.foreach { case (id, _, x) =>
-      val ds = cent.values.map { case (_, c) =>
+    // the property that makes it deterministic on this data — checked
+    // against the centroid set of EACH iteration the assignments
+    // actually use (c0..c2) plus the final c3 the medoid selection uses
+    (1 to 4).foreach { iters =>
+      val (cent, _, _) = lloyd(vecs, iters - 1) match {
+        case r if iters == 1 => r // lloyd(_, 0) returns the seed centroids
+        case r => r
+      }
+      vecs.foreach { case (id, _, x) =>
+        val ds = cent.values.map { case (_, c) =>
+          (0 until D).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
+        }.toSeq
+        assert(ds.distinct.size == ds.size,
+          s"distance tie at vec $id against c${iters - 1}")
+      }
+    }
+    // medoid ties: within each final cluster, member distances to the
+    // final centroid must also be distinct
+    val (cent3, _, assign) = lloyd(vecs, 3)
+    vecs.groupBy(v => assign(v._1)).foreach { case (cid, members) =>
+      val c = cent3(cid)._2
+      val ds = members.map { case (_, _, x) =>
         (0 until D).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum
       }.toSeq
-      assert(ds.distinct.size == ds.size, s"distance tie at vec $id")
+      assert(ds.distinct.size == ds.size, s"medoid distance tie in cluster $cid")
     }
   }
 
