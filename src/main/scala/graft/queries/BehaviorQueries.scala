@@ -210,6 +210,50 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    // --- time-hierarchy rollup: revenue at year → quarter → month
+    // grain plus the grand total in ONE pass (Expand + hash agg —
+    // Catalyst plans ROLLUP as a single scan with a 4-way Expand, not
+    // four scans). The drill-down cube every revenue dashboard reads.
+    "q_time_rollup" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          col("o_totalprice"))
+        .rollup("y", "q", "m")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy(asc_nulls_first("y"), asc_nulls_first("q"), asc_nulls_first("m"))
+    }),
+
+    // --- rolling actives / stickiness: daily distinct users, the
+    // 7-day rolling average, and the DAU/WAU ratio. The corpus-sized
+    // work is one (day, user) dedup agg; every window runs over the
+    // ~day-count table, so the rolling pass is bounded no matter how
+    // many events feed it.
+    "q_rolling_actives" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val wau = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .crossJoin(broadcast(
+          Tables.events(s, d).select(to_date(col("ts")).as("d2")).distinct()))
+        .filter(col("day") > date_sub(col("d2"), 7) && col("day") <= col("d2"))
+        .groupBy(col("d2").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+      daily.join(wau, "day")
+        .withColumn("dau_7d_avg", round(avg("dau").over(w7), 4))
+        .select(col("day"), col("dau"), col("wau"),
+          col("dau_7d_avg"),
+          round(col("dau") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // --- star join (TPC-H Q5 flavor): per-region revenue in a date
     // window across region⋈nation⋈customer⋈orders⋈lineitem. The three
     // dimension tables broadcast (they stay KB–MB at any TPC-H scale
@@ -284,6 +328,29 @@ object BehaviorQueries {
         |SELECT event_type, sum(n)::BIGINT AS n_events,
         |  round(sum((n - expected) * (n - expected) / expected), 6) AS chi2_part
         |FROM exp_ GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_rollup" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, count(*) AS n_orders,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 2)::DOUBLE AS revenue
+        |FROM orders
+        |GROUP BY ROLLUP (y, q, m)
+        |ORDER BY y ASC NULLS FIRST, q ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
+
+    "q_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |daily AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |days AS (SELECT DISTINCT day AS d2 FROM du),
+        |wau AS (
+        |  SELECT d2 AS day, count(DISTINCT user_id) AS wau
+        |  FROM du CROSS JOIN days
+        |  WHERE du.day > d2 - 7 AND du.day <= d2 GROUP BY 1),
+        |j AS (SELECT daily.day, dau, wau FROM daily JOIN wau USING (day))
+        |SELECT day, dau, wau,
+        |  round(avg(dau) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_7d_avg,
+        |  round(dau::DOUBLE / wau, 4) AS stickiness
+        |FROM j ORDER BY day""".stripMargin,
 
     "q_event_funnel" ->
       """WITH v AS (
