@@ -61,6 +61,42 @@ object RelationalQueries {
               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // higher-order-function family (2g): transform / filter / exists /
+    // forall / aggregate(reduce) over per-order quantity arrays. Arrays
+    // built with sort_array(collect_list(...)) — collect_list order is
+    // partition-dependent, the sort makes the array (and everything
+    // derived from it) deterministic. HOFs run interpreted, which is
+    // why the HOT text/vector paths in this repo use codegen'd
+    // alternatives (tokens(), VecDot); this query pins the SURFACE.
+    "q_hof_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n"),
+          round(aggregate(col("qs"), lit(0.0), (acc, x) => acc + x), 4).as("total"),
+          round(element_at(transform(col("qs"), x => x * 2), 1), 4).as("first_doubled"),
+          size(filter(col("qs"), _ > 25)).as("n_over_25"),
+          exists(col("qs"), _ > 45).as("any_over_45"),
+          forall(col("qs"), _ > 0).as("all_positive"))
+        .orderBy("l_orderkey")
+    }),
+
+    // grouping-metadata completion (2d): grouping()/grouping_id() over
+    // a cube — the bitmask that tells report consumers WHICH level a
+    // row aggregates, without which cube outputs are ambiguous when a
+    // grouping column is genuinely NULL
+    "q_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          grouping_id().as("gid"),
+          grouping(col("l_returnflag")).as("g_rf"))
+        .orderBy(col("gid"), asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    }),
+
     // statistical aggregate family (2d): correlation / covariance /
     // stddev / least-squares regression — all partial+final hash aggs
     "q_stats_agg" -> ((s, d) => Tables.lineitem(s, d)
@@ -593,6 +629,28 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_hof_funcs" ->
+      """WITH arrs AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, len(qs) AS n,
+        |  round(list_aggregate(qs, 'sum'), 4) AS total,
+        |  round(list_transform(qs, x -> x * 2)[1], 4) AS first_doubled,
+        |  len(list_filter(qs, x -> x > 25)) AS n_over_25,
+        |  len(list_filter(qs, x -> x > 45)) > 0 AS any_over_45,
+        |  len(list_filter(qs, x -> x <= 0)) = 0 AS all_positive
+        |FROM arrs WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  grouping(l_returnflag, l_linestatus) AS gid,
+        |  grouping(l_returnflag) AS g_rf
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_stats_agg" ->
       """SELECT l_returnflag,
