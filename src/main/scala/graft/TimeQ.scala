@@ -18,8 +18,10 @@ object TimeQ {
     Bench.tmpfsScratch().foreach(p => b.config("spark.local.dir", s"$p/local"))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // NonFatal only: swallowing an OOM/linkage error here would leave a
+    // corrupted JVM whose failures get misattributed to the timed queries
     try SparkEntry.queries("q_exact_counts")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     names.foreach { name =>
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()

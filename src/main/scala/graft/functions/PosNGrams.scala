@@ -42,9 +42,18 @@ case class PosNGrams(child: Expression, n: Expression)
     case ArrayType(StringType, _) =>
       if (!n.foldable)
         TypeCheckResult.TypeCheckFailure("pos_ngrams n must be a constant")
-      else if (n.eval() == null || n.eval().asInstanceOf[Number].intValue() < 1)
-        TypeCheckResult.TypeCheckFailure("pos_ngrams n must be >= 1")
-      else TypeCheckResult.TypeCheckSuccess
+      else n.dataType match {
+        // integral only — a fractional n would otherwise truncate
+        // silently, and a non-numeric one would throw ClassCastException
+        // out of analysis instead of a clean type-check failure
+        case ByteType | ShortType | IntegerType | LongType =>
+          n.eval() match {
+            case v: Number if v.intValue() >= 1 => TypeCheckResult.TypeCheckSuccess
+            case _ => TypeCheckResult.TypeCheckFailure("pos_ngrams n must be >= 1")
+          }
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"pos_ngrams n must be an integral constant, got ${t.catalogString}")
+      }
     case t => TypeCheckResult.TypeCheckFailure(
       s"pos_ngrams expects array<string>, got ${t.catalogString}")
   }

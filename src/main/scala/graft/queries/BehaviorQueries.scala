@@ -71,24 +71,38 @@ object BehaviorQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
-    // --- equi-depth histogram (range-partition planning): exact
-    // 8-bucket boundaries over l_extendedprice + per-bucket counts and
-    // bounds — what a range partitioner / sort-merge planner computes
-    // before a global sort. Two passes: one percentile aggregate (exact
-    // here; at 100 TB the same plan swaps in approx_percentile — the
-    // bucket-count pass is unchanged), then a broadcast of the 1-row
-    // boundary vector and a hash agg. No global sort anywhere.
+    // --- equi-depth histogram (range-partition planning): 8-bucket
+    // boundaries over l_extendedprice + per-bucket balance audit — what
+    // a range partitioner / sort-merge planner computes before a global
+    // sort. The boundary pass is approx_percentile (GK sketch, state
+    // bounded by the accuracy parameter — NOT the exact percentile's
+    // ObjectHashAggregate value list, which grows with the corpus and
+    // is the one plan shape that cannot survive 100 TB), then a
+    // broadcast of the 1-row boundary vector and a hash agg. No global
+    // sort anywhere. Correctness gate: the output carries only
+    // engine-independent facts (exact n_total, global min/max) plus a
+    // per-bucket depth flag |n_b − N/8| ≤ N/100 + 1 — the GK guarantee
+    // bounds each boundary's rank error by N/accuracy = N/10000, so two
+    // boundaries bound the bucket-count error by N/5000, 50× inside the
+    // tolerance; the DuckDB oracle computes the same flags from EXACT
+    // quantile_cont boundaries (trivially true), so the hash matches iff
+    // the sketch actually achieved equi-depth.
     "q_equidepth_hist" -> ((s, d) => {
       val v = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
-      val qs = v.agg(expr(
-        "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))").as("q"))
+      val qs = v.agg(
+        expr("approx_percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875), 10000)")
+          .as("q"),
+        count(lit(1)).as("n_total"),
+        round(min("v"), 4).as("v_lo"), round(max("v"), 4).as("v_hi"))
       v.crossJoin(broadcast(qs))
         .withColumn("bucket",
           (0 until 7).map(i => when(col("v") > element_at(col("q"), i + 1), 1)
             .otherwise(0)).reduce(_ + _) + lit(1))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          round(min("v"), 4).as("lo"), round(max("v"), 4).as("hi"))
+        .groupBy("bucket", "n_total", "v_lo", "v_hi")
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), col("n_total"), col("v_lo"), col("v_hi"),
+          (abs(col("n") - col("n_total") / lit(8.0))
+            <= col("n_total") * lit(0.01) + lit(1)).as("depth_ok"))
         .orderBy("bucket")
     }),
 
@@ -97,20 +111,45 @@ object BehaviorQueries {
     // skewed data where mean/stddev break. Three bounded aggregates
     // chained by broadcast joins (median → MAD needs the median → flag
     // pass needs both); every pass is a hash agg over the events scan.
+    // Median and MAD are approx_percentile (GK sketch, bounded state —
+    // the exact percentile's per-type value lists scale with the corpus
+    // and OOM at 100 TB). Correctness gate: the output carries exact
+    // n_total plus rank flags checked two-sided so ties can never flip
+    // them — count(v < med) ≤ N/2 + tol AND count(v ≤ med) ≥ N/2 − tol
+    // (the defining rank property of a median; GK bounds the error by
+    // N/10000, tol = N/100 + 1 is 100× that), the same pair for the MAD
+    // over |v − med|, and the anomaly count bounded by N/2 + tol (cannot
+    // exceed the mass above the median). The DuckDB oracle computes the
+    // same flags from EXACT quantile_cont — true by definition — so the
+    // hash matches iff the sketch medians are rank-correct.
     "q_anomaly_mad" -> ((s, d) => {
       val ev = Tables.events(s, d).select("event_type", "value")
+      val tol = col("n_total") * lit(0.01) + lit(1)
       val med = ev.groupBy("event_type")
-        .agg(expr("percentile(value, 0.5)").as("med"))
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("med"),
+          count(lit(1)).as("n_total"))
       val stats = ev.join(broadcast(med), "event_type")
         .groupBy("event_type")
-        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
-          max("med").as("med"))
+        .agg(expr("approx_percentile(abs(value - med), 0.5, 10000)").as("mad"),
+          max("med").as("med"), max("n_total").as("n_total"),
+          sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("n_lt_med"),
+          sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("n_le_med"))
       ev.join(broadcast(stats), "event_type")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_total"),
-          count(when(col("value") > col("med") + lit(1.5) * col("mad"), lit(1)))
-            .as("n_anomalies"),
-          round(max("med"), 4).as("med"), round(max("mad"), 4).as("mad"))
+        .agg(max("n_total").as("n_total"),
+          max("n_lt_med").as("n_lt_med"), max("n_le_med").as("n_le_med"),
+          sum(when(abs(col("value") - col("med")) < col("mad"), 1L).otherwise(0L))
+            .as("n_dev_lt"),
+          sum(when(abs(col("value") - col("med")) <= col("mad"), 1L).otherwise(0L))
+            .as("n_dev_le"),
+          sum(when(col("value") > col("med") + lit(1.5) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anom"))
+        .select(col("event_type"), col("n_total"),
+          (col("n_lt_med") <= col("n_total") / lit(2.0) + tol
+            && col("n_le_med") >= col("n_total") / lit(2.0) - tol).as("med_rank_ok"),
+          (col("n_dev_lt") <= col("n_total") / lit(2.0) + tol
+            && col("n_dev_le") >= col("n_total") / lit(2.0) - tol).as("mad_rank_ok"),
+          (col("n_anom") <= col("n_total") / lit(2.0) + tol).as("anom_frac_ok"))
         .orderBy("event_type")
     }),
 
@@ -121,10 +160,11 @@ object BehaviorQueries {
     // shuffle join + one hash agg (the textbook distributed PageRank
     // step); the node table rides a broadcast 1-row count. The pair
     // graph is undirected (edges mirrored), so there are no dangling
-    // nodes and rank mass is conserved per component.
+    // nodes and rank mass is conserved per component. The pair graph
+    // comes pre-materialized from [[TextQueries.jaccardPairsShared]] —
+    // one build per session serves all three consumers.
     "q_pagerank_neardup" -> ((s, d) => {
-      val pairs = TextQueries.jaccardPairs(s, d).select("id_a", "id_b")
-        .localCheckpoint()
+      val pairs = TextQueries.jaccardPairsShared(s, d).select("id_a", "id_b")
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -386,32 +426,47 @@ object BehaviorQueries {
     "q_equidepth_hist" ->
       """WITH b AS (
         |  SELECT quantile_cont(l_extendedprice,
-        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q,
+        |    count(*) AS n_total,
+        |    round(min(l_extendedprice), 4) AS v_lo,
+        |    round(max(l_extendedprice), 4) AS v_hi
         |  FROM lineitem)
-        |SELECT bucket, count(*) AS n,
-        |  round(min(v), 4) AS lo, round(max(v), 4) AS hi
+        |SELECT bucket, n_total::BIGINT AS n_total, v_lo, v_hi,
+        |  abs(count(*) - n_total / 8.0) <= n_total * 0.01 + 1 AS depth_ok
         |FROM (
-        |  SELECT l_extendedprice AS v,
+        |  SELECT n_total, v_lo, v_hi,
         |    1 + (l_extendedprice > q[1])::INT + (l_extendedprice > q[2])::INT
         |      + (l_extendedprice > q[3])::INT + (l_extendedprice > q[4])::INT
         |      + (l_extendedprice > q[5])::INT + (l_extendedprice > q[6])::INT
         |      + (l_extendedprice > q[7])::INT AS bucket
         |  FROM lineitem, b)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY bucket, n_total, v_lo, v_hi ORDER BY bucket""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |    count(*) AS n_total
         |  FROM events GROUP BY 1),
         |stats AS (
         |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad,
-        |    max(med) AS med
-        |  FROM events JOIN med USING (event_type) GROUP BY 1)
-        |SELECT event_type, count(*) AS n_total,
-        |  count(*) FILTER (value > med + 1.5 * mad) AS n_anomalies,
-        |  round(max(med), 4) AS med, round(max(mad), 4) AS mad
-        |FROM events JOIN stats USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    max(med) AS med, max(n_total) AS n_total,
+        |    sum(CASE WHEN value < med THEN 1 ELSE 0 END) AS n_lt_med,
+        |    sum(CASE WHEN value <= med THEN 1 ELSE 0 END) AS n_le_med
+        |  FROM events JOIN med USING (event_type) GROUP BY 1),
+        |fin AS (
+        |  SELECT event_type, max(n_total) AS n_total,
+        |    max(n_lt_med) AS n_lt_med, max(n_le_med) AS n_le_med,
+        |    sum(CASE WHEN abs(value - med) < mad THEN 1 ELSE 0 END) AS n_dev_lt,
+        |    sum(CASE WHEN abs(value - med) <= mad THEN 1 ELSE 0 END) AS n_dev_le,
+        |    sum(CASE WHEN value > med + 1.5 * mad THEN 1 ELSE 0 END) AS n_anom
+        |  FROM events JOIN stats USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_total::BIGINT AS n_total,
+        |  (n_lt_med <= n_total / 2.0 + (n_total * 0.01 + 1)
+        |    AND n_le_med >= n_total / 2.0 - (n_total * 0.01 + 1)) AS med_rank_ok,
+        |  (n_dev_lt <= n_total / 2.0 + (n_total * 0.01 + 1)
+        |    AND n_dev_le >= n_total / 2.0 - (n_total * 0.01 + 1)) AS mad_rank_ok,
+        |  (n_anom <= n_total / 2.0 + (n_total * 0.01 + 1)) AS anom_frac_ok
+        |FROM fin ORDER BY event_type""".stripMargin,
 
     "q_pagerank_neardup" ->
       """WITH sh AS (

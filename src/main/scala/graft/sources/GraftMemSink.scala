@@ -104,6 +104,13 @@ class GraftMemTable(tableName: String, parts: Int)
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   // ---- read path: range-sliced scan over the committed snapshot ----
+  // The snapshot is captured ONCE here (at Scan construction) and its
+  // row slices travel INSIDE the InputPartitions, so a commit landing
+  // between planning and reading can never tear the read: every reader
+  // decodes exactly the planned snapshot, and nothing on the executor
+  // side touches the mutable registry (which also makes the read path
+  // correct in a genuinely multi-process cluster, where the registry
+  // singleton would not even exist on executors).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan with Batch {
       private val snap = GraftMemStore.tables.getOrElse(tableName,
@@ -114,17 +121,17 @@ class GraftMemTable(tableName: String, parts: Int)
         val n = snap.rows.length
         val per = math.max(1, (n + parts - 1) / parts)
         (0 until n by per).map(start =>
-          MemSlice(tableName, start, math.min(start + per, n)): InputPartition)
+          MemSlice(snap.schema,
+            snap.rows.slice(start, math.min(start + per, n))): InputPartition)
           .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         (p: InputPartition) => new PartitionReader[InternalRow] {
-          private val MemSlice(t, start, end) = p.asInstanceOf[MemSlice]
-          private val snap = GraftMemStore.tables(t)
-          private var i = start - 1
-          override def next(): Boolean = { i += 1; i < end }
+          private val MemSlice(schema, rows) = p.asInstanceOf[MemSlice]
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow =
-            GraftMemStore.toInternal(snap.rows(i), snap.schema)
+            GraftMemStore.toInternal(rows(i), schema)
           override def close(): Unit = ()
         }
     }
@@ -143,15 +150,35 @@ class GraftMemTable(tableName: String, parts: Int)
             MemWriterFactory(schema)
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val batch = messages.flatMap(_.asInstanceOf[MemCommit].rows)
-            // append keeps the prior snapshot's rows; overwrite
-            // (truncate) discards them — either way ONE put publishes
-            // the whole job atomically
-            val all =
-              if (doReplace) batch
-              else GraftMemStore.tables.get(tableName)
-                .map(_.rows ++ batch).getOrElse(batch)
-            GraftMemStore.tables.put(tableName,
-              GraftMemStore.Committed(schema, all))
+            if (doReplace) {
+              // overwrite: one put publishes the whole job atomically
+              GraftMemStore.tables.put(tableName,
+                GraftMemStore.Committed(schema, batch))
+            } else {
+              // append: compare-and-swap loop so two concurrent append
+              // jobs to the same table both land (a plain get-then-put
+              // loses the race), and a schema-divergent append is
+              // REJECTED instead of silently re-labelling the committed
+              // rows with the new schema (which would mis-decode them
+              // on the next read)
+              var done = false
+              while (!done) {
+                done = GraftMemStore.tables.get(tableName) match {
+                  case None =>
+                    GraftMemStore.tables.putIfAbsent(tableName,
+                      GraftMemStore.Committed(schema, batch)).isEmpty
+                  case Some(prev) =>
+                    val shape = (st: StructType) => st.map(f => (f.name, f.dataType))
+                    if (shape(prev.schema) != shape(schema))
+                      throw new IllegalStateException(
+                        s"graftmem append to $tableName: schema " +
+                          s"${schema.simpleString} does not match committed " +
+                          s"${prev.schema.simpleString}")
+                    GraftMemStore.tables.replace(tableName, prev,
+                      GraftMemStore.Committed(prev.schema, prev.rows ++ batch))
+                }
+              }
+            }
           }
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()
         }
@@ -159,7 +186,11 @@ class GraftMemTable(tableName: String, parts: Int)
     }
 }
 
-case class MemSlice(table: String, start: Int, end: Int) extends InputPartition
+/** A planned slice of one committed snapshot: schema + the rows
+  * themselves (JVM-serializable), so readers never consult the mutable
+  * registry. */
+case class MemSlice(schema: StructType, rows: Array[Array[Any]])
+    extends InputPartition
 
 case class MemCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
 
