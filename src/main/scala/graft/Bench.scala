@@ -77,7 +77,29 @@ object Bench {
     // comparable across runs AND batch numbers unpolluted by stream state
     val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
       .partition(_._1.startsWith("q_stream_"))
-    val results = (batchQ ++ streamQ).map { case (name, fn) =>
+
+    /** Untimed streaming warmup at the smallest available sf: the FIRST
+      * streaming query in a JVM pays the one-shot runtime init (stream
+      * execution thread pools, state-store coordinator + maintenance
+      * pool, RocksDB JNI load) on top of its own work — measured ~2s.
+      * Running one HDFS-state and one RocksDB-state pipeline untimed
+      * moves that shared cost out of whichever timed pipeline happens to
+      * run first, same as the batch q_exact_counts warmup above. */
+    def warmStreaming(): Unit = {
+      val warmSf = {
+        val tiny = new java.io.File(
+          new java.io.File(sfDir).getParentFile, "sf0.001")
+        if (tiny.isDirectory) tiny.getPath else sfDir
+      }
+      Seq("q_stream_tumbling", "q_stream_tws").foreach { q =>
+        try { SparkEntry.queries(q)(spark, warmSf).count() }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      cleanupStreamingResidue()
+    }
+
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case scala.util.control.NonFatal(e) =>
@@ -88,6 +110,11 @@ object Bench {
       if (name.startsWith("q_stream_")) cleanupStreamingResidue()
       name -> dt
     }
+    val batchResults = batchQ.map { case (n, f) => timeOne(n, f) }
+    // warm the streaming runtime AFTER the batch section (so its residue
+    // never touches batch numbers) and before any timed streaming query
+    warmStreaming()
+    val results = batchResults ++ streamQ.map { case (n, f) => timeOne(n, f) }
     def fmtMap(rs: Seq[(String, Double)], dp: Int): String =
       rs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
         .mkString("{", ",", "}")

@@ -168,8 +168,12 @@ class GraftMemTable(tableName: String, parts: Int)
                     GraftMemStore.tables.putIfAbsent(tableName,
                       GraftMemStore.Committed(schema, batch)).isEmpty
                   case Some(prev) =>
-                    val shape = (st: StructType) => st.map(f => (f.name, f.dataType))
-                    if (shape(prev.schema) != shape(schema))
+                    // positional TYPE check only: decoding is driven by
+                    // the committed schema's types, so a type-divergent
+                    // append would mis-decode old rows — but under
+                    // ACCEPT_ANY_SCHEMA incoming column NAMES may differ
+                    // (e.g. an unaliased projection)
+                    if (prev.schema.map(_.dataType) != schema.map(_.dataType))
                       throw new IllegalStateException(
                         s"graftmem append to $tableName: schema " +
                           s"${schema.simpleString} does not match committed " +

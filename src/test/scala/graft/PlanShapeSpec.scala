@@ -226,4 +226,29 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$q: unexpected cartesian:\n$plan")
     }
   }
+
+  test("no query plan contains a ScalaUDF or Python eval node (engine-wide lint)") {
+    // The engine's hot paths are all codegen'd Catalyst expressions —
+    // probes, dot products, hashes, the generator — a property the code
+    // has so far held by discipline. This locks it in: any future query
+    // (or refactor) that smuggles in a black-box UDF breaks here, not in
+    // a bench regression three rounds later. Checked on the ANALYZED
+    // logical plan (where ScalaUDF/PythonUDF expressions live regardless
+    // of physical planning), including every subquery; for the streaming
+    // queries the returned DataFrame is their batch result surface, so
+    // the lint covers the whole contract map.
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val analyzed = fn(spark, GraftSpark.sf).queryExecution.analyzed
+      analyzed.foreachWithSubqueries { p =>
+        p.expressions.foreach(_.foreach { e =>
+          val cls = e.getClass.getSimpleName
+          if (cls.contains("ScalaUDF") || cls.contains("PythonUDF"))
+            offenders += s"$name: $cls in ${p.nodeName}"
+        })
+      }
+    }
+    assert(offenders.isEmpty,
+      s"black-box UDFs found in:\n${offenders.mkString("\n")}")
+  }
 }
