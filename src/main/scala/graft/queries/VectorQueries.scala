@@ -170,7 +170,7 @@ object VectorQueries {
   /** 3 Lloyd iterations (k = 10 label-prototype seed); see q_kmeans for
     * the determinism design. Returns (final assignment (vec_id, asg,
     * x1..x8), final centroids (cid, cn, c1..c8)). */
-  private def kmRun(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def kmRun(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d).select(
       col("vec_id") +: col("label") +:
         kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
@@ -198,6 +198,22 @@ object VectorQueries {
     (assigned, centroids(assigned, col("asg")))
   }
 
+  /** One materialization of [[kmRun]] per (session, dataset): q_kmeans
+    * and q_semantic_dedup both consume the same 3-iteration Lloyd run
+    * (SemDeDup is BUILT on the k-means partition), and each previously
+    * paid the full iterative chain — worse, q_semantic_dedup references
+    * the assignment twice, re-executing the un-checkpointed loop per
+    * reference. Assignment + centroids are tiny (n_vecs × 10 cols /
+    * k rows), so both are localCheckpointed once and shared for the
+    * session, same lifetime story as [[TextQueries.jaccardPairsShared]]. */
+  private val kmCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def kmRunShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    kmCache.computeIfAbsent((s, d), _ => {
+      val (assigned, cent) = kmRun(s, d)
+      (assigned.localCheckpoint(), cent.localCheckpoint())
+    })
+
   val queries: Map[String, Q] = Map(
 
     // --- distributed k-means (Lloyd, 3 iterations, k = 10 label
@@ -210,7 +226,7 @@ object VectorQueries {
     // one broadcast, one agg — the canonical scale shape; clusters that
     // lose every point drop out (none do on this data).
     "q_kmeans" -> ((s, d) => {
-      val (_, cent) = kmRun(s, d)
+      val (_, cent) = kmRunShared(s, d)
       cent.select(col("cid"), col("cn").as("n"),
           round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"),
           round(col("c3"), 4).as("c3"), round(col("c4"), 4).as("c4"))
@@ -226,7 +242,7 @@ object VectorQueries {
     // (broadcast k rows), never pairwise, which is what makes
     // embedding dedup tractable at corpus scale.
     "q_semantic_dedup" -> ((s, d) => {
-      val (assigned, cent) = kmRun(s, d)
+      val (assigned, cent) = kmRunShared(s, d)
       val members = assigned.withColumnRenamed("asg", "cid")
       val withDist = members
         .join(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)), "cid")

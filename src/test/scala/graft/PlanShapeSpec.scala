@@ -190,7 +190,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_kmeans: centroids broadcast, every aggregate hash-based") {
-    val plan = planOf("q_kmeans")
+    // q_kmeans serves the session-cached kmRunShared checkpoint (whose
+    // plan is just a scan) — pin the shape of the UNDERLYING Lloyd run
+    val plan = graft.queries.VectorQueries.kmRun(spark, GraftSpark.sf)
+      ._2.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"centroids must broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
