@@ -114,4 +114,42 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .select("tag").distinct().collect().map(_.getString(0))
     assert(tags.toSeq == Seq("keep"), "failed job must not replace the snapshot")
   }
+
+  test("graftmem concurrent appends both land (CAS commit, no lost update)") {
+    spark.range(0).select(col("id"), lit(0.0).as("v"), lit("z").as("tag"))
+      .write.format("graftmem").option("table", "spec_cc").mode("overwrite").save()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two append JOBS racing on the same table: a get-then-put commit
+    // loses one of them; the compare-and-swap loop must keep both
+    val jobs = (1 to 2).map { i =>
+      Future {
+        spark.range(100).select(col("id") + i * 1000, lit(i.toDouble).as("v"),
+            lit(s"t$i").as("tag"))
+          .write.format("graftmem").option("table", "spec_cc")
+          .mode("append").save()
+      }
+    }
+    jobs.foreach(Await.result(_, 2.minutes))
+    val back = spark.read.format("graftmem").option("table", "spec_cc").load()
+    assert(back.count() == 200, "a concurrent append was lost")
+    assert(back.filter(col("tag") === "t1").count() == 100)
+    assert(back.filter(col("tag") === "t2").count() == 100)
+  }
+
+  test("graftmem rejects a type-divergent append instead of re-labelling old rows") {
+    spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
+      .write.format("graftmem").option("table", "spec_ts").mode("overwrite").save()
+    // same arity, different positional type (string where double was
+    // committed): accepting it would make every OLD row mis-decode on
+    // the next read, so the commit must throw and keep the snapshot
+    val ex = intercept[Exception] {
+      spark.range(3).select(col("id"), lit("oops").as("v"), lit("y").as("tag"))
+        .write.format("graftmem").option("table", "spec_ts").mode("append").save()
+    }
+    assert(ex.getMessage != null)
+    val back = spark.read.format("graftmem").option("table", "spec_ts").load()
+    assert(back.count() == 5, "rejected append must leave the snapshot unchanged")
+  }
 }
