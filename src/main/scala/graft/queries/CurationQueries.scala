@@ -52,6 +52,43 @@ object CurationQueries {
     log((digits + 1) / lit(10001.0)) / greatest(w, lit(1L)).cast("double")
   }
 
+  /** The 3-round BPE merge-learning loop, shared by q_bpe_learn (reads
+    * the per-round argmax pairs) and q_bpe_encode (reads the final
+    * symbolized corpus): one run per (session, dataset), same lifetime
+    * story as [[TextQueries.jaccardPairsShared]]. Every round is
+    * localCheckpointed — without that, round r's pair agg re-derives
+    * every earlier merge and each 1-row argmax re-executes per consumer
+    * (O(R²) corpus passes; measured 61→~4 s at the 10× scale set).
+    * Returns (per-round (round, pair, n_pair) 1-row frames, final
+    * symbolized corpus (doc_id, s) with merged symbols U+001F-joined). */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+  private def bpeRunShared(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
+    bpeCache.computeIfAbsent((s, d), _ => {
+      val sep = ""
+      var cur = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("s"))
+        .localCheckpoint()
+      var tops: Seq[DataFrame] = Nil
+      for (r <- 1 to 3) {
+        val top1 = cur
+          .select(pos_ngrams(split(trim(col("s"), " "), " "), 2).as(Seq("pos", "gram")))
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("gram")).limit(1)
+          .localCheckpoint()
+        tops = tops :+ top1.select(lit(r).as("round"), col("gram").as("pair"),
+          col("n").as("n_pair"))
+        cur = cur.crossJoin(broadcast(top1.select(col("gram").as("g"))))
+          .withColumn("pat", concat(lit(" "), col("g"), lit(" ")))
+          .withColumn("rep",
+            concat(lit(" "), translate(col("g"), " ", sep), lit(" ")))
+          .withColumn("s", expr("replace(replace(s, pat, rep), pat, rep)"))
+          .select("doc_id", "s")
+          .localCheckpoint()
+      }
+      (tops, cur)
+    })
+
   val queries: Map[String, Q] = Map(
 
     // --- weighted sampling (Efraimidis–Spirakis A-Res, log form): rank
@@ -87,39 +124,39 @@ object CurationQueries {
     // one broadcast + one scan-stage rewrite; rounds scale as O(R)
     // corpus scans, state never leaves the executors.
     "q_bpe_learn" -> ((s, d) => {
-      val sep = "\u001f"
-      // checkpoint the symbolized corpus AND each round's 1-row argmax:
-      // without them round r's pair agg re-derives every earlier merge,
-      // and each argmax re-executes its agg once per consumer (broadcast
-      // + final union) — together measured 61→~17 s at the 10× scale set
-      var cur = Tables.documents(s, d).select(col("doc_id"),
-        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("s"))
-        .localCheckpoint()
-      var tops: Seq[DataFrame] = Nil
-      for (r <- 1 to 3) {
-        val top1 = cur
-          .select(pos_ngrams(split(trim(col("s"), " "), " "), 2).as(Seq("pos", "gram")))
-          .groupBy("gram").agg(count(lit(1)).as("n"))
-          .orderBy(desc("n"), asc("gram")).limit(1)
-          .localCheckpoint()
-        tops = tops :+ top1.select(lit(r).as("round"), col("gram").as("pair"),
-          col("n").as("n_pair"))
-        cur = cur.crossJoin(broadcast(top1.select(col("gram").as("g"))))
-          .withColumn("pat", concat(lit(" "), col("g"), lit(" ")))
-          .withColumn("rep",
-            concat(lit(" "), translate(col("g"), " ", sep), lit(" ")))
-          .withColumn("s", expr("replace(replace(s, pat, rep), pat, rep)"))
-          .select("doc_id", "s")
-          // materialize each round's merge once: without this, round r
-          // re-derives every earlier round's replace from the scan
-          // (O(R²) corpus passes; measured 4.2→~2.5s at sf0.1)
-          .localCheckpoint()
-      }
+      val (tops, cur) = bpeRunShared(s, d)
       val symCount = cur
         .select(size(split(trim(col("s"), " "), " ")).cast("long").as("k"))
         .agg(sum("k").as("n_pair"))
         .select(lit(4).as("round"), lit("TOTAL_SYMBOLS").as("pair"), col("n_pair"))
       tops.reduce(_ unionAll _).unionAll(symCount).orderBy("round")
+    }),
+
+    // --- BPE ENCODE (the application half of q_bpe_learn): tokenize the
+    // whole corpus with the learned merge table -- the job a training
+    // pipeline runs daily once the tokenizer is trained. Per language:
+    // docs, whitespace tokens in, symbols out after the 3 learned merges,
+    // merges applied (each applied merge joins exactly 2 adjacent
+    // symbols, so n_merges = n_tokens - n_symbols -- an invariant, not a
+    // second count), and the compression ratio. The encode pass is the
+    // shared [[bpeRunShared]] corpus rewrite (one codegen'd two-pass
+    // replace per merge, no shuffle) plus one bounded per-lang hash agg;
+    // empty docs (0 tokens) are excluded -- they have nothing to encode.
+    "q_bpe_encode" -> ((s, d) => {
+      val (_, enc) = bpeRunShared(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val perDoc = enc.select(col("doc_id"),
+        size(split(trim(col("s"), " "), " ")).cast("long").as("n_sym"))
+      docs.filter(col("n_tok") > 0).join(perDoc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"), sum("n_sym").as("n_symbols"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_symbols"),
+          (col("n_tokens") - col("n_symbols")).as("n_merges"),
+          round(col("n_tokens") / col("n_symbols").cast("double"), 4)
+            .as("compression"))
+        .orderBy("lang")
     }),
 
     // --- per-group weighted reservoir: the E-S key again, but drawn
@@ -411,10 +448,11 @@ object CurationQueries {
           countDistinct(col("o_orderkey")).as("n_keys"))
     }))
 
-  /** DuckDB twin of q_bpe_learn, 3 rounds unrolled: round r counts
-    * adjacent pairs over d(r-1), t_r is the argmax pair, d_r applies the
-    * same two-pass replace with chr(31) joining merged symbols. */
-  private def bpeLearnOracle: String = {
+  /** Shared DuckDB CTE chain for the BPE twins, 3 rounds unrolled:
+    * round r counts adjacent pairs over d(r-1), t_r is the argmax pair,
+    * d_r applies the same two-pass replace with chr(31) joining merged
+    * symbols. Composes into bpeLearnOracle / the q_bpe_encode oracle. */
+  private def bpeCtes: String = {
     def pairs(dPrev: String, t: String): String =
       s"""$t AS (
          |  SELECT gram, count(*) AS n FROM (
@@ -429,7 +467,7 @@ object CurationQueries {
          |      ' ' || (SELECT gram FROM $t) || ' ',
          |      ' ' || replace((SELECT gram FROM $t), ' ', chr(31)) || ' ') AS s
          |  FROM $dPrev)""".stripMargin
-    s"""WITH d0 AS (
+    s"""d0 AS (
        |  SELECT doc_id,
        |    ' ' || array_to_string(list_filter(string_split(lower(text), ' '),
        |        t -> t <> ''), ' ') || ' ' AS s
@@ -439,17 +477,42 @@ object CurationQueries {
        |${pairs("d1", "t2")},
        |${merge("d1", "t2", "d2")},
        |${pairs("d2", "t3")},
-       |${merge("d2", "t3", "d3")}
+       |${merge("d2", "t3", "d3")}""".stripMargin
+  }
+
+  /** DuckDB twin of q_bpe_learn over the shared 3-round chain. */
+  private def bpeLearnOracle: String =
+    s"""WITH $bpeCtes
        |SELECT 1 AS round, gram AS pair, n AS n_pair FROM t1
        |UNION ALL SELECT 2, gram, n FROM t2
        |UNION ALL SELECT 3, gram, n FROM t3
        |UNION ALL SELECT 4, 'TOTAL_SYMBOLS',
        |  (SELECT sum(len(string_split(trim(s, ' '), ' ')))::BIGINT FROM d3)
        |ORDER BY round""".stripMargin
-  }
+
+  /** DuckDB twin of q_bpe_encode: the same chain's final corpus d3,
+    * aggregated per language (empty docs excluded, as in the query). */
+  private def bpeEncodeOracle: String =
+    s"""WITH $bpeCtes,
+       |enc AS (
+       |  SELECT doc_id, len(string_split(trim(s, ' '), ' '))::BIGINT AS n_sym
+       |  FROM d3),
+       |tok AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |        t -> t <> ''))::BIGINT AS n_tok
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |  sum(n_sym)::BIGINT AS n_symbols,
+       |  (sum(n_tok) - sum(n_sym))::BIGINT AS n_merges,
+       |  round(sum(n_tok)::DOUBLE / sum(n_sym), 4) AS compression
+       |FROM tok JOIN enc USING (doc_id)
+       |WHERE n_tok > 0
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_weighted_sample" ->
       """WITH keyed AS (

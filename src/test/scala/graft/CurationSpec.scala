@@ -174,6 +174,31 @@ class CurationSpec extends AnyFunSuite {
       "cannot shrink by more than the selected pair counts")
   }
 
+  test("q_bpe_encode is consistent with q_bpe_learn's symbol accounting") {
+    val learn = CurationQueries.queries("q_bpe_learn")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val enc = CurationQueries.queries("q_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").count(_.nonEmpty))
+    // encode covers every non-empty doc exactly once
+    assert(enc.map(_._2).sum == docs.count(_ > 0))
+    // token totals agree with a driver-side count
+    assert(enc.map(_._3).sum == docs.map(_.toLong).sum)
+    // symbol totals tie back to learn's TOTAL_SYMBOLS row (empty docs
+    // contribute 1 symbol each there: split('') = [""])
+    val totalSymbols = learn.find(_._1 == 4).get._3
+    assert(enc.map(_._4).sum + docs.count(_ == 0) == totalSymbols)
+    enc.foreach { case (lang, _, nTok, nSym, nMerges, compression) =>
+      assert(nMerges == nTok - nSym, s"$lang: merge invariant broken")
+      assert(nMerges >= 0 && nSym >= 1)
+      assert(compression >= 1.0, s"$lang: merges cannot grow the corpus")
+    }
+    // applied merges cannot exceed the counted argmax occurrences
+    assert(enc.map(_._5).sum <= learn.take(3).map(_._3).sum)
+  }
+
   test("q_dataset_split: halves cover the corpus at ~80/10/10") {
     val rows = CurationQueries.queries("q_dataset_split")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2)))
