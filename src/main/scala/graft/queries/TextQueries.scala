@@ -398,6 +398,43 @@ object TextQueries {
     // q_pagerank_neardup)
     "q_ngram_jaccard" -> ((s, d) => jaccardPairsShared(s, d).orderBy("id_a", "id_b")),
 
+    // --- INCREMENTAL dedup: a new document batch (delta = doc_id % 10
+    // == 0, a stand-in for today's crawl) deduped AGAINST the existing
+    // corpus (base), per-delta-doc verdict: 'dup' of its best Jaccard
+    // match at ≥ 0.8, else 'new' (best match reported either way;
+    // deterministic min-id tie-break on equal rounded scores). This is
+    // the production dedup pattern at 100 TB — the full corpus is never
+    // re-paired; the base gram postings are a maintained INDEX and only
+    // the (small) delta's postings join against it, so cost scales with
+    // the delta, not the corpus. Same inverted-index shape as
+    // [[jaccardPairs]]: candidates exist only where a gram is shared —
+    // no all-pairs anywhere. The argmax is two bounded hash aggs (max
+    // score, then min id at that score) — no sort, no min_by-over-struct
+    // (SortAggregate trap).
+    "q_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      def sets(df: DataFrame) = gramHashPostings(df).distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val dp = sets(docs.filter(col("doc_id") % 10 === 0)).toDF("id_d", "gh", "sz_d")
+      val bp = sets(docs.filter(col("doc_id") % 10 =!= 0)).toDF("id_b", "gh", "sz_b")
+      val scored = dp.join(bp, Seq("gh"))
+        .groupBy("id_d", "id_b", "sz_d", "sz_b").agg(count(lit(1)).as("inter"))
+        .select(col("id_d"), col("id_b"),
+          round(col("inter").cast("double")
+            / (col("sz_d") + col("sz_b") - col("inter")).cast("double"), 4).as("jac"))
+      val best = scored.groupBy("id_d").agg(max("jac").as("best_jac"))
+      val bestId = scored.join(best, "id_d")
+        .filter(col("jac") === col("best_jac"))
+        .groupBy("id_d", "best_jac").agg(min("id_b").as("best_base"))
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+        .join(bestId.withColumnRenamed("id_d", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("best_jac") >= 0.8, lit("dup")).otherwise(lit("new")).as("status"),
+          col("best_jac"), col("best_base"))
+        .orderBy("doc_id")
+    }),
+
     // Same result as q_ngram_jaccard via PREFIX FILTERING (PPJoin-style):
     // under a global gram order (rarest first), two sets with J ≥ t must
     // share a gram within each one's first |x| − ⌈t·|x|⌉ + 1 grams — so
@@ -1015,6 +1052,35 @@ object TextQueries {
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |dd AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |bb AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |pairs AS (
+        |  SELECT dd.doc_id AS id_d, bb.doc_id AS id_b,
+        |    round(len(list_intersect(dd.grams, bb.grams))::DOUBLE /
+        |          len(list_distinct(list_concat(dd.grams, bb.grams)))::DOUBLE, 4)
+        |      AS jac
+        |  FROM dd JOIN bb ON len(list_intersect(dd.grams, bb.grams)) >= 1),
+        |best AS (SELECT id_d, max(jac) AS best_jac FROM pairs GROUP BY 1),
+        |bid AS (
+        |  SELECT p.id_d, b.best_jac, min(p.id_b) AS best_base
+        |  FROM pairs p JOIN best b ON p.id_d = b.id_d AND p.jac = b.best_jac
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN best_jac >= 0.8 THEN 'dup' ELSE 'new' END AS status,
+        |  best_jac, best_base
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN bid ON d.doc_id = bid.id_d
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, lang, en_score, (en_score >= 0.05)::INT AS pred_en

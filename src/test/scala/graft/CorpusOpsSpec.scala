@@ -237,4 +237,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(avgLp <= 1e-9)
     }
   }
+
+  test("q_dedup_incremental verdicts agree with the full pair graph") {
+    val inc = TextQueries.queries("q_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val deltaCount = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(inc.length == deltaCount)
+    inc.foreach { case (id, st, jac, base) =>
+      assert(id % 10 == 0, "only delta docs may appear")
+      base.foreach(b => assert(b % 10 != 0, "best match must come from the base"))
+      if (st == "dup") assert(jac.exists(_ >= 0.8) && base.nonEmpty)
+      else assert(st == "new" && jac.forall(_ < 0.8))
+    }
+    // completeness: every delta-base pair the FULL pair graph scores at
+    // >= 0.8 must surface as a 'dup' verdict for its delta end — the
+    // incremental path may never miss a duplicate the batch path finds
+    val statusOf = inc.map(t => t._1 -> t._2).toMap
+    val crossPairs = TextQueries.jaccardPairs(spark, sf)
+      .select("id_a", "id_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (if (a % 10 == 0 && b % 10 != 0) Seq(a) else Nil) ++
+          (if (b % 10 == 0 && a % 10 != 0) Seq(b) else Nil)
+      }
+    crossPairs.foreach(d =>
+      assert(statusOf(d) == "dup", s"delta doc $d missed by incremental dedup"))
+  }
 }
