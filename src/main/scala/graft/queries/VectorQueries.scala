@@ -277,6 +277,34 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // --- ANN JOIN (batch retrieval): a whole BATCH of query vectors
+    // (every 100th id — the eval-set shape) each gets its top-3
+    // neighbors from the rest of the corpus in ONE pass: broadcast the
+    // query batch, one codegen'd cosine per (candidate, query), rank
+    // within each query. This is the retrieval join behind kNN eval /
+    // RAG indexing — q_knn_brute's single-vector form generalized. The
+    // per-query rank partitions by q_id (bounded sorts, one per query;
+    // ties broken by candidate id on the ROUNDED score so the result is
+    // engine-exact); at 100 TB the same plan swaps the rank for the
+    // bounded topk_agg heap or pre-buckets candidates with the LSH path
+    // — the scoring join is already the scalable shape.
+    "q_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val cands = emb.filter(col("vec_id") % 100 =!= 7)
+        .select(col("vec_id").as("n_id"), col("embedding"))
+      val scored = cands.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("n_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "n_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // Floors are pinned one notch under the observed deterministic
     // recalls (NearDupProbe, sf0.001/sf0.01): ivf 3/3, lsh 8/7, int8
     // 10/10. IVF's recall on this corpus is bounded by the scan fraction
@@ -398,6 +426,24 @@ object VectorQueries {
         |     (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_knn_join" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4)
+        |      AS cos_sim
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id % 100 = 7 AND e.vec_id % 100 <> 7),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank::INT AS rank, n_id, cos_sim
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     // recall-guarantee rows: the boolean is computed in-plan against the
     // exact top-10; DuckDB pins the contract (same trick as hll_ok)
