@@ -230,6 +230,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dedup_incremental: delta joins the posting index, never all-pairs") {
+    val plan = planOf("q_dedup_incremental")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must join on the gram key only:\n$plan")
+  }
+
+  test("ANN joins: query batch and planes broadcast; candidates never cartesian") {
+    val join = planOf("q_knn_join")
+    // exactly the one intentional BNLJ: the broadcast query batch
+    assert("BroadcastNestedLoopJoin".r.findAllIn(join).size <= 1 &&
+      !join.contains("CartesianProduct"),
+      s"brute ANN join must ride one query-batch broadcast:\n$join")
+    val lsh = planOf("q_knn_join_lsh")
+    // allowed BNLJs: the two plane broadcasts (bucket subtree is built
+    // for each side) and the brute yardstick's query-batch broadcast —
+    // the LSH candidate path itself must stay an equi-join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(lsh).size <= 4 &&
+      !lsh.contains("CartesianProduct"),
+      s"LSH ANN join candidates must come from the bucket equi-join:\n$lsh")
+  }
+
   test("no query plan contains a ScalaUDF or Python eval node (engine-wide lint)") {
     // The engine's hot paths are all codegen'd Catalyst expressions —
     // probes, dot products, hashes, the generator — a property the code
