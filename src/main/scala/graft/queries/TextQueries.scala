@@ -55,6 +55,18 @@ object TextQueries {
   private[graft] def postingsOf(s: SparkSession, d: String): DataFrame =
     gramHashPostings(Tables.documents(s, d)).distinct()
 
+  /** The corpus's distinct gram postings, materialized ONCE per session —
+    * the maintained inverted INDEX that every gram consumer reads: the
+    * Jaccard pair graph, the contamination check, and incremental dedup
+    * each previously rebuilt it from the raw text. The 100 TB analogue is
+    * a storage-backed postings table maintained incrementally alongside
+    * the corpus (exactly the artifact q_dedup_incremental's framing
+    * assumes); locally it is one localCheckpoint (~16 B per (doc, gram)). */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def postingsShared(s: SparkSession, d: String): DataFrame =
+    postingsCache.computeIfAbsent((s, d), _ => postingsOf(s, d).localCheckpoint())
+
   /**
    * Exact n-gram Jaccard for an (id_a, id_b) candidate pair set, via the
    * postings join (shared by the minhash and PPJoin verify stages):
@@ -97,7 +109,7 @@ object TextQueries {
    */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+    val postings = postingsShared(s, d)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = postings.toDF("id_a", "gh", "sz_a")
     val b = postings.toDF("id_b", "gh", "sz_b")
@@ -413,11 +425,14 @@ object TextQueries {
     // (SortAggregate trap).
     "q_dedup_incremental" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      def sets(df: DataFrame) = gramHashPostings(df).distinct()
+      // grams are per-doc, so filtering the shared index is identical to
+      // building postings from the filtered docs — the delta and the base
+      // both read the ONE maintained index
+      def sets(pred: org.apache.spark.sql.Column) = postingsShared(s, d)
+        .filter(pred)
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val dp = sets(docs.filter(col("doc_id") % 10 === 0)).toDF("id_d", "gh", "sz_d")
-      val bp = sets(docs.filter(col("doc_id") % 10 =!= 0)).toDF("id_b", "gh", "sz_b")
+      val dp = sets(col("doc_id") % 10 === 0).toDF("id_d", "gh", "sz_d")
+      val bp = sets(col("doc_id") % 10 =!= 0).toDF("id_b", "gh", "sz_b")
       val scored = dp.join(bp, Seq("gh"))
         .groupBy("id_d", "id_b", "sz_d", "sz_b").agg(count(lit(1)).as("inter"))
         .select(col("id_d"), col("id_b"),
@@ -427,7 +442,7 @@ object TextQueries {
       val bestId = scored.join(best, "id_d")
         .filter(col("jac") === col("best_jac"))
         .groupBy("id_d", "best_jac").agg(min("id_b").as("best_base"))
-      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+      Tables.documents(s, d).filter(col("doc_id") % 10 === 0).select(col("doc_id"))
         .join(bestId.withColumnRenamed("id_d", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("best_jac") >= 0.8, lit("dup")).otherwise(lit("new")).as("status"),
@@ -497,9 +512,9 @@ object TextQueries {
     // so the join is linear in shared postings, never |train|×|bench|.
     // The benchmark set is a deterministic stand-in (doc_id % 20 == 0).
     "q_contamination" -> ((s, d) => {
-      // one materialized posting set feeds bench/train/freq and both
-      // verify joins (was recomputed per consumer)
-      val postings = postingsOf(s, d).localCheckpoint()
+      // the session-shared posting index feeds bench/train/freq and both
+      // verify joins (was rebuilt per query, then per consumer)
+      val postings = postingsShared(s, d)
       val bench = postings.filter(col("doc_id") % 20 === 0)
         .toDF("bench_id", "gh")
       val train = postings.filter(col("doc_id") % 20 =!= 0)
