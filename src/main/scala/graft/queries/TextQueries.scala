@@ -246,6 +246,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- CCNet head/middle/tail pruning: every doc scored by the
+    // corpus-trained bigram LM (the q_lm_score pipeline, unsampled),
+    // then split per language into perplexity TERTILES — the bucket
+    // assignment CCNet uses to keep the "head" of the distribution for
+    // pretraining. Scoring stays distributed on the gram key (model
+    // never broadcast); bucketing is ntile over (rounded ppl, doc_id) —
+    // engine-exact and tie-stable. The per-lang rank is a per-language
+    // sort of the DOC table (one row per doc, not the corpus text); at
+    // extreme scale the same query swaps ntile for approx_percentile
+    // boundaries, the q_equidepth_hist pattern. The bucket average rides
+    // an integer-scaled sum (exact, associative) so distributed float
+    // summation order can never flip the 4th decimal.
+    "q_ccnet_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), pos_ngrams(col("tk"), 2).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("gram"),
+          substring_index(col("gram"), " ", 1).as("left_"))
+      val cg = bg.groupBy("gram").agg(count(lit(1)).as("c"))
+      val cl = bg.groupBy("left_").agg(count(lit(1)).as("m"))
+      val lp = log(col("c").cast("double") / col("m"))
+      val scored = bg.join(cg, "gram").join(cl, "left_")
+        .groupBy("doc_id")
+        .agg(round(exp(-avg(lp)), 4).as("ppl"))
+        .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("ppl") * 1e4).cast("long")).as("ppl_e4"))
+        .select(col("lang"), col("bucket"), col("n_docs"),
+          round(col("ppl_e4") / lit(1e4) / col("n_docs"), 4).as("avg_ppl"))
+        .orderBy("lang", "bucket")
+    }),
+
     // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
     "q_dedup_exact" -> ((s, d) => Tables.documents(s, d)
       .groupBy("lang")
@@ -904,6 +940,33 @@ object TextQueries {
         |FROM b JOIN cg USING (gram) JOIN cl USING (left_)
         |WHERE doc_id % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([{'g': tk[i] || ' ' || tk[i+1], 'l': tk[i]}
+        |      FOR i IN range(1, len(tk))]) AS s
+        |  FROM toks),
+        |b AS (SELECT doc_id, s.g AS gram, s.l AS left_ FROM bg),
+        |cg AS (SELECT gram, count(*) AS c FROM b GROUP BY 1),
+        |cl AS (SELECT left_, count(*) AS m FROM b GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, round(exp(-avg(ln(c::DOUBLE / m))), 4) AS ppl
+        |  FROM b JOIN cg USING (gram) JOIN cl USING (left_)
+        |  GROUP BY 1),
+        |lb AS (
+        |  SELECT d.lang, s.doc_id, s.ppl,
+        |    ntile(3) OVER (PARTITION BY d.lang ORDER BY s.ppl, s.doc_id)
+        |      AS bucket
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(sum(round(ppl * 10000)::BIGINT)::BIGINT / 10000.0 / count(*), 4)
+        |    AS avg_ppl
+        |FROM lb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_trigram_topk" ->
       """WITH toks AS (

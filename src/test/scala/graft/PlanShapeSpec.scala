@@ -252,6 +252,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH ANN join candidates must come from the bucket equi-join:\n$lsh")
   }
 
+  test("q_ccnet_buckets: tertile window over doc-level rows only, model joins keyed") {
+    val plan = planOf("q_ccnet_buckets")
+    // the bigram model must join on the gram key (broadcast at gate
+    // scale, shuffled hash/SMJ past the threshold) — never all-pairs
+    assert(!plan.contains("CartesianProduct"),
+      s"LM scoring must stay keyed:\n$plan")
+    // exactly ONE window (the per-language ntile), and it must sit ABOVE
+    // the per-doc perplexity aggregate — i.e., it sorts one row per doc,
+    // never the exploded gram relation (plan strings print top-down)
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && plan.indexOf("Window", winAt + 1) < 0,
+      s"expected exactly one Window (the ntile):\n$plan")
+    val gramAt = plan.indexOf("pos_ngrams")
+    assert(gramAt > winAt,
+      s"ntile must rank doc-level rows, not the gram explosion:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"ppl/bucket aggregates must stay in the hash path:\n$plan")
+  }
+
   test("no query plan contains a ScalaUDF or Python eval node (engine-wide lint)") {
     // The engine's hot paths are all codegen'd Catalyst expressions —
     // probes, dot products, hashes, the generator — a property the code
