@@ -64,6 +64,14 @@ package object functions {
   def cms_estimate(sketch: Column, value: Column): Column =
     Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))
 
+  /** Join-size / inner-product estimate from two serialized CMS built
+    * with the same eps/confidence/seed: a·b ≤ est ≤ a·b + ε‖a‖₁‖b‖₁
+    * (CM05 §4.2) — the constant-size "how big would this join be?"
+    * probe; see [[graft.sketches.CmsInnerProduct]]. */
+  def cms_inner_product(a: Column, b: Column): Column =
+    Shims.column(graft.sketches.CmsInnerProduct(
+      Shims.expression(a), Shims.expression(b)))
+
   /** Merge serialized CMS columns (counter addition) — re-aggregate a
     * sketch table to any coarser grouping, like `hll_union_agg`. */
   def cms_merge_agg(sketch: Column): Column =

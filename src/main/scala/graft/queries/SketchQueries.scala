@@ -221,7 +221,103 @@ object SketchQueries {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("word"), col("e.count").as("cnt"))
         .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    // join-size estimation WITHOUT running the join (CM05 §4.2): the
+    // inner product of two same-family CMS sketches brackets |A ⋈ B|
+    // as  exact ≤ est ≤ exact + ε·N₁·N₂ — at 100 TB this is the
+    // constant-size planner probe that decides broadcast vs shuffle
+    // before either side is shuffled. Both sketches are one-row
+    // aggregates (partial+final, ~112 KB each at ε=0.001); everything
+    // after them is arithmetic on two rows. The lower bound is
+    // deterministic (counters only overcount); the upper bound is the
+    // published 1−δ contract, a fixed boolean at the pinned seed.
+    "q_cms_join_size" -> ((s, d) => {
+      val eps = 0.001
+      val ev = Tables.events(s, d)
+      val or = Tables.orders(s, d)
+      val skL = ev.agg(
+        cms_agg(col("user_id"), eps, 0.999, 42).as("skl"),
+        count(lit(1)).as("n_left"))
+      val skR = or.agg(
+        cms_agg(col("o_custkey"), eps, 0.999, 42).as("skr"),
+        count(lit(1)).as("n_right"))
+      val exact = ev.groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("cl"))
+        .join(or.groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cr")), "k")
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_size"))
+      skL.join(skR).join(exact)
+        .select(col("n_left"), col("n_right"), col("join_size"),
+          (cms_inner_product(col("skl"), col("skr")) >= col("join_size"))
+            .as("no_underestimate"),
+          (cms_inner_product(col("skl"), col("skr")).cast("double")
+            <= col("join_size").cast("double")
+               + lit(eps) * col("n_left") * col("n_right"))
+            .as("within_eps"))
+    }),
+
+    // dyadic range queries over a FAMILY of CMS sketches (CM05 §4.3):
+    // level ℓ sketches key>>ℓ, so any [lo,hi] decomposes into O(log U)
+    // dyadic intervals, each answered by one point query at its level —
+    // range counts from 6 constant-size sketches built in ONE pass over
+    // the fact table, never re-scanning it per range. The range→interval
+    // decomposition is pure arithmetic on the query literals (driver
+    // side, data-independent); the probe plan is a broadcast of the
+    // one-row sketch frame against a 23-row interval relation. Bound per
+    // range: est ≤ exact + n_dyadic·ε·N (each point query overcounts by
+    // ≤ ε·N w.p. 1−δ); underestimates are impossible.
+    "q_cms_range_sum" -> ((s, d) => {
+      import s.implicits._
+      val eps = 0.01
+      val li = Tables.lineitem(s, d)
+        .select(col("l_quantity").cast("long").as("qty"))
+      val skCols = (0 to 5).map(l =>
+        cms_agg(shiftright(col("qty"), l), eps, 0.99, 42).as(s"sk$l")) :+
+        count(lit(1)).as("n_rows")
+      val sk = li.agg(skCols.head, skCols.tail: _*)
+      val ranges = Seq((1, 1L, 10L), (2, 14L, 37L), (3, 20L, 20L),
+        (4, 1L, 50L), (5, 33L, 48L))
+      val intervals = ranges.flatMap { case (rid, lo, hi) =>
+        SketchQueries.dyadic(lo, hi, 5).map { case (lvl, pfx) =>
+          (rid, lo, hi, lvl, pfx)
+        }
+      }.toDF("rid", "lo", "hi", "lvl", "pfx")
+      val est = intervals.join(broadcast(sk))
+        .select(col("rid"), col("lo"), col("hi"), col("n_rows"),
+          (1 until 6).foldLeft(cms_estimate(col("sk0"), col("pfx"))) {
+            (acc, l) => when(col("lvl") === l,
+              cms_estimate(col(s"sk$l"), col("pfx"))).otherwise(acc)
+          }.as("e"))
+        .groupBy("rid", "lo", "hi")
+        .agg(sum("e").as("est"), count(lit(1)).as("n_dyadic"),
+          first("n_rows").as("n_rows"))
+      val exact = li.join(broadcast(ranges.toDF("rid2", "rlo", "rhi")),
+          col("qty").between(col("rlo"), col("rhi")))
+        .groupBy(col("rid2")).agg(count(lit(1)).as("exact"))
+      est.join(exact, col("rid") === col("rid2"))
+        .select(col("rid"), col("lo"), col("hi"), col("exact"), col("n_dyadic"),
+          (col("est") >= col("exact")).as("no_underestimate"),
+          (col("est").cast("double") <= col("exact").cast("double")
+            + col("n_dyadic") * lit(eps) * col("n_rows")).as("within_eps"))
+        .orderBy("rid")
     }))
+
+  /** Greedy-left dyadic decomposition of [lo, hi]: maximal aligned
+    * blocks [k·2^ℓ, (k+1)·2^ℓ−1], ℓ ≤ maxLevel → ≤ 2·maxLevel+… O(log)
+    * intervals. Pure arithmetic on query literals (no data access). */
+  private[graft] def dyadic(lo: Long, hi: Long, maxLevel: Int): Seq[(Int, Long)] = {
+    require(lo >= 0 && lo <= hi, s"bad range [$lo, $hi]")
+    val out = Seq.newBuilder[(Int, Long)]
+    var a = lo
+    while (a <= hi) {
+      var l = 0
+      while (l + 1 <= maxLevel && (a & ((1L << (l + 1)) - 1)) == 0 &&
+          a + (1L << (l + 1)) - 1 <= hi) l += 1
+      out += ((l, a >> l))
+      a += (1L << l)
+    }
+    out.result()
+  }
 
   /**
    * Oracles where the sketch answer is provably exact-matchable at the
@@ -282,6 +378,25 @@ object SketchQueries {
         |                                t -> t <> '')) AS t
         |      FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin,
+
+    "q_cms_join_size" ->
+      """WITH a AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |     b AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1)
+        |SELECT (SELECT count(*) FROM events) AS n_left,
+        |       (SELECT count(*) FROM orders) AS n_right,
+        |       coalesce((SELECT sum(a.c * b.c) FROM a JOIN b USING (k)), 0)::BIGINT
+        |         AS join_size,
+        |       true AS no_underestimate, true AS within_eps""".stripMargin,
+
+    "q_cms_range_sum" ->
+      """SELECT r.rid, r.lo::BIGINT AS lo, r.hi::BIGINT AS hi,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE CAST(l_quantity AS BIGINT) BETWEEN r.lo AND r.hi) AS exact,
+        |  r.nd::BIGINT AS n_dyadic,
+        |  true AS no_underestimate, true AS within_eps
+        |FROM (VALUES (1, 1, 10, 5), (2, 14, 37, 4), (3, 20, 20, 1),
+        |             (4, 1, 50, 8), (5, 33, 48, 5)) r(rid, lo, hi, nd)
+        |ORDER BY r.rid""".stripMargin,
 
     "q_topk_reagg" ->
       """SELECT t AS word, count(*) AS cnt

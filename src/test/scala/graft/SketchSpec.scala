@@ -103,6 +103,73 @@ class SketchSpec extends AnyFunSuite {
     assert(!java.util.Arrays.equals(build(42), build(43)))
   }
 
+  test("cms inner product: brackets the exact join size (CM05 4.2 contract)") {
+    // deliberately narrow sketch (width 20) so collisions are certain —
+    // the deterministic lower bound must still hold, and the eps upper
+    // bound must hold at the pinned seed
+    val eps = 0.1
+    val skL = events.agg(cms_agg($"user_id", eps, 0.99, 42).as("a"),
+      count(lit(1)).as("nl"))
+    val skR = Tables.orders(spark, GraftSpark.sf)
+      .agg(cms_agg($"o_custkey", eps, 0.99, 42).as("b"), count(lit(1)).as("nr"))
+    val exact = events.groupBy($"user_id".as("k")).agg(count(lit(1)).as("cl"))
+      .join(Tables.orders(spark, GraftSpark.sf)
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("cr")), "k")
+      .agg(coalesce(sum($"cl" * $"cr"), lit(0L)).as("j"))
+    val r = skL.join(skR).join(exact)
+      .select(cms_inner_product($"a", $"b").as("est"), $"j", $"nl", $"nr")
+      .head()
+    val (est, j, nl, nr) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(est >= j, s"inner product $est underestimates exact join size $j")
+    assert(est.toDouble <= j.toDouble + eps * nl * nr,
+      s"inner product $est above eps bound ${j + eps * nl * nr}")
+  }
+
+  test("cms inner product: exact when the sketch is collision-free") {
+    // width 2000 vs ~100 distinct user ids, min over 7 rows: at the
+    // pinned seed the estimate IS the inner product of the exact
+    // frequency vectors (verified value equality, not just the bracket)
+    val skA = events.filter($"event_type" === "click")
+      .agg(cms_agg($"user_id", 0.001, 0.999, 42).as("a"))
+    val skB = events.filter($"event_type" === "view")
+      .agg(cms_agg($"user_id", 0.001, 0.999, 42).as("b"))
+    val exact = events.filter($"event_type" === "click")
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("ca"))
+      .join(events.filter($"event_type" === "view")
+        .groupBy($"user_id".as("k")).agg(count(lit(1)).as("cb")), "k")
+      .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("j"))
+    val r = skA.join(skB).join(exact)
+      .select(cms_inner_product($"a", $"b").as("est"), $"j").head()
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
+  test("cms inner product: rejects sketches from different hash families") {
+    val a = events.agg(cms_agg($"user_id", 0.01, 0.99, 42).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val b = events.agg(cms_agg($"user_id", 0.01, 0.99, 43).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    val e = intercept[Exception] {
+      events.limit(1).select(cms_inner_product(lit(a), lit(b))).head()
+    }
+    assert(e.getMessage.contains("same eps/confidence/seed")
+      || e.getCause != null)
+  }
+
+  test("dyadic decomposition: disjoint, exact cover, O(log) intervals") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val lo = rnd.nextInt(64).toLong
+      val hi = lo + rnd.nextInt(64 - lo.toInt)
+      val ivs = queries.SketchQueries.dyadic(lo, hi, 5)
+      val covered = ivs.flatMap { case (l, p) =>
+        (p << l) to ((p + 1L) << l) - 1 }
+      assert(covered.sorted === (lo to hi).toSeq,
+        s"[$lo,$hi] decomposed to $ivs covering $covered")
+      assert(ivs.size <= 2 * 6, s"[$lo,$hi]: ${ivs.size} intervals")
+      assert(ivs.forall(_._1 <= 5))
+    }
+  }
+
   test("kll: sketch median lands inside the exact interquartile range") {
     queries.SourceQueries.queries("q_kll_quantiles")(spark, GraftSpark.sf)
       .collect().foreach { r =>
