@@ -322,9 +322,56 @@ object BehaviorQueries {
           round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(30,12)")), 4).cast("double").as("revenue"))
         .orderBy("r_name")
+    }),
+
+    // --- preference-pair construction (RLHF/DPO prep): per user, the
+    // highest- and lowest-scored event become one (chosen, rejected)
+    // pair with its margin. Both extremes ride topk_agg k=1 — a bounded
+    // per-partition heap merged map-side, so the shuffle carries ≤ 2
+    // rows per (user, partition) and NOTHING is window-sorted: at
+    // 100 TB this is two O(1)-state hash aggregates over the event log,
+    // where the row_number formulation (the oracle) sorts every user's
+    // whole history. Ties broken (score, id asc) identically in both
+    // engines; score pre-rounded so the negated rejected heap sees the
+    // exact same key. Single-event users produce no pair.
+    "q_preference_pairs" -> ((s, d) => {
+      import graft.functions.topk_agg
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("v"))
+      ev.groupBy("user_id")
+        .agg(topk_agg(col("v"), col("event_id"), 1).as("top"),
+          topk_agg(-col("v"), col("event_id"), 1).as("bot"),
+          count(lit(1)).as("n_events"))
+        .filter(col("n_events") >= 2)
+        .select(col("user_id"), col("n_events"),
+          col("top")(0)("id").as("chosen_id"),
+          col("top")(0)("score").as("chosen_val"),
+          col("bot")(0)("id").as("rejected_id"),
+          (-col("bot")(0)("score")).as("rejected_val"),
+          round(col("top")(0)("score") + col("bot")(0)("score"), 4)
+            .as("margin"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_preference_pairs" ->
+      """WITH e AS (SELECT user_id, event_id, round(value, 4) AS v FROM events),
+        |n AS (SELECT user_id, count(*) AS n_events FROM e
+        |      GROUP BY 1 HAVING count(*) >= 2),
+        |c AS (SELECT user_id, event_id AS chosen_id, v AS chosen_val,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY v DESC, event_id) AS rn FROM e),
+        |r AS (SELECT user_id, event_id AS rejected_id, v AS rejected_val,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY v ASC, event_id) AS rn FROM e)
+        |SELECT n.user_id, n.n_events, c.chosen_id, c.chosen_val,
+        |  r.rejected_id, r.rejected_val,
+        |  round(c.chosen_val - r.rejected_val, 4) AS margin
+        |FROM n JOIN c ON c.user_id = n.user_id AND c.rn = 1
+        |       JOIN r ON r.user_id = n.user_id AND r.rn = 1
+        |ORDER BY n.user_id""".stripMargin,
+
     "q_ks_test" ->
       """WITH ev AS (
         |  SELECT event_type, value, epoch_us(ts) AS us FROM events),

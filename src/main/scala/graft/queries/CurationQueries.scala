@@ -232,6 +232,32 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // --- temperature-scaled mixture weights (multilingual sampling à la
+    // XLM-R): p_i ∝ share_i^α with α=0.5, which upsamples scarce
+    // languages without letting any dominate. Everything is two bounded
+    // aggregates (one per-language count + one #langs-sized window over
+    // it); the per-language sqrt is integer-scaled to 1e-6 BEFORE the
+    // cross-language sum so the normalizing total is exact integer
+    // arithmetic — float summation order can never flip the hash, at
+    // any language count. 100 TB shape: one hash agg over the corpus,
+    // then arithmetic on a #langs-row table.
+    "q_mixture_temperature" -> ((s, d) => {
+      val all = Window.partitionBy(lit(1))
+      Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_int",
+          round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("long"))
+        .withColumn("p", col("w_int").cast("double")
+          / sum("w_int").over(all).cast("double"))
+        .withColumn("share", col("n_docs").cast("double")
+          / sum("n_docs").over(all).cast("double"))
+        .select(col("lang"), col("n_docs"),
+          round(col("p"), 6).as("p_sample"),
+          round(col("p") / col("share"), 4).as("boost"),
+          round(col("p") * 1e5, 0).cast("long").as("epoch_docs"))
+        .orderBy("lang")
+    }),
+
     // --- token-budget selection: keep the longest documents (ties by
     // doc_id) until 50% of the corpus' tokens are spent — the "fill the
     // training budget with the best docs first" step. NOT implemented as
@@ -554,6 +580,17 @@ object CurationQueries {
         |  sum(n_chars)::BIGINT AS total_chars,
         |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM gated GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q_mixture_temperature" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        round(sqrt(n_docs) * 1e6)::BIGINT AS w_int FROM pl),
+        |t AS (SELECT sum(w_int)::BIGINT AS tw, sum(n_docs)::BIGINT AS tn FROM w)
+        |SELECT lang, n_docs,
+        |  round(w_int / tw::DOUBLE, 6) AS p_sample,
+        |  round((w_int / tw::DOUBLE) / (n_docs / tn::DOUBLE), 4) AS boost,
+        |  round(w_int / tw::DOUBLE * 1e5)::BIGINT AS epoch_docs
+        |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
 
     "q_domain_mix" ->
       """WITH tot AS (

@@ -918,9 +918,48 @@ object TextQueries {
       labels.groupBy(col("cluster").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
         .orderBy("cluster_id")
+    }),
+
+    // --- Zipf's-law fit: log-log linear regression of frequency on
+    // rank over the top-100 vocabulary — the one-number corpus health
+    // check (natural text slopes ≈ −1; a pile of boilerplate or
+    // generated spam doesn't). The corpus-sized work is one word-count
+    // hash agg; the top-100 cut is a bounded TakeOrdered (never a full
+    // vocab sort shuffled to one task), and the regression runs over
+    // exactly 100 rows. regr_slope/intercept/r2 are second-moment
+    // aggregates — partial+final, O(1) state.
+    "q_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documents(s, d)
+        .select(explode(graft.functions.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(100)
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+        .agg(count(lit(1)).as("n_terms"),
+          round(expr("regr_slope(ln(cnt), ln(rank))"), 4).as("zipf_slope"),
+          round(expr("regr_intercept(ln(cnt), ln(rank))"), 4).as("zipf_intercept"),
+          round(expr("regr_r2(ln(cnt), ln(rank))"), 4).as("zipf_r2"))
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      """WITH counts AS (
+        |  SELECT t AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                                  t -> t <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1),
+        |top AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS rank
+        |  FROM counts ORDER BY cnt DESC, word LIMIT 100)
+        |SELECT count(*) AS n_terms,
+        |  round(regr_slope(ln(cnt), ln(rank)), 4) AS zipf_slope,
+        |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS zipf_intercept,
+        |  round(regr_r2(ln(cnt), ln(rank)), 4) AS zipf_r2
+        |FROM top""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

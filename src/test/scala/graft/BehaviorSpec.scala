@@ -167,4 +167,29 @@ class BehaviorSpec extends AnyFunSuite {
       assert(chi2 >= 0.0, s"$t negative chi2 $chi2")
     }
   }
+
+  test("q_preference_pairs: true per-user extremes, non-negative margin, distinct ids") {
+    val rows = BehaviorQueries.queries("q_preference_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // driver-side yardstick of the extremes
+    val byUser = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "round(value, 4) AS v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (u, n) = (r.getLong(0), r.getLong(1))
+      val (cid, cv) = (r.getLong(2), r.getDouble(3))
+      val (rid, rv) = (r.getLong(4), r.getDouble(5))
+      val margin = r.getDouble(6)
+      val evs = byUser(u)
+      assert(n == evs.size && n >= 2)
+      assert(cid != rid, s"user $u: chosen == rejected event $cid")
+      assert(margin >= 0.0 && math.abs(margin - (cv - rv)) < 1e-9)
+      // chosen = max by (v desc, id asc); rejected = min by (v asc, id asc)
+      val chosen = evs.minBy(e => (-e._3, e._2))
+      val rejected = evs.minBy(e => (e._3, e._2))
+      assert((cid, cv) == ((chosen._2, chosen._3)), s"user $u chosen mismatch")
+      assert((rid, rv) == ((rejected._2, rejected._3)), s"user $u rejected mismatch")
+    }
+  }
 }

@@ -209,4 +209,44 @@ class CurationSpec extends AnyFunSuite {
     assert(trainFrac > 0.72 && trainFrac < 0.88, s"train frac $trainFrac")
     assert(bySplit.keySet == Set("train", "val", "test"))
   }
+
+  test("q_mixture_temperature: weights normalize, sqrt flattens toward uniform") {
+    val rows = CurationQueries.queries("q_mixture_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length >= 2)
+    val pSum = rows.map(_._3).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_sample sums to $pSum")
+    // temperature < 1 compresses the mixture: every language's sampled
+    // share sits BETWEEN its natural share and uniform, so scarce
+    // languages boost > 1 and dominant ones shrink below 1
+    val total = rows.map(_._2).sum.toDouble
+    val uniform = 1.0 / rows.length
+    rows.foreach { case (lang, n, p, boost) =>
+      val share = n / total
+      if (share < uniform) {
+        assert(boost > 1.0, s"$lang scarce (share $share) but boost $boost")
+        assert(p < uniform + 1e-6, s"$lang oversampled past uniform: $p")
+      } else {
+        assert(boost <= 1.0 + 1e-6, s"$lang dominant (share $share) boost $boost")
+        assert(p > uniform - 1e-6, s"$lang compressed below uniform: $p")
+      }
+    }
+  }
+
+  test("q_zipf_fit: negative slope, sane r2, full top-100 window") {
+    val r = queries.TextQueries.queries("q_zipf_fit")(spark, sf).head()
+    val vocab = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.tokens(org.apache.spark.sql.functions.col("text"))))
+      .distinct().count()
+    assert(r.getLong(0) == math.min(vocab, 100L),
+      s"n_terms ${r.getLong(0)} vs vocab $vocab")
+    val (slope, r2) = (r.getDouble(1), r.getDouble(3))
+    // counts are nonincreasing in rank by construction, so the log-log
+    // slope is necessarily <= 0 on ANY corpus; the synthetic testdata
+    // draws words near-uniformly (r2 ~ 0.06 at sf0.001), so the fit
+    // QUALITY is reported, not asserted — natural text would be ~ -1
+    assert(slope <= 0.0, s"zipf slope cannot be positive, got $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
 }

@@ -271,6 +271,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ppl/bucket aggregates must stay in the hash path:\n$plan")
   }
 
+  test("q_preference_pairs: both extremes are hash aggregates, no window sort") {
+    val plan = planOf("q_preference_pairs")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"preference pairs must not sort per-user history:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"topk_agg extremes should plan as ObjectHashAggregate:\n$plan")
+  }
+
+  test("q_cms_join_size / q_cms_range_sum: fact scanned once per sketch build, " +
+      "probes ride broadcasts") {
+    val js = planOf("q_cms_join_size")
+    assert(js.contains("cms_agg"), s"missing sketch build:\n$js")
+    val rs = planOf("q_cms_range_sum")
+    // the 6-level family is ONE aggregate over one scan, not 6 scans
+    assert("cms_agg".r.findAllIn(rs).size >= 6, s"expected 6 sketch builds:\n$rs")
+    assert(rs.contains("BroadcastNestedLoopJoin") || rs.contains("BroadcastExchange"),
+      s"interval probe should broadcast the one-row sketch frame:\n$rs")
+  }
+
   test("no query plan contains a ScalaUDF or Python eval node (engine-wide lint)") {
     // The engine's hot paths are all codegen'd Catalyst expressions —
     // probes, dot products, hashes, the generator — a property the code
