@@ -64,6 +64,12 @@ package object functions {
   def cms_estimate(sketch: Column, value: Column): Column =
     Shims.column(CmsEstimate(Shims.expression(sketch), Shims.expression(value)))
 
+  /** Swamidass–Baldi distinct-count estimate from a serialized Bloom
+    * filter's fill ratio: n̂ = −(m/k)·ln(1−X/m) — membership and NDV
+    * from the same sketch; see [[graft.sketches.BloomNdv]]. */
+  def bloom_ndv(sketch: Column): Column =
+    Shims.column(graft.sketches.BloomNdv(Shims.expression(sketch)))
+
   /** Join-size / inner-product estimate from two serialized CMS built
     * with the same eps/confidence/seed: a·b ≤ est ≤ a·b + ε‖a‖₁‖b‖₁
     * (CM05 §4.2) — the constant-size "how big would this join be?"

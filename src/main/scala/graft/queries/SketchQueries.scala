@@ -223,6 +223,25 @@ object SketchQueries {
         .orderBy(col("cnt").desc, col("word"))
     }),
 
+    // membership AND cardinality from one sketch: the Swamidass–Baldi
+    // fill-ratio estimate n̂ = −(m/k)·ln(1−X/m) reads the distinct
+    // count out of the Bloom filter a pipeline already built for
+    // membership — no second HLL pass over 100 TB. The per-type filter
+    // is a bounded aggregate; the estimate is arithmetic on its bit
+    // count. Contract oracle: |n̂ − ndv| within max(3, 3%) at this
+    // fill (deterministic — Spark's Bloom hash family is fixed-seed).
+    "q_bloom_cardinality" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy("event_type")
+        .agg(bloom_agg(col("user_id"), 5000L, 0.03).as("bf"),
+          countDistinct(col("user_id")).as("exact_ndv"))
+        .select(col("event_type"), col("exact_ndv"),
+          (abs(bloom_ndv(col("bf")) - col("exact_ndv").cast("double"))
+            <= greatest(lit(3.0), lit(0.03) * col("exact_ndv")))
+            .as("sb_ok"))
+        .orderBy("event_type")
+    }),
+
     // join-size estimation WITHOUT running the join (CM05 §4.2): the
     // inner product of two same-family CMS sketches brackets |A ⋈ B|
     // as  exact ≤ est ≤ exact + ε·N₁·N₂ — at 100 TB this is the
@@ -378,6 +397,11 @@ object SketchQueries {
         |                                t -> t <> '')) AS t
         |      FROM documents)
         |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin,
+
+    "q_bloom_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_ndv,
+        |  true AS sb_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cms_join_size" ->
       """WITH a AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),

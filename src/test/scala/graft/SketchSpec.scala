@@ -155,6 +155,28 @@ class SketchSpec extends AnyFunSuite {
       || e.getCause != null)
   }
 
+  test("bloom_ndv: Swamidass-Baldi estimate tracks true cardinality across fills") {
+    for (n <- Seq(100L, 1000L, 4000L)) {
+      val est = spark.range(n).toDF("id")
+        .agg(bloom_agg($"id", 5000L, 0.03).as("bf"))
+        .select(bloom_ndv($"bf")).head().getDouble(0)
+      val relErr = math.abs(est - n) / n
+      assert(relErr < 0.05, s"n=$n est=$est relErr=$relErr")
+    }
+  }
+
+  test("bloom_ndv: empty filter estimates 0; saturation yields +inf, not a number") {
+    val empty = spark.range(1).filter($"id" < 0)
+      .agg(bloom_agg($"id", 100L, 0.01).as("bf"))
+      .select(bloom_ndv($"bf")).head().getDouble(0)
+    assert(empty === 0.0)
+    // 100k distinct into a 100-capacity filter saturates every word
+    val sat = spark.range(100000).agg(bloom_agg($"id", 100L, 0.5).as("bf"))
+      .select(bloom_ndv($"bf")).head().getDouble(0)
+    assert(sat.isPosInfinity || sat > 1e5,
+      s"saturated filter should not fabricate a small estimate: $sat")
+  }
+
   test("dyadic decomposition: disjoint, exact cover, O(log) intervals") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 200) {
