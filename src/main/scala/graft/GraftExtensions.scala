@@ -80,7 +80,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.VecDotI8(args(0), args(1))),
     ("pos_ngrams",
       info("pos_ngrams", "pos_ngrams(tokens, n) - generator: one (pos, gram) row per n-token window"),
-      (args: Seq[Expression]) => graft.functions.PosNGrams(args(0), args(1))))
+      (args: Seq[Expression]) => graft.functions.PosNGrams(args(0), args(1))),
+    ("cms_inner_product",
+      info("cms_inner_product", "cms_inner_product(a, b) - join-size/inner-product estimate from two same-family CMS (CM05 4.2)"),
+      (args: Seq[Expression]) => graft.sketches.CmsInnerProduct(args(0), args(1))),
+    ("bloom_ndv",
+      info("bloom_ndv", "bloom_ndv(bf) - Swamidass-Baldi distinct-count estimate from the filter's fill ratio"),
+      (args: Seq[Expression]) => graft.sketches.BloomNdv(args(0))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

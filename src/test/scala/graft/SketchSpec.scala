@@ -259,6 +259,26 @@ class SketchSpec extends AnyFunSuite {
     assert(est >= exact)
   }
 
+  test("round-6 estimators usable from SQL: cms_inner_product, bloom_ndv") {
+    Tables.events(spark, GraftSpark.sf).createOrReplaceTempView("ev_est_sql")
+    val ip = spark.sql(
+      """SELECT cms_inner_product(a, b) AS ip FROM
+        |  (SELECT cms_agg(user_id, 0.01d, 0.99d, 42) AS a FROM ev_est_sql),
+        |  (SELECT cms_agg(user_id, 0.01d, 0.99d, 42) AS b FROM ev_est_sql)
+        |""".stripMargin).head().getLong(0)
+    // self inner product >= sum of squared frequencies
+    val sumSq = Tables.events(spark, GraftSpark.sf)
+      .groupBy("user_id").count()
+      .agg(sum($"count" * $"count")).head().getLong(0)
+    assert(ip >= sumSq)
+    val ndv = spark.sql(
+      """SELECT bloom_ndv(bloom_agg(user_id, 5000L, 0.03d)) AS e
+        |FROM ev_est_sql""".stripMargin).head().getDouble(0)
+    val exact = Tables.events(spark, GraftSpark.sf)
+      .select("user_id").distinct().count()
+    assert(math.abs(ndv - exact) <= math.max(3.0, 0.03 * exact))
+  }
+
   test("null handling: null inputs are skipped in builds, null probes stay null") {
     val withNulls = events.select(
       when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id").as("uid"))
