@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the rule never observes its own intermediate output (the same
     // reason Spark's InjectRuntimeFilter lives outside that batch).
     ext.injectPreCBORule(graft.plans.BloomSemiPrefilterRule)
+    // range-join binning (SURVEY.md §4) — off until
+    // spark.graft.rangeJoin.binSize is set > 0. Same Once placement and
+    // the rule is additionally structurally idempotent, so attaching it
+    // to a pre-built session via experimental.extraOptimizations
+    // (Graft.enableRangeBinning) is also safe.
+    ext.injectPreCBORule(graft.plans.RangeJoinBinningRule)
     // whole-operator next-fit packing (SURVEY.md §2j): the strategy is
     // also self-registered by PackOps.nextFitPack for extension-less
     // sessions; injecting it here covers plans built some other way
@@ -96,6 +102,21 @@ object Graft {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    spark
+  }
+
+  /** Attach the range-join binning rewrite to an already-running session
+    * (the driver hands the contract paths a pre-built session, where
+    * `injectPreCBORule` is no longer reachable): the rule joins the
+    * FixedPoint `extraOptimizations` batch — safe because it is
+    * structurally idempotent — and the bin width is set via conf.
+    * Idempotent per session. */
+  def enableRangeBinning(spark: SparkSession, binSize: Double): SparkSession = {
+    spark.conf.set("spark.graft.rangeJoin.binSize", binSize.toString)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[graft.plans.RangeJoinBinningRule]))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.RangeJoinBinningRule(spark)
     spark
   }
 }

@@ -203,6 +203,26 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // Same FAMILY as q_range_join_binned, but the rewrite is AUTOMATIC:
+    // the query is written as the naive point-in-interval band join
+    // (customer balance within ±50 of a supplier's) and
+    // RangeJoinBinningRule (plans/RangeJoinBinningRule.scala) turns the
+    // O(n·m) nested loop into a binned equi-join at optimization time —
+    // intervals replicated to ~2 bins each via Generate, points hashed to
+    // one bin, residual BETWEEN keeping exactness. The user writes the
+    // declarative form; the engine owns the scale shape (RangeJoinRuleSpec
+    // pins both the rewrite and its guards).
+    "q_range_join_auto" -> ((s, d) => {
+      graft.Graft.enableRangeBinning(s, binSize = 100.0)
+      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+        (col("s_acctbal") - 50.0d).as("lo"), (col("s_acctbal") + 50.0d).as("hi"))
+      val cust = Tables.customer(s, d).select(col("c_acctbal"))
+      cust.join(sup, col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_in_band"))
+        .orderBy("s_suppkey")
+    }),
+
     "q_cross_join" -> ((s, d) => Tables.region(s, d)
       .crossJoin(Tables.orders(s, d).select("o_orderstatus").distinct())
       .select(col("r_name"), col("o_orderstatus"))
@@ -724,6 +744,12 @@ object RelationalQueries {
     "q_range_join_binned" ->
       """SELECT s_suppkey, count(*) AS n_richer_cust
         |FROM supplier JOIN customer ON c_acctbal > s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join_auto" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM customer JOIN supplier
+        |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_dist" ->
