@@ -213,10 +213,21 @@ object RelationalQueries {
     // declarative form; the engine owns the scale shape (RangeJoinRuleSpec
     // pins both the rewrite and its guards).
     "q_range_join_auto" -> ((s, d) => {
-      graft.Graft.enableRangeBinning(s, binSize = 100.0)
-      val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      // The rewrite needs session state (rule + binSize conf) to be live
+      // when the DRIVER later executes this lazy DataFrame, so it can't be
+      // save/restored around the body. Scope it by construction instead:
+      // an isolated session clone (shared SparkContext, fresh SQL conf and
+      // ExperimentalMethods) carries the rule, and the caller's session is
+      // never mutated — no later band join can silently inherit W=100.
+      val clone = s.newSession()
+      // runtime conf.set values don't propagate to a clone (only builder
+      // options do) — carry over the two that affect results/plan sizing
+      Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
+        .foreach(k => s.conf.getOption(k).foreach(clone.conf.set(k, _)))
+      val scoped = graft.Graft.enableRangeBinning(clone, binSize = 100.0)
+      val sup = Tables.supplier(scoped, d).select(col("s_suppkey"),
         (col("s_acctbal") - 50.0d).as("lo"), (col("s_acctbal") + 50.0d).as("hi"))
-      val cust = Tables.customer(s, d).select(col("c_acctbal"))
+      val cust = Tables.customer(scoped, d).select(col("c_acctbal"))
       cust.join(sup, col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
         .groupBy("s_suppkey")
         .agg(count(lit(1)).as("n_in_band"))

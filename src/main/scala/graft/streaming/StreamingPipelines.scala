@@ -101,20 +101,30 @@ class SessionTimerProcessor(gapMs: Long)
 
 object StreamingPipelines {
 
-  /** events schema with ts as nanos-long (how the file stream reads it). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with `ts` in whatever shape the parquet files read as
+    * (nanos-long / TIMESTAMP_NTZ / TIMESTAMP — see [[graft.Tables.decodeTs]]). */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-replayed event stream with proper TimestampType `ts`. */
+  /** File-replayed event stream with proper TimestampType `ts`.
+    *
+    * Unit-aware: the parquet time unit is detected once per directory from
+    * the batch table's footer (driver-side, cached) and the declared stream
+    * schema + decode follow it, sharing [[graft.Tables.decodeTs]] with the
+    * batch loader so the two paths cannot diverge. A one-off range
+    * assertion makes a future unit change fail loudly at pipeline build
+    * time instead of silently collapsing every event-time window. */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.Tables.eventsTsReadType(spark, sfDir)
+    graft.Tables.assertSaneEventTs(spark, sfDir)
     // glob (not a bare file path): the file source requires basePath to
     // be a directory; the glob keeps basePath = sfDir
-    spark.readStream.schema(rawSchema)
+    spark.readStream.schema(rawSchema(tsType))
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.decodeTs(col("ts"), tsType))
   }
 
   /** Run a streaming DF to completion into a memory sink, return the table.

@@ -100,6 +100,24 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("q_range_join_auto leaves the caller's session untouched") {
+    // the query scopes the rule + binSize conf to an isolated session
+    // clone; after building AND executing it, the caller's session must
+    // have neither, and a fresh band join must keep its nested-loop shape
+    val before = spark.experimental.extraOptimizations
+    val df = SparkEntry.queries("q_range_join_auto")(spark, GraftSpark.sf)
+    assert(df.count() > 0)
+    assert(spark.conf.getOption("spark.graft.rangeJoin.binSize").isEmpty,
+      "binSize conf leaked into the caller's session")
+    assert(spark.experimental.extraOptimizations
+      .count(_.isInstanceOf[graft.plans.RangeJoinBinningRule]) ==
+      before.count(_.isInstanceOf[graft.plans.RangeJoinBinningRule]),
+      "RangeJoinBinningRule leaked into the caller's extraOptimizations")
+    val plan = bandJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && !plan.contains("graft_bin"),
+      s"caller-session band join inherited the rewrite:\n$plan")
+  }
+
   test("pre-built session path: Graft.enableRangeBinning attaches the rule") {
     // simulate the driver's extension-less session by cloning: the clone
     // shares state but gets a fresh experimental-methods list
