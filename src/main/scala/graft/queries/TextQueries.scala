@@ -282,6 +282,53 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    // --- two-LM perplexity CONTRAST filter (CCNet/DSIR shape): an
+    // in-domain reference LM (bigrams of the English subset) and a
+    // generic LM (the whole corpus) score every doc; a doc whose
+    // reference perplexity undercuts its generic perplexity "looks
+    // in-domain" — the keep set for a targeted pretraining mix. Both
+    // models stay DISTRIBUTED on the gram key (vocabulary-sized count
+    // relations, never broadcast); scoring is two equi-join passes over
+    // the bigram stream, so the plan trains-and-scores at any corpus
+    // size. Per-bigram log-probs ride an integer-scaled (1e6) sum —
+    // exact and associative, so distributed float summation order can
+    // never flip the rounded output (the q_ccnet_buckets trick). Docs
+    // with zero reference-covered bigrams drop via the inner join;
+    // n_scored reports the surviving coverage per language.
+    "q_ppl_contrast" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), pos_ngrams(col("tk"), 2).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("gram"),
+          substring_index(col("gram"), " ", 1).as("left_"))
+      val en = Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
+      val bgRef = bg.join(en, "doc_id")
+      val cgR = bgRef.groupBy("gram").agg(count(lit(1)).as("c_ref"))
+      val clR = bgRef.groupBy("left_").agg(count(lit(1)).as("m_ref"))
+      val cgG = bg.groupBy("gram").agg(count(lit(1)).as("c_gen"))
+      val clG = bg.groupBy("left_").agg(count(lit(1)).as("m_gen"))
+      def lpE6(tag: String) =
+        round(log(col(s"c_$tag").cast("double") / col(s"m_$tag")) * 1e6).cast("long")
+      val scored = bg
+        .join(cgG, "gram").join(clG, "left_")
+        .join(cgR, "gram").join(clR, "left_")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(lpE6("ref")).as("se_ref"), sum(lpE6("gen")).as("se_gen"))
+        .select(col("doc_id"),
+          round(exp(-(col("se_ref") / 1e6) / col("n")), 4).as("ppl_ref"),
+          round(exp(-(col("se_gen") / 1e6) / col("n")), 4).as("ppl_gen"))
+      scored.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("ppl_ref") < col("ppl_gen"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(round(col("ppl_ref") * 1e4).cast("long")) / 1e4 / count(lit(1)), 4)
+            .as("avg_ppl_ref"),
+          round(sum(round(col("ppl_gen") * 1e4).cast("long")) / 1e4 / count(lit(1)), 4)
+            .as("avg_ppl_gen"))
+        .orderBy("lang")
+    }),
+
     // --- exact dedup (hash-groupBy; scales by shuffling on the key) ----
     "q_dedup_exact" -> ((s, d) => Tables.documents(s, d)
       .groupBy("lang")
@@ -386,6 +433,42 @@ object TextQueries {
       verifyJaccard(cand, postings)
         .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value
         .orderBy("id_a", "id_b")
+    }),
+
+    // --- MinHash banding RECALL gate (2j dedup confidence): a pipeline
+    // that swaps the exact pair graph for banded-MinHash candidates must
+    // MEASURE the candidate set's recall, not assume it. The candidates
+    // from the q_minhash_neardup banding (k=16 sigs, 8 bands × 2 rows)
+    // are checked against the exact Jaccard ≥ 0.8 pair graph
+    // ([[jaccardPairsShared]]): recall_ok ⇔ every exact pair was
+    // proposed. Banding miss probability at j = 0.8 is (1 − 0.8²)⁸ ≈
+    // 1.7 %/pair a priori — but the hashes are FIXED, so the outcome is
+    // deterministic and the gate pins it. Cost: signatures are one hash
+    // agg over the shared posting index, candidates one self-equi-join
+    // on the band key, the audit two bounded joins against the (tiny)
+    // exact pair set — nothing all-pairs, same plan at 100 TB. n_exact
+    // is data-derived and DuckDB-checked; candidates are hash-only.
+    "q_minhash_recall" -> ((s, d) => {
+      val k = 16
+      val postings = postingsShared(s, d)
+      val sigs = postings.groupBy("doc_id")
+        .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
+          (1 until k).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
+      val banded = sigs.select(col("doc_id"), explode(array((0 until 8).map { b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until 2).map(r => col(s"h${b * 2 + r}").cast("string")): _*))
+      }: _*)).as("band"))
+      val ca = banded.select(col("doc_id").as("id_a"), col("band"))
+      val cb = banded.select(col("doc_id").as("id_b"), col("band"))
+      val cand = ca.join(cb, Seq("band")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val exact = jaccardPairsShared(s, d).select("id_a", "id_b")
+      val nHit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      nExact.crossJoin(nHit)
+        .select(lit("minhash_b8r2").as("method"), col("n_exact"),
+          (col("n_hit") === col("n_exact")).as("recall_ok"))
     }),
 
     // --- SimHash near-dup (64-bit signature, hamming ≤ 3) ---------------
@@ -1041,6 +1124,62 @@ object TextQueries {
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
+
+    // the candidate set is hash-only (xxhash bands aren't SQL-
+    // expressible); the oracle computes the exact-pair count the recall
+    // is measured against and pins the recall contract (hll_ok trick)
+    "q_minhash_recall" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8)
+        |SELECT 'minhash_b8r2' AS method, count(*) AS n_exact, true AS recall_ok
+        |FROM pairs""".stripMargin,
+
+    "q_ppl_contrast" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest([{'g': tk[i] || ' ' || tk[i+1], 'l': tk[i]}
+        |      FOR i IN range(1, len(tk))]) AS s
+        |  FROM toks),
+        |b AS (SELECT doc_id, s.g AS gram, s.l AS left_ FROM bg),
+        |bref AS (SELECT b.* FROM b JOIN documents d USING (doc_id)
+        |         WHERE d.lang = 'en'),
+        |cgr AS (SELECT gram, count(*) AS c_ref FROM bref GROUP BY 1),
+        |clr AS (SELECT left_, count(*) AS m_ref FROM bref GROUP BY 1),
+        |cgg AS (SELECT gram, count(*) AS c_gen FROM b GROUP BY 1),
+        |clg AS (SELECT left_, count(*) AS m_gen FROM b GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(exp(-(sum(round(ln(c_ref::DOUBLE / m_ref) * 1e6)::BIGINT)::BIGINT
+        |      / 1e6) / count(*)), 4) AS ppl_ref,
+        |    round(exp(-(sum(round(ln(c_gen::DOUBLE / m_gen) * 1e6)::BIGINT)::BIGINT
+        |      / 1e6) / count(*)), 4) AS ppl_gen
+        |  FROM b JOIN cgg USING (gram) JOIN clg USING (left_)
+        |         JOIN cgr USING (gram) JOIN clr USING (left_)
+        |  GROUP BY 1)
+        |SELECT lang, count(*) AS n_scored,
+        |  sum(CASE WHEN ppl_ref < ppl_gen THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  round(sum(round(ppl_ref * 10000)::BIGINT)::BIGINT / 10000.0 / count(*), 4)
+        |    AS avg_ppl_ref,
+        |  round(sum(round(ppl_gen * 10000)::BIGINT)::BIGINT / 10000.0 / count(*), 4)
+        |    AS avg_ppl_gen
+        |FROM scored JOIN documents USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // containment vs the benchmark set: all-pairs in the oracle (fine at
     // gate scale), inverted-index in Spark — any pruning miss fails here
