@@ -159,6 +159,51 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // --- DSIR-style hashed-ngram importance RESAMPLING (2j, round 7):
+    // select generic-corpus docs that look in-domain (English-subset
+    // reference) by importance weight in a hashed feature space — the
+    // data-selection move that needs no LM at all. Feature = the
+    // bigram's md5-prefix bucket (256 buckets, engine-portable hash);
+    // per-doc log-weight = Σ ln[(c_ref+1)(T_gen+256) /
+    // ((c_gen+1)(T_ref+256))] over bigram occurrences (Laplace-smoothed
+    // bucket probability ratio); weights normalize by the GLOBAL max
+    // (1-row broadcast) and the keep gate is u(doc) < w_rel with the
+    // seeded md5 uniform — retry/partition/cluster-stable. Cost: bucket
+    // counts are two 256-row aggs, totals are 1-row broadcasts, the
+    // scoring join is a 256-key equi-join over the bigram stream, and
+    // log-weights ride integer-scaled sums (engine-exact rounding).
+    // Nothing grows with the corpus except the one linear scan.
+    "q_importance_sample" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), pos_ngrams(tokens(col("text")), 2).as(Seq("pos", "gram")))
+        .select(col("doc_id"), substring(md5(col("gram")), 1, 2).as("b"))
+      val en = Tables.documents(s, d).filter(col("lang") === "en").select("doc_id")
+      val ref = bg.join(en, "doc_id")
+      val cRef = ref.groupBy("b").agg(count(lit(1)).as("c_ref"))
+      val cGen = bg.groupBy("b").agg(count(lit(1)).as("c_gen"))
+      val tRef = ref.agg(count(lit(1)).as("t_ref"))
+      val tGen = bg.agg(count(lit(1)).as("t_gen"))
+      val lp = log(((col("c_ref") + 1).cast("double") * (col("t_gen") + 256))
+        / ((col("c_gen") + 1).cast("double") * (col("t_ref") + 256)))
+      val scored = bg.join(cGen, "b").join(cRef, Seq("b"), "left")
+        .na.fill(0L, Seq("c_ref"))
+        .crossJoin(broadcast(tRef)).crossJoin(broadcast(tGen))
+        .groupBy("doc_id")
+        .agg(sum(round(lp * 1e6).cast("long")).as("score_e6"))
+      val mx = scored.agg(max("score_e6").as("max_e6"))
+      val kept = scored.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          round(exp((col("score_e6") - col("max_e6")) / 1e6), 4).as("w_rel"))
+        .withColumn("keep", gateU("dsir42", col("doc_id")) < col("w_rel"))
+      kept.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(round(col("w_rel") * 1e4).cast("long")) / 1e4 / count(lit(1)), 4)
+            .as("avg_w"))
+        .orderBy("lang")
+    }),
+
     // --- per-group weighted reservoir: the E-S key again, but drawn
     // per LANGUAGE through the bounded TopKAgg heap — each (partition,
     // lang) keeps a 50-element min-heap, so the shuffle carries ≤ 50
@@ -552,6 +597,43 @@ object CurationQueries {
         |FROM keyed
         |ORDER BY key_raw DESC, doc_id
         |LIMIT 300""".stripMargin,
+
+    "q_importance_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |bgu AS (
+        |  SELECT doc_id,
+        |    unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS gram
+        |  FROM toks),
+        |bg AS (SELECT doc_id, substr(md5(gram), 1, 2) AS b FROM bgu),
+        |ref AS (SELECT bg.* FROM bg JOIN documents d USING (doc_id)
+        |        WHERE d.lang = 'en'),
+        |cr AS (SELECT b, count(*) AS c_ref FROM ref GROUP BY 1),
+        |cgn AS (SELECT b, count(*) AS c_gen FROM bg GROUP BY 1),
+        |tt AS (SELECT (SELECT count(*) FROM ref) AS t_ref,
+        |              (SELECT count(*) FROM bg) AS t_gen),
+        |scored AS (
+        |  SELECT doc_id,
+        |    sum(round(ln(((coalesce(c_ref, 0) + 1)::DOUBLE * (t_gen + 256)) /
+        |      ((c_gen + 1)::DOUBLE * (t_ref + 256))) * 1e6)::BIGINT)::BIGINT
+        |      AS score_e6
+        |  FROM bg JOIN cgn USING (b) LEFT JOIN cr USING (b) CROSS JOIN tt
+        |  GROUP BY 1),
+        |mx AS (SELECT max(score_e6) AS max_e6 FROM scored),
+        |kept AS (
+        |  SELECT doc_id, round(exp((score_e6 - max_e6) / 1e6), 4) AS w_rel,
+        |    (substr(regexp_replace(md5('dsir42:' || doc_id::VARCHAR),
+        |       '[a-f]', '', 'g') || '0000', 1, 4)::INT / 10000.0)
+        |      < round(exp((score_e6 - max_e6) / 1e6), 4) AS keep
+        |  FROM scored CROSS JOIN mx)
+        |SELECT lang, count(*) AS n_scored,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  round(sum(round(w_rel * 10000)::BIGINT)::BIGINT / 10000.0 / count(*), 4)
+        |    AS avg_w
+        |FROM kept JOIN documents USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_group_sample" ->
       """WITH keyed AS (
