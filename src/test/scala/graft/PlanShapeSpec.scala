@@ -290,6 +290,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"interval probe should broadcast the one-row sketch frame:\n$rs")
   }
 
+  test("q_knn_pq: codebook joins broadcast, encoding hash-aggregated, no cartesian") {
+    val plan = planOf("q_knn_pq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/ADC joins must broadcast the 128-row side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ must never cartesian (1-row norms ride broadcast NLJ):\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"min_by encoding must stay a hash aggregate:\n$plan")
+  }
+
+  test("q_importance_sample / q_ppl_contrast: model joins keyed, aggs hash-based") {
+    Seq("q_importance_sample", "q_ppl_contrast").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: bucket/model joins must stay keyed:\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$q: integer-scaled sums must hash-aggregate:\n$plan")
+    }
+  }
+
   test("no query plan contains a ScalaUDF or Python eval node (engine-wide lint)") {
     // The engine's hot paths are all codegen'd Catalyst expressions —
     // probes, dot products, hashes, the generator — a property the code
