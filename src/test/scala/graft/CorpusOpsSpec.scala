@@ -266,4 +266,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     crossPairs.foreach(d =>
       assert(statusOf(d) == "dup", s"delta doc $d missed by incremental dedup"))
   }
+
+  test("q_ppl_contrast: the reference language keeps at a far higher rate") {
+    // the operator's point: with the reference LM trained on English,
+    // English docs must look in-domain (ppl_ref < ppl_gen) far more often
+    // than any other language — measured ~0.78 vs ≤0.10 keep-rate at both
+    // gate scales; asserted with margin so corpus regeneration noise
+    // can't flake it while a broken model (rates converging) still fails
+    val rows = SparkEntry.queries("q_ppl_contrast")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rate = rows.map { case (l, n, k) => l -> k.toDouble / n }.toMap
+    assert(rate.contains("en"), s"missing en row: ${rows.toSeq}")
+    rate.filter(_._1 != "en").foreach { case (lang, r) =>
+      assert(rate("en") > r + 0.3,
+        s"en keep-rate ${rate("en")} not clearly above $lang's $r")
+    }
+  }
+
+  test("q_minhash_recall: banding finds every exact pair on this corpus") {
+    val r = SparkEntry.queries("q_minhash_recall")(spark, sf).collect()
+    assert(r.length == 1 && r(0).getBoolean(2),
+      s"recall contract must hold: ${r.toSeq}")
+    // the exact pair graph this corpus carries is non-trivial — an empty
+    // ground truth would make the recall gate vacuous
+    assert(r(0).getLong(1) > 0, "exact pair set is empty; gate is vacuous")
+  }
 }

@@ -249,4 +249,23 @@ class CurationSpec extends AnyFunSuite {
     assert(slope <= 0.0, s"zipf slope cannot be positive, got $slope")
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
   }
+
+  test("q_importance_sample: reference-language docs carry the highest weight") {
+    // the operator's point: with an English reference set, English docs
+    // must look more in-domain than every other language (measured ~3×
+    // at both gate scales), weights live in (0, 1] after max
+    // normalization, and the kept set is a subset of the scored set
+    val rows = SparkEntry.queries("q_importance_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byLang = rows.map(r => r._1 -> r).toMap
+    assert(byLang.contains("en"), s"missing en row: ${rows.toSeq}")
+    val enW = byLang("en")._4
+    rows.filter(_._1 != "en").foreach { case (lang, _, _, w) =>
+      assert(enW > w, s"en avg_w $enW not above $lang's $w")
+    }
+    rows.foreach { case (lang, nScored, nKeep, w) =>
+      assert(w > 0.0 && w <= 1.0, s"$lang avg_w out of (0,1]: $w")
+      assert(nKeep >= 0 && nKeep <= nScored, s"$lang keep $nKeep of $nScored")
+    }
+  }
 }
