@@ -446,8 +446,8 @@ object TextQueries {
     // are checked against the exact Jaccard ≥ 0.8 pair graph
     // ([[jaccardPairsShared]]): recall_ok ⇔ every exact pair was
     // proposed. Banding miss probability at j = 0.8 is (1 − 0.8²)⁸ ≈
-    // 1.7 %/pair a priori — but the hashes are FIXED, so the outcome is
-    // deterministic and the gate pins it. Cost: signatures are one hash
+    // 2.8×10⁻⁴ per pair a priori — and the hashes are FIXED, so the
+    // actual outcome is deterministic and the gate pins it. Cost: signatures are one hash
     // agg over the shared posting index, candidates one self-equi-join
     // on the band key, the audit two bounded joins against the (tiny)
     // exact pair set — nothing all-pairs, same plan at 100 TB. n_exact
