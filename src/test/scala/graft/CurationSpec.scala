@@ -250,6 +250,52 @@ class CurationSpec extends AnyFunSuite {
     assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
   }
 
+  test("q_importance_sample matches a full driver-side recomputation") {
+    // independent reimplementation in Scala collections, mirroring every
+    // rounding step (Spark round = HALF_UP on BigDecimal — math.round
+    // would diverge on negative .5 boundaries)
+    def r0(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bg = docs.flatMap { case (id, _, t) =>
+      t.toLowerCase.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(a => (id, md5hex(a.mkString(" ")).substring(0, 2)))
+    }
+    val enIds = docs.collect { case (id, "en", _) => id }.toSet
+    val ref = bg.filter(t => enIds(t._1))
+    val cRef = ref.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cGen = bg.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val (tRef, tGen) = (ref.size.toLong, bg.size.toLong)
+    val scoreE6 = bg.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map { case (_, bk) =>
+        r0(math.log(((cRef.getOrElse(bk, 0L) + 1).toDouble * (tGen + 256))
+          / ((cGen(bk) + 1).toDouble * (tRef + 256))) * 1e6)
+      }.sum
+    }
+    val maxE6 = scoreE6.values.max
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    val perDoc = scoreE6.map { case (id, s) =>
+      val w = r4(math.exp((s - maxE6) / 1e6))
+      val u = (md5hex(s"dsir42:$id").replaceAll("[a-f]", "") + "0000")
+        .substring(0, 4).toInt / 10000.0
+      (langOf(id), w, u < w)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (lang, rows) =>
+      val n = rows.size.toLong
+      val keep = rows.count(_._3).toLong
+      val avg = r4(rows.map(r => r0(r._2 * 1e4)).sum / 1e4 / n)
+      lang -> (n, keep, avg)
+    }
+    val got = SparkEntry.queries("q_importance_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected, s"driver-side differential mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("q_importance_sample: reference-language docs carry the highest weight") {
     // the operator's point: with an English reference set, English docs
     // must look more in-domain than every other language (measured ~3×
