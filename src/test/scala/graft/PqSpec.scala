@@ -53,4 +53,56 @@ class PqSpec extends AnyFunSuite {
 
   private def vec_dot_sql(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.vec_dot(a, b)
+
+  test("pq top-10 matches a full driver-side recomputation") {
+    // independent reimplementation: subvectors → seeded assignment →
+    // decimal-exact re-estimation → encode → ADC cosine → ranked top-10.
+    // Mirrors the plan's arithmetic step for step (per-dim HALF_UP
+    // decimal(20,10) rounding before the centroid sum, in-order dot
+    // products, 4-decimal HALF_UP rounding before the rank).
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * 8, s * 8 + 8)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], c: Array[Double]): Double =
+      dot(a, a) + dot(c, c) - 2.0 * dot(a, c)
+    def argmin(sv: Array[Double], cb: Map[Int, Array[Double]]): Int =
+      cb.toSeq.map { case (cid, cv) => (d2(sv, cv), cid) }.min._2
+    // seed: subvectors of vec_ids 1..16
+    var codebook: Map[Int, Map[Int, Array[Double]]] = (0 until 8).map { s =>
+      s -> (1 to 16).map(id => (id - 1) -> sub(emb(id), s)).toMap
+    }.toMap
+    // one Lloyd step with decimal(20,10)-rounded per-dim sums
+    val assigned = emb.toSeq.flatMap { case (id, v) =>
+      (0 until 8).map(s => (s, argmin(sub(v, s), codebook(s)), sub(v, s)))
+    }
+    codebook = assigned.groupBy(t => (t._1, t._2)).map { case ((s, cid), rows) =>
+      val n = rows.size
+      val cv = (0 until 8).map { pos =>
+        rows.map(r => java.math.BigDecimal.valueOf(r._3(pos))
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          .reduce(_ add _).doubleValue / n
+      }.toArray
+      (s, cid, cv)
+    }.groupBy(_._1).map { case (s, m) => s -> m.map(t => t._2 -> t._3).toMap }
+    // encode + ADC against the query vector (vec_id 0)
+    val q = emb(0L)
+    val qn2 = dot(q, q)
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val scored = emb.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val adot = (0 until 8).map { s =>
+        dot(sub(q, s), codebook(s)(argmin(sub(v, s), codebook(s))))
+      }.sum
+      (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
+    }
+    val expected = scored.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
+    val got = VectorQueries.pqTop10(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"driver-side PQ differential mismatch:\n got=$got\n exp=$expected")
+  }
 }
