@@ -50,6 +50,25 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // xml scan (2a, round 7): Spark 4's NATIVE xml file source (the
+    // donated spark-xml, now in-core) — supplier → one <supplier> record
+    // element per row → read back with explicit schema + rowTag → agg.
+    // The oracle runs on the original parquet, so the hash check proves
+    // the XML writer/parser roundtrip is lossless for every value that
+    // reaches the output (q_xml_funcs covers the FUNCTION surface;
+    // this covers the FILE surface).
+    "q_xml_scan" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val path = ioDir("supplier_xml")
+      sup.write.mode("overwrite").option("rowTag", "supplier").xml(path)
+      s.read.schema(sup.schema).option("rowTag", "supplier").xml(path)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("s_acctbal"), 4).as("sum_bal"),
+          min("s_name").as("first_name"))
+        .orderBy("s_nationkey")
+    }),
+
     // orc scan (2a, round 5): orders → ORC (native reader, vectorized,
     // predicate-pushdown-capable like parquet) → read back → agg. The
     // oracle runs on the original parquet, so the hash check proves the
@@ -237,6 +256,11 @@ object SourceQueries {
     "q_json_scan" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_xml_scan" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 4) AS sum_bal, min(s_name) AS first_name
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_orc_scan" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
