@@ -61,8 +61,6 @@ object Bench {
     // timed query isn't +5-8s of one-time cost. NonFatal only — an OOM
     // or linkage error here means the JVM is already broken and timing
     // anything after it would misattribute the failure.
-    try { SparkEntry.queries("q_exact_counts")(spark, sfDir).count() }
-    catch { case scala.util.control.NonFatal(_) => () }
     // Untimed shared-INDEX warmup (documented in BASELINE.md §warm-path):
     // the posting index, Jaccard pair graph, k-means run, and BPE merge
     // run are maintained per-(session, dataset) intermediates shared by
@@ -72,10 +70,18 @@ object Bench {
     // attribution noise, not that query's cost. Building them untimed —
     // same policy as the q_exact_counts and streaming-runtime warmups —
     // makes every timed number the steady-state cost of a long-lived
-    // engine with maintained indices; cheapest consumer of each family:
-    Seq("q_ngram_jaccard", "q_kmeans", "q_bpe_learn").foreach { q =>
+    // engine with maintained indices; cheapest consumer of each family.
+    // The MEASURED build cost of each warmup is still reported in the
+    // output's "warmup" map (and its sum in "warmup_total_sec"), so a
+    // reader comparing against an engine benched cold per-query can add
+    // the amortized index builds back in — the headline total alone is
+    // the steady-state number, not the cold one.
+    val warmup = Seq("q_exact_counts", "q_ngram_jaccard", "q_kmeans",
+        "q_bpe_learn").map { q =>
+      val t0 = System.nanoTime()
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case scala.util.control.NonFatal(_) => () }
+      (q, (System.nanoTime() - t0) / 1e9)
     }
 
     /** drop the memory-sink temp views a streaming pipeline registered so
@@ -144,8 +150,15 @@ object Bench {
         .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // n_expected = the declared contract size: a consumer comparing totals
+    // across rounds should reject a run where n_queries < n_expected or
+    // errors is non-empty (a crashed slow query otherwise reads as a
+    // speedup); warmup discloses the amortized shared-index build costs
+    val nExpected = SparkEntry.queries.size
+    val warmTotal = warmup.map(_._2).sum
+    val warmJson = f""","n_expected":$nExpected,"warmup_total_sec":$warmTotal%.2f,"warmup":${fmtMap(warmup, 2)}"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errs,"queries":${fmtMap(results.sortBy(_._1), 3)},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errs$warmJson,"queries":${fmtMap(results.sortBy(_._1), 3)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
     spark.stop()
     // The driver parses the LAST stdout line but keeps only a ~2000-char
@@ -155,8 +168,8 @@ object Bench {
     // that matters for round-over-round regression attribution, ~900
     // chars, safely inside the window); the complete per-query map is in
     // the committed BENCH_LOCAL.json.
-    val top = results.sortBy(-_._2).take(30).sortBy(_._1)
+    val top = results.sortBy(-_._2).take(28).sortBy(_._1)
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errs,"queries":${fmtMap(top, 2)},"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errs$warmJson,"queries":${fmtMap(top, 2)},"sf":"$sfDir"}""")
   }
 }

@@ -51,10 +51,29 @@ object Tables {
   }
 
   /** Parquet read shape of `events.ts` under `sfDir` (footer-only, cached
-    * per directory — the streaming source needs it to declare its schema
-    * before any data flows). */
+    * per directory CONTENT — the streaming source needs it to declare its
+    * schema before any data flows). */
   def eventsTsReadType(spark: SparkSession, sfDir: String): DataType =
-    tsShapes.computeIfAbsent(sfDir, _ => readEventsRaw(spark, sfDir).schema("ts").dataType)
+    tsShapes.computeIfAbsent(eventsKey(sfDir),
+      _ => readEventsRaw(spark, sfDir).schema("ts").dataType)
+
+  /** Cache key for the per-directory ts shape/sanity verdicts: path plus
+    * the (name, length, mtime) signature of every file under
+    * `events.parquet`. The testdata driver regenerates the directory
+    * in-place between rounds, so a path-only key could serve a stale
+    * DataType from the previous generation and silently mis-scale the
+    * decode — regeneration changes the signature, which invalidates the
+    * entry without requiring a fresh JVM. */
+  private def eventsKey(sfDir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(s"$sfDir/events.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(";")
+    s"$sfDir|${sig.hashCode}"
+  }
 
   private val tsShapes = new ConcurrentHashMap[String, DataType]()
   private val tsChecked = ConcurrentHashMap.newKeySet[String]()
@@ -66,8 +85,9 @@ object Tables {
     * One tiny driver-side job per (session, sfDir) asserts the decoded
     * range lands in a sane window; a unit error of 1000× in either
     * direction lands centuries away and fails with a message instead. */
-  def assertSaneEventTs(spark: SparkSession, sfDir: String): Unit =
-    if (!tsChecked.contains(sfDir)) {
+  def assertSaneEventTs(spark: SparkSession, sfDir: String): Unit = {
+    val key = eventsKey(sfDir)
+    if (!tsChecked.contains(key)) {
       val r = normalizeTs(spark, sfDir)
         .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
         .head()
@@ -77,8 +97,9 @@ object Tables {
         s"decoded events.ts range [$lo, $hi] µs is outside [2000, 2100) — " +
           s"the parquet time unit of $sfDir/events.parquet likely changed; " +
           "fix Tables.decodeTs before trusting any windowed result")
-      tsChecked.add(sfDir)
+      tsChecked.add(key)
     }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

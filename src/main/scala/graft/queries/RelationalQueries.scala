@@ -326,8 +326,12 @@ object RelationalQueries {
       val clickers = ev.filter(col("event_type") === "click").select("user_id")
       val buyers = ev.filter(col("event_type") === "purchase").select("user_id")
       val signups = ev.filter(col("event_type") === "signup").select("user_id")
-      clickers.intersect(buyers).except(signups)
-        .union(clickers.intersect(buyers).intersect(signups))
+      // materialize the shared intersection once: Catalyst does not CSE
+      // across union branches, so an inline subplan would re-run the
+      // events scan + intersect shuffle per branch
+      val clickBuyers = clickers.intersect(buyers).localCheckpoint()
+      clickBuyers.except(signups)
+        .union(clickBuyers.intersect(signups))
         .distinct()
         .orderBy("user_id")
     }),

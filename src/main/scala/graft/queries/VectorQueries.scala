@@ -173,7 +173,7 @@ object VectorQueries {
 
   /** One row per (vector, subspace): the 8-dim subvector as DOUBLEs
     * (single Generate pass — no per-subspace corpus rescan). */
-  private def pqSubs(s: SparkSession, d: String): DataFrame =
+  private[graft] def pqSubs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"),
         explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
           "transform(slice(embedding, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS sv))")).as("e"))
@@ -191,7 +191,7 @@ object VectorQueries {
     * re-estimation = DECIMAL per-dim sums, array rebuilt via the sorted
     * collect_list trick). 128 tiny rows; at 100 TB the training input is
     * a sample, the codebook stays the same broadcast relation. */
-  private def pqCodebook(subs: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
     val seed = subs.filter(col("vec_id").between(1, 16))
       .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"), col("sv").as("cv"))
     val asg = subs.join(broadcast(seed), "sub")

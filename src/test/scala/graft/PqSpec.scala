@@ -29,26 +29,29 @@ class PqSpec extends AnyFunSuite {
 
   test("per-subspace assignment distances are tie-free (argmin well-defined)") {
     import org.apache.spark.sql.expressions.Window
-    // rebuild the assignment relation the way pqCodebook/encode see it:
-    // seed centroids from vec_ids 1..16, check no (vec_id, sub) group has
-    // two centroids at the exact same squared distance minimum
-    val emb = Tables.embeddings(spark, sf)
-    val subs = emb.select(col("vec_id"),
-        explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
-          "transform(slice(embedding, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS sv))")).as("e"))
-      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    // rebuild the assignment relation the way pqCodebook/encode see it,
+    // against BOTH codebooks that argmin anywhere in the pipeline: the
+    // SEED (vec_ids 1..16 — drives the Lloyd-step assignment) and the
+    // post-Lloyd REFINED codebook (drives the production encode that
+    // pqTop10 joins) — a tie in either would leave min_by free to pick an
+    // arbitrary code and make the gate/differential plan-dependent
+    val subs = VectorQueries.pqSubs(spark, sf)
     val seed = subs.filter(col("vec_id").between(1, 16))
       .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"), col("sv").as("cv"))
+    val refined = VectorQueries.pqCodebook(subs)
     val d2 = vec_dot_sql(col("sv"), col("sv")) +
       vec_dot_sql(col("cv"), col("cv")) - lit(2.0) * vec_dot_sql(col("sv"), col("cv"))
     val w = Window.partitionBy("vec_id", "sub")
-    val ties = subs.join(broadcast(seed), "sub")
-      .select(col("vec_id"), col("sub"), d2.as("d2"))
-      .withColumn("mind2", min("d2").over(w))
-      .filter(col("d2") === col("mind2"))
-      .groupBy("vec_id", "sub").agg(count(lit(1)).as("n_min"))
-      .filter(col("n_min") > 1)
-    assert(ties.count() == 0, "duplicate argmin distance found — assignment ambiguous")
+    for ((label, cb) <- Seq("seed" -> seed, "refined" -> refined)) {
+      val ties = subs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), d2.as("d2"))
+        .withColumn("mind2", min("d2").over(w))
+        .filter(col("d2") === col("mind2"))
+        .groupBy("vec_id", "sub").agg(count(lit(1)).as("n_min"))
+        .filter(col("n_min") > 1)
+      assert(ties.count() == 0,
+        s"$label codebook: duplicate argmin distance found — assignment ambiguous")
+    }
   }
 
   private def vec_dot_sql(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -46,8 +46,12 @@ class TsUnitSpec extends AnyFunSuite {
   }
 
   /** Author `<dir>/events.parquet/data.parquet` as TIMESTAMP(NANOS) via
-    * parquet-mr — the pre-round-6 testdata shape. */
-  private def writeNanosFixture(microsScale: Long = 1000L): String = {
+    * parquet-mr — the pre-round-6 testdata shape. `baseRows` defaults to
+    * the 2024 ground truth; the over-scale guard test substitutes
+    * epoch-era rows because 2024-µs × 10⁶ exceeds int64 (≈1.7e21 > 2⁶³)
+    * and would wrap rather than produce the intended far-future values. */
+  private def writeNanosFixture(microsScale: Long = 1000L,
+      baseRows: Seq[(Long, Long, Long, String, Double, String)] = rows): String = {
     val dir = freshDir()
     val evDir = new java.io.File(dir, "events.parquet")
     assert(evDir.mkdirs())
@@ -64,10 +68,17 @@ class TsUnitSpec extends AnyFunSuite {
       .builder(new Path(s"${evDir.getAbsolutePath}/data.parquet"))
       .withType(schema).build()
     val f = new SimpleGroupFactory(schema)
-    rows.foreach { case (id, us, uid, et, v, p) =>
+    baseRows.foreach { case (id, us, uid, et, v, p) =>
+      // micros → nanos, overflow-checked: a wrapped product would write
+      // garbage that passes or fails the guard by accident, not by design
+      val stored = try math.multiplyExact(us, microsScale) catch {
+        case _: ArithmeticException =>
+          fail(s"fixture value $us × $microsScale overflows int64 — " +
+            "the written file would hold wrapped garbage, not a mis-scaled unit")
+      }
       val g = f.newGroup()
       g.add("event_id", id)
-      g.add("ts", us * microsScale) // micros → nanos
+      g.add("ts", stored)
       g.add("user_id", uid)
       g.add("event_type", et)
       g.add("value", v)
@@ -139,10 +150,15 @@ class TsUnitSpec extends AnyFunSuite {
   }
 
   test("a mis-scaled unit fails loudly, not with silently collapsed windows") {
-    // NANOS logical type but values are 1000× too big (micros written as
-    // if they were already nanos... scaled up again): decodes to year
-    // ~55xxx, far outside [2000, 2100) — the guard must throw.
-    val bad = writeNanosFixture(microsScale = 1000000L)
+    // NANOS logical type but values 1000× too big. 2024-era micros × 10⁶
+    // overflows int64 (the writer now rejects that), so the over-scale
+    // fixture uses epoch-era bases: true time ≈ 1970-04, stored = µs×10⁶
+    // fits in int64, and the decode lands at ≈ year 2223 — the intended
+    // 1000×-off magnitude, outside [2000, 2100), so the guard must throw.
+    val epochRows = Seq(
+      (1L, 8000000000000L, 10L, "click", 1.5, "{}"),   // 1970-04-03
+      (2L, 8100000000000L, 11L, "view", 2.5, "{}"))
+    val bad = writeNanosFixture(microsScale = 1000000L, baseRows = epochRows)
     val e = intercept[IllegalArgumentException] {
       Tables.assertSaneEventTs(spark, bad)
     }
