@@ -24,6 +24,38 @@ object TextQueries {
   private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /**
+   * Deterministic planted duplicate batches (VERDICT r7 #2). The
+   * synthetic corpus has no byte-identical texts and no
+   * normalization-equal token sequences at the sf0.01 gate scale, so
+   * q_dedup_canonical and q_doc_fingerprint returned 0 rows there — a
+   * green gate that could never fire. Each query unions these literal
+   * rows into its scan (and the SAME literals, via [[plantedValuesSql]],
+   * into its DuckDB oracle), so the gate compares real nonzero output.
+   * The ids sit far above any real doc_id (max ≈ 6e4 at sf0.1) and the
+   * texts share no 3-gram with the corpus, so no other gram/dedup query
+   * is perturbed — only the two queries that opt in read them.
+   */
+  private[graft] val plantedDupDocs: Seq[(Long, String)] = Seq(
+    (9000001L, "planted duplicate corpus row alpha"),
+    (9000002L, "planted duplicate corpus row alpha"),
+    (9000003L, "planted duplicate corpus row beta"),
+    (9000004L, "planted duplicate corpus row beta"),
+    (9000005L, "planted duplicate corpus row beta"))
+
+  /** Differ in case and run-of-spaces only → same normalized token
+    * sequence, so they fingerprint-collide by design (and only with
+    * each other). */
+  private[graft] val plantedFpDocs: Seq[(Long, String)] = Seq(
+    (9100001L, "Planted  Fingerprint GAMMA delta"),
+    (9100002L, "planted fingerprint gamma  delta"))
+
+  /** The planted rows as a DuckDB VALUES relation — generated from the
+    * same Seq the Spark plan unions, so the two sides cannot drift. */
+  private def plantedValuesSql(rows: Seq[(Long, String)]): String =
+    rows.map { case (id, t) => s"(${id}::BIGINT, '$t')" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(doc_id, text)")
+
+  /**
    * (doc_id, gh) postings where gh = 64-bit hash of each word 3-gram,
    * built SHUFFLE-FREE by zipping three shifted slices of the token
    * array and exploding — all codegen'd (arrays_zip/slice/xxhash64), no
@@ -336,13 +368,22 @@ object TextQueries {
         count(lit(1)).as("n_total"))
       .orderBy("lang")),
 
-    // canonical-row dedup: keep min doc_id per identical text
-    "q_dedup_canonical" -> ((s, d) => Tables.documents(s, d)
-      .groupBy("text")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .select(col("keep_id"), col("n_copies"))
-      .orderBy("keep_id")),
+    // canonical-row dedup: keep min doc_id per identical text. The scan
+    // is unioned with a deterministic PLANTED duplicate batch (same
+    // literal rows in the oracle SQL): the synthetic corpus has no
+    // byte-identical texts at sf0.01, so without it the gate compares
+    // empty row sets — a check that can never fire. With the plant, the
+    // sf0.01 gate has nonzero rows either engine could get wrong.
+    "q_dedup_canonical" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(plantedDupDocs.toDF("doc_id", "text"))
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
 
     // --- end-to-end training-data pipeline (2j): dedup → quality filter
     // → per-language corpus stats, all in one declarative plan. Each
@@ -681,12 +722,20 @@ object TextQueries {
     // duplicate groups — which IS DuckDB-expressible. The fp value itself
     // is dropped from the output (not oracle-computable); grouping by it
     // is the operator under test.
-    "q_doc_fingerprint" -> ((s, d) => Tables.documents(s, d)
-      .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
-      .filter(col("n") > 1)
-      .select(col("first_id"), col("n"))
-      .orderBy("first_id")),
+    // The planted batch (q_dedup_canonical's technique) here exercises
+    // NORMALIZATION, not byte equality: the two planted texts differ in
+    // case and spacing but tokenize to the same sequence, so the gate
+    // fails if either engine's normalize-then-group path drifts.
+    "q_doc_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(plantedFpDocs.toDF("doc_id", "text"))
+        .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+        .filter(col("n") > 1)
+        .select(col("first_id"), col("n"))
+        .orderBy("first_id")
+    }),
 
     // --- language ID (stopword-ratio heuristic, pure SQL) ---------------
     // exploded formulation of stopword_ratio(): explode_outer keeps
@@ -1228,11 +1277,12 @@ object TextQueries {
         |ORDER BY event_type""".stripMargin,
 
     "q_doc_fingerprint" ->
-      """SELECT min(doc_id) AS first_id, count(*) AS n
+      s"""SELECT min(doc_id) AS first_id, count(*) AS n
         |FROM (SELECT doc_id,
         |        array_to_string(list_filter(string_split(lower(text), ' '),
         |                                    t -> t <> ''), ' ') AS norm
-        |      FROM documents)
+        |      FROM (SELECT doc_id, text FROM documents
+        |            UNION ALL ${plantedValuesSql(plantedFpDocs)}))
         |GROUP BY norm HAVING count(*) > 1
         |ORDER BY first_id""".stripMargin,
 
@@ -1257,8 +1307,10 @@ object TextQueries {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_canonical" ->
-      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text HAVING count(*) > 1
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL ${plantedValuesSql(plantedDupDocs)})
+        |GROUP BY text HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
 
     "q_pipeline_e2e" ->

@@ -450,8 +450,21 @@ object VectorQueries {
     // exact codegen'd cosine. L=16 × P=8 puts the miss probability of a
     // cos ≥ 0.9 pair at (1 − 0.29)^16 ≈ 4e-3 and of a true near-dup
     // (cos ≥ 0.99) at ~5e-10; both dials are deployment knobs.
+    // The scan is unioned with PLANTED near-dup rows (VERDICT r7 #2):
+    // two extra ids carrying vec_id 1's exact embedding. The synthetic
+    // corpus has no cos ≥ 0.9 pair at the sf0.01 gate scale, so without
+    // the plant the all-pairs oracle compared empty sets — now the gate
+    // has 3 known pairs (1↔9000001, 1↔9000002, 9000001↔9000002) the LSH
+    // blocking MUST surface (identical vectors share every bucket) and
+    // either engine's cosine could get wrong. Copies rather than
+    // ε-perturbations keep the 4-decimal cosine exactly 1.0 in both
+    // engines; ids sit far above any real vec_id.
     "q_embed_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = Tables.embeddings(s, d).filter(col("vec_id") === 1)
+        .select(explode(array(lit(9000001L), lit(9000002L))).as("vec_id"),
+          col("embedding"))
+      val emb = base.unionAll(planted)
       val buckets = hyperplaneBuckets(emb, L = 16, P = 8)
       // within-bucket pair generation via group + double explode: ONE
       // bucket computation and one shuffle, where a self-join would
@@ -600,11 +613,15 @@ object VectorQueries {
     // ground truth (cheap in DuckDB at gate scale), so any blocking miss
     // of a ≥0.9 pair fails the gate
     "q_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT 9000001::BIGINT, embedding FROM embeddings WHERE vec_id = 1
+        |  UNION ALL SELECT 9000002::BIGINT, embedding FROM embeddings WHERE vec_id = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
-        |FROM embeddings a JOIN embeddings b
+        |FROM emb a JOIN emb b
         |  ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
