@@ -30,7 +30,9 @@ object NearDupProbe {
       for ((nm, df) <- Seq(
           "ivf" -> queries.VectorQueries.ivfTop10(spark, d),
           "lsh" -> queries.VectorQueries.lshTop10(spark, d),
-          "int8" -> queries.VectorQueries.quantizedTop10(spark, d))) {
+          "int8" -> queries.VectorQueries.quantizedTop10(spark, d),
+          "pq" -> queries.VectorQueries.pqTop10(spark, d),
+          "ivfpq" -> queries.VectorQueries.ivfpqTop10(spark, d))) {
         val got = df.select("vec_id").as[Long].collect().toSet
         println(s"  ann $nm recall@10 = ${(exact & got).size}")
       }

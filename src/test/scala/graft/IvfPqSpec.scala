@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.VectorQueries
+
+/**
+ * IVF-PQ ANN (q_knn_ivfpq): the IVFADC composition — coarse cells,
+ * per-cell residual PQ codebooks, nProbe-bounded ADC probe. Pins the
+ * measured recall the floor documents, argmin well-definedness for both
+ * per-cell codebooks, and a full driver-side recomputation of the
+ * pipeline (the PqSpec differential applied to the composed index).
+ */
+class IvfPqSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  test("ivfpq top-10 recall@10 vs brute force clears the pinned floor") {
+    val approx = VectorQueries.ivfpqTop10(spark, sf).select("vec_id")
+    val brute = VectorQueries.bruteTop10(spark, sf)
+    val recall = approx.join(brute, "vec_id").count()
+    info(s"ivfpq recall@10 = $recall/10 at $sf")
+    assert(recall >= 1, s"recall $recall under the pinned floor")
+  }
+
+  test("ivfpq gate row is deterministic and true") {
+    val rows = SparkEntry.queries("q_knn_ivfpq")(spark, sf).collect()
+    assert(rows.length == 1 && rows(0).getBoolean(2),
+      s"recall_ok must hold: ${rows.toSeq}")
+  }
+
+  test("the probe honors the nProbe cell prune, and nProbe dials coverage") {
+    // pruning correctness: every returned candidate must live in one of
+    // the nProbe probed cells (the partition-prune property the 100 TB
+    // probe cost model rests on) — checked by recomputing the probed
+    // cells from the same centroid relation the plan ranks
+    val emb = Tables.embeddings(spark, sf)
+    val cells = VectorQueries.ivfpqCells(emb)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val ranked = cells.crossJoin(broadcast(q))
+      .select(col("cell"), graft.functions.cosine_sim(col("centroid"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    val cellOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (np <- Seq(1, 2)) {
+      val ids = VectorQueries.ivfpqTop10(spark, sf, nProbe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val allowed = ranked.take(np).toSet
+      assert(ids.nonEmpty && ids.forall(id => allowed.contains(cellOf(id))),
+        s"nProbe=$np returned a candidate outside the probed cells $allowed")
+    }
+  }
+
+  test("per-cell assignment distances are tie-free against seed and refined codebooks") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf)
+    val cells = VectorQueries.ivfpqCells(emb).localCheckpoint()
+    val rsubs = VectorQueries.ivfpqResidualSubs(emb, cells).localCheckpoint()
+    val w = Window.partitionBy("cell", "sub").orderBy("vec_id")
+    val seed = rsubs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 16)
+      .select(col("cell"), col("sub"), (col("rk") - 1).cast("int").as("cid"),
+        col("sv").as("cv"))
+    val refined = VectorQueries.ivfpqCodebook(rsubs)
+    val d2 = graft.functions.vec_dot(col("sv"), col("sv")) +
+      graft.functions.vec_dot(col("cv"), col("cv")) -
+      lit(2.0) * graft.functions.vec_dot(col("sv"), col("cv"))
+    val wv = Window.partitionBy("vec_id", "cell", "sub")
+    for ((label, cb) <- Seq("seed" -> seed, "refined" -> refined)) {
+      val ties = rsubs.join(broadcast(cb), Seq("cell", "sub"))
+        .select(col("vec_id"), col("cell"), col("sub"), d2.as("d2"))
+        .withColumn("mind2", min("d2").over(wv))
+        .filter(col("d2") === col("mind2"))
+        .groupBy("vec_id", "cell", "sub").agg(count(lit(1)).as("n_min"))
+        .filter(col("n_min") > 1)
+      assert(ties.count() == 0,
+        s"$label codebook: duplicate argmin distance — assignment ambiguous")
+    }
+  }
+
+  test("ivfpq top-10 matches a full driver-side recomputation") {
+    // independent reimplementation of the whole composed pipeline:
+    // decimal-exact coarse centroids → residual subvectors → 16-lowest-id
+    // seed per cell → one decimal-exact Lloyd step → encode → nProbe cell
+    // selection → dot(q,c) + residual ADC → cosine with stored norms →
+    // ranked top-10. Mirrors the plan's arithmetic step for step
+    // (HALF_UP decimal(20,10) per-dim sums, in-order dot products,
+    // 4-decimal HALF_UP rounding before the rank).
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+    val emb = rows.map(r => r.getLong(0) ->
+      r.getSeq[Float](2).map(_.toDouble).toArray).toMap
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], c: Array[Double]): Double =
+      dot(a, a) + dot(c, c) - 2.0 * dot(a, c)
+    def decMean(vs: Seq[Double]): Double =
+      vs.map(java.math.BigDecimal.valueOf(_)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue / vs.size
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // coarse centroids (decimal-exact per-dim means over each cell)
+    val byCell = emb.keys.groupBy(cellOf)
+    val centroid: Map[Int, Array[Double]] = byCell.map { case (c, ids) =>
+      c -> (0 until 64).map(p => decMean(ids.toSeq.map(emb(_)(p)))).toArray
+    }
+    // residual subvectors
+    def rsub(id: Long, s: Int): Array[Double] = {
+      val v = emb(id); val c = centroid(cellOf(id))
+      (s * 8 until s * 8 + 8).map(i => v(i) - c(i)).toArray
+    }
+    // seed = 16 lowest-id members per cell; one decimal-exact Lloyd step
+    def argmin(sv: Array[Double], cb: Map[Int, Array[Double]]): Int =
+      cb.toSeq.map { case (cid, cv) => (d2(sv, cv), cid) }.min._2
+    var codebook: Map[(Int, Int), Map[Int, Array[Double]]] = byCell.flatMap {
+      case (c, ids) =>
+        val seeds = ids.toSeq.sorted.take(16)
+        (0 until 8).map(s =>
+          (c, s) -> seeds.zipWithIndex.map { case (id, k) => k -> rsub(id, s) }.toMap)
+    }.toMap
+    val assigned = emb.keys.toSeq.flatMap { id =>
+      val c = cellOf(id)
+      (0 until 8).map(s => (c, s, argmin(rsub(id, s), codebook((c, s))), rsub(id, s)))
+    }
+    codebook = assigned.groupBy(t => (t._1, t._2, t._3)).map { case ((c, s, cid), g) =>
+      (c, s, cid, (0 until 8).map(p => decMean(g.map(_._4(p)))).toArray)
+    }.groupBy(t => (t._1, t._2))
+      .map { case (k, m) => k -> m.map(t => t._3 -> t._4).toMap }
+    // probe: nProbe best cells by exact cosine of centroid vs query
+    val q = emb(0L)
+    val qn2 = dot(q, q)
+    val probed = centroid.toSeq.map { case (c, cv) =>
+      (dot(cv, q) / (math.sqrt(dot(cv, cv)) * math.sqrt(qn2)), c)
+    }.sortBy { case (cs, c) => (-cs, c) }.take(2).map(_._2)
+    // score candidates in probed cells: dot(q, c) + residual ADC
+    val scored = emb.keys.toSeq
+      .filter(id => id != 0L && probed.contains(cellOf(id)))
+      .map { id =>
+        val c = cellOf(id)
+        val qcDot = dot(q, centroid(c))
+        val rq = (0 until 64).map(i => q(i) - centroid(c)(i)).toArray
+        val radot = (0 until 8).map { s =>
+          val cv = codebook((c, s))(argmin(rsub(id, s), codebook((c, s))))
+          dot(rq.slice(s * 8, s * 8 + 8), cv)
+        }.sum
+        val v = emb(id)
+        (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
+      }
+    val expected = scored.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
+    val got = VectorQueries.ivfpqTop10(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected,
+      s"driver-side IVF-PQ differential mismatch:\n got=$got\n exp=$expected")
+  }
+}
