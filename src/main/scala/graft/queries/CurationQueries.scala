@@ -89,7 +89,134 @@ object CurationQueries {
       (tops, cur)
     })
 
+  // --- in-plan quality classifier (VERDICT r8 #3: the last missing
+  // CCNet/fastText-style stage) -----------------------------------------
+  // A linear (logistic) doc-quality filter over hashed n-gram features,
+  // trained with 3 DECIMAL-EXACT batch gradient steps — the q_kmeans
+  // determinism recipe applied to gradient descent: everything the
+  // distributed sum order could perturb is integer-scaled before the
+  // agg, so the learned weights are bit-identical under any
+  // partitioning/retry, and a driver-side differential can replay them.
+
+  /** Hashed feature buckets (the hashing trick). Sized so buckets stay
+    * language-pure at every tested scale (measured distinct 3-grams:
+    * 27k at sf0.1, 272k at 10× → 2^22 keeps the load factor ≤ 6.5%;
+    * with few buckets every bucket is a uniform language mixture and NO
+    * linear model can separate — D=64 never beat the majority class,
+    * and 2^16 lost 10 accuracy points at 10×). The model is a (bucket,
+    * weight) RELATION distributed on the bucket key — the LM-perplexity
+    * shape — so D scales to fastText's millions unchanged; only the
+    * occupied buckets (≤ vocab) materialize as rows. */
+  private val qcD = 1L << 22
+  private val qcBias = -1L // bias pseudo-bucket, present in every doc
+  private val qcSteps = 3
+  private val qcEta = 0.05
+
+  /** (doc_id, y, b, xs): sparse per-doc PRESENCE features — the distinct
+    * word-3-gram hash buckets of the doc plus the bias bucket, each with
+    * fixed integer magnitude xs = 1e6 (presence, not frequency: it keeps
+    * every feature on the bias's scale, so the bias can't swallow the
+    * first gradient steps). Label y = 1 for English docs (the in-domain
+    * class a CCNet-style filter keeps). One scan + one distinct per doc;
+    * nothing wider than (doc_id, bucket) shuffles. */
+  private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sparse = TextQueries.gramHashPostings(docs)
+      .select(col("doc_id"), pmod(col("gh"), lit(qcD)).as("b"))
+      .distinct()
+    val bias = docs.select(col("doc_id"), lit(qcBias).as("b"))
+    docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      .join(sparse.unionAll(bias), "doc_id")
+      .select(col("doc_id"), col("y"), col("b"), lit(1000000L).as("xs"))
+  }
+
+  /** Per-doc margins under a weight relation: m = Σ_b w_b·x_b, computed
+    * ORDER-FREE — weights snap to a 1e-9 grid, features live on the 1e-6
+    * grid, and the per-doc sum runs over their exact DECIMAL products,
+    * so no aggregation order can flip an LSB (the q_kmeans determinism
+    * recipe applied to the dot product). Join on b, agg on doc_id: both
+    * shuffle on bounded keys; the model is never broadcast. */
+  private def qcMargins(feats: DataFrame, w: DataFrame): DataFrame =
+    feats.join(w, Seq("b"))
+      .select(col("doc_id"), col("y"),
+        (round(col("wv") * 1e9).cast("long").cast("decimal(19,0)")
+          * col("xs").cast("decimal(19,0)")).as("t"))
+      .groupBy("doc_id", "y")
+      .agg((sum("t").cast("double") / 1e15).as("m"))
+
+  /** 3 batch logistic-GD steps; returns (features, final (b, wv) weight
+    * relation). Determinism: margins via [[qcMargins]]; residuals
+    * σ(m)−y round to the 1e-8 grid before the gradient sum, which again
+    * accumulates exact decimal products — bit-identical weights under
+    * any partitioning/retry, replayable by a driver-side differential.
+    * Every step is one join + two bounded hash aggs; weights stay a
+    * relation keyed by bucket (at 100 TB: co-partitioned with the
+    * postings, exactly how the perplexity LM distributes). */
+  private[graft] def qcTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val feats = qcFeatures(s, d).localCheckpoint()
+    var w = feats.select(col("b")).distinct()
+      .select(col("b"), lit(0.0).as("wv")).localCheckpoint()
+    for (_ <- 1 to qcSteps) {
+      val rs = qcMargins(feats, w)
+        .select(col("doc_id"),
+          round((lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * 1e8)
+            .cast("long").cast("decimal(19,0)").as("rs"))
+      // per-FEATURE mean residual (over the docs containing the bucket),
+      // not mean over the corpus: a corpus-mean gradient shrinks every
+      // rare feature's step like df/N, so the classifier that separated
+      // 500 docs learns nothing at 50k (measured: keep rates collapse to
+      // 0 at sf0.1). The per-feature mean is the standard frequency
+      // preconditioner, is scale-invariant, and stays deterministic —
+      // the divisor is an integer count.
+      val grads = feats.join(rs, "doc_id")
+        .select(col("b"), (col("rs") * col("xs").cast("decimal(19,0)")).as("term"))
+        .groupBy("b")
+        .agg((sum(col("term")).cast("double") / 1e14 / count(lit(1))).as("g"))
+      // localCheckpoint per step or step r re-executes rounds 1..r-1
+      // per consumer (the iterative-query rule, see bpeRunShared)
+      w = w.join(grads, Seq("b"), "left_outer")
+        .select(col("b"),
+          (col("wv") - lit(qcEta) * coalesce(col("g"), lit(0.0))).as("wv"))
+        .localCheckpoint()
+    }
+    (feats, w)
+  }
+
+  /** Scored corpus + training metrics (spec/probe surface). */
+  private[graft] def qcMetrics(s: SparkSession, d: String): DataFrame = {
+    val (feats, w) = qcTrain(s, d)
+    qcMargins(feats, w)
+      .select(col("y"), (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(when((col("p") >= 0.5) === (col("y") === 1.0), 1.0).otherwise(0.0))
+          .as("acc"),
+        avg(when(col("y") === 1.0, when(col("p") >= 0.5, 1.0).otherwise(0.0)))
+          .as("keep_en"),
+        avg(when(col("y") === 0.0, when(col("p") >= 0.5, 1.0).otherwise(0.0)))
+          .as("keep_other"),
+        avg(-(col("y") * log(col("p"))
+          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("loss"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // --- quality classifier gate row: data-derived n_docs (the oracle
+    // recomputes it) + in-plan guarantee flags (the q_knn_lsh pattern —
+    // xxhash buckets and exp aren't DuckDB-expressible): the trained
+    // filter must beat the accuracy floor, separate en from non-en keep
+    // rates by the pinned gap, and end below the w=0 loss ln 2 (i.e.
+    // training actually descended). Floors pinned one notch under the
+    // measured deterministic minima ACROSS scales (QcProbe: acc
+    // 0.988/0.984/0.917/0.910 and gap 0.97/0.96/0.80/0.78 at
+    // sf0.001/0.01/0.1/10×; loss ≤ 0.53 everywhere — BASELINE.md r8).
+    "q_quality_classifier" -> ((s, d) =>
+      qcMetrics(s, d).select(col("n_docs"),
+        lit(qcSteps).as("steps"),
+        (col("acc") >= 0.88).as("acc_ok"),
+        ((col("keep_en") - col("keep_other")) >= 0.75).as("sep_ok"),
+        (col("loss") < 0.6931).as("loss_ok"))),
+
 
     // --- weighted sampling (Efraimidis–Spirakis A-Res, log form): rank
     // every doc by ln(u)/w where u is the seeded md5-uniform and
@@ -584,6 +711,13 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    // guarantee-flag row (xxhash feature buckets + exp aren't DuckDB-
+    // expressible): n_docs is real and recomputed; the flags are pinned
+    "q_quality_classifier" ->
+      """SELECT count(*) AS n_docs, 3 AS steps,
+        |  true AS acc_ok, true AS sep_ok, true AS loss_ok
+        |FROM documents""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH keyed AS (
