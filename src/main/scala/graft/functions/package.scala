@@ -228,6 +228,11 @@ package object functions {
       (sqrt(vec_dot_i8(a, a).cast(DoubleType)) *
        sqrt(vec_dot_i8(b, b).cast(DoubleType)))
 
+  /** 64-bit perceptual average-hash of a binary payload ([[PHash64]]):
+    * average-pool into 64 stripes, bit = stripe mean > global mean. */
+  def phash64(payload: Column): Column =
+    Shims.column(PHash64(Shims.expression(payload)))
+
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

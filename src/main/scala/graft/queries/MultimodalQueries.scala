@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{hamming64, phash64}
 
 /**
  * Multimodal-column plumbing (SURVEY.md §2j): opaque `binary` payloads +
@@ -17,7 +18,86 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /**
+   * Planted payload texts for the perceptual-dedup gate (the planted-
+   * batch policy of q_dedup_canonical): the corpus payloads hash to
+   * effectively random 64-bit aHashes, so no hamming ≤ 3 pair exists to
+   * find — a dedup gate that can never fire. The plant: a high-contrast
+   * striped payload, a 1-byte perturbation of it (stripe means barely
+   * move → same aHash: a perceptual duplicate that is NOT a byte
+   * duplicate — exactly what perceptual hashing exists to catch), and
+   * its inverted stripes (hamming 64: the negative control proving the
+   * threshold rejects).
+   */
+  private val phBase = ("a" * 10 + "z" * 10) * 32
+  private[graft] val phPlanted: Seq[(Long, String)] = Seq(
+    (9200001L, phBase),
+    (9200002L, phBase.updated(305, 'c')),
+    (9200003L, ("z" * 10 + "a" * 10) * 32))
+
   val queries: Map[String, Q] = Map(
+
+    // --- perceptual-hash media dedup (VERDICT r8 #4): aHash every
+    // payload with the codegen'd [[graft.functions.PHash64]], block
+    // candidate pairs on 4 × 16-bit hash bands (pigeonhole: a pair
+    // within hamming ≤ 3 differs in ≤ 3 bands, so it MUST share one —
+    // blocking is complete by construction, and the bounded witness
+    // audit proves it empirically, the q_simhash_neardup design), then
+    // verify candidates with the exact hamming distance. Never
+    // all-pairs: the band join grows with occupied band keys. Output =
+    // data-derived media count + guarantee flags (hashes aren't
+    // SQL-expressible; the planted-pair flag makes the gate bite).
+    "q_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text").as("txt"))
+        .unionAll(phPlanted.toDF("media_id", "txt"))
+        .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
+        .localCheckpoint() // one hash pass, fanned out to block + audit
+      val bands = media.select(col("media_id"), col("ph"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bkey")))
+      val pairs = bands.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("media_id"), col("ph"))).as("xs"))
+        .filter(size(col("xs")) > 1)
+        .select(explode(col("xs")).as("a"), col("xs"))
+        .select(col("a"), explode(col("xs")).as("b"))
+        .filter(col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          hamming64(col("a.ph"), col("b.ph")).as("hd"))
+        .distinct()
+        .filter(col("hd") <= 3)
+      // bounded witness audit (q_simhash_neardup design): all-pairs over
+      // a deterministic ≤ ~1400-row sample must find exactly the blocked
+      // pairs — constant cost at any corpus size
+      val step = media.agg(
+        greatest(lit(1L), floor(count(lit(1)) / 1400.0).cast("long")).as("step"))
+      val sub = media.crossJoin(broadcast(step))
+        .filter(pmod(col("media_id"), col("step")) === 0)
+        .select("media_id", "ph")
+      val nAll = sub.toDF("id_a", "ph_a")
+        .crossJoin(sub.toDF("id_b", "ph_b"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
+        .agg(count(lit(1)).as("n_all"))
+      val nBlocked = pairs.crossJoin(broadcast(step))
+        .filter(pmod(col("id_a"), col("step")) === 0
+          && pmod(col("id_b"), col("step")) === 0)
+        .agg(count(lit(1)).as("n_blocked"))
+      val plantedFound = pairs
+        .filter(col("id_a") === 9200001L && col("id_b") === 9200002L)
+        .agg((count(lit(1)) === 1).as("planted_pair_found"))
+      val negRejected = media.filter(col("media_id").isin(9200001L, 9200003L))
+        .agg((bit_count(min("ph").bitwiseXOR(max("ph"))) > 3).as("neg_rejected"))
+      media.agg(count(lit(1)).as("n_media"))
+        .crossJoin(nBlocked).crossJoin(nAll)
+        .crossJoin(plantedFound).crossJoin(negRejected)
+        .select(lit("ahash").as("method"), lit(3).as("max_hamming"),
+          col("n_media"),
+          (col("n_blocked") === col("n_all")).as("blocking_complete"),
+          col("planted_pair_found"), col("neg_rejected"))
+    }),
 
     // binary payload plumbing: byte sizes aggregate (✦ oracle)
     "q_binary_payloads" -> ((s, d) => Tables.documents(s, d)
@@ -43,6 +123,14 @@ object MultimodalQueries {
       graft.multimodal.MediaDecode.frameSample(s, Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // guarantee-flag row (aHash values aren't SQL-expressible): n_media
+    // is real (corpus + the 3 planted payloads); flags pinned
+    "q_phash_dedup" ->
+      """SELECT 'ahash' AS method, 3 AS max_hamming,
+        |  count(*) + 3 AS n_media, true AS blocking_complete,
+        |  true AS planted_pair_found, true AS neg_rejected
+        |FROM documents""".stripMargin,
+
     "q_media_decode" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PHash64
+
+/**
+ * Perceptual average-hash (PHash64 expression + q_phash_dedup):
+ * robustness/contrast properties of the hash, codegen/eval agreement,
+ * and the gate row.
+ */
+class PHashSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  private val base = ("a" * 10 + "z" * 10) * 32
+
+  test("aHash is invariant to a small perturbation but flips on stripe inversion") {
+    val h0 = PHash64.compute(base.getBytes("UTF-8"))
+    val hPert = PHash64.compute(base.updated(305, 'c').getBytes("UTF-8"))
+    val hInv = PHash64.compute((("z" * 10 + "a" * 10) * 32).getBytes("UTF-8"))
+    assert(java.lang.Long.bitCount(h0 ^ hPert) <= 1,
+      "1-byte perturbation must stay within 1 hamming bit")
+    assert(java.lang.Long.bitCount(h0 ^ hInv) == 64,
+      "stripe inversion must complement every bit")
+    assert(PHash64.compute(Array.emptyByteArray) == 0L)
+    // alternating 10-char stripes of 'a'(97)/'z'(122): bits alternate
+    assert((h0 & 0x3L) == 0x2L, "stripe 0 ('a') below mean, stripe 1 ('z') above")
+  }
+
+  test("generated code and interpreted eval agree on every corpus payload") {
+    val viaPlan = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.phash64(encode(col("text"), "UTF-8")).as("ph"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> PHash64.compute(r.getString(1).getBytes("UTF-8")))
+      .toMap
+    assert(viaPlan == viaDriver, "codegen'd hash differs from driver compute")
+  }
+
+  test("gate row: blocking complete, planted pair found, negative control rejected") {
+    val rows = SparkEntry.queries("q_phash_dedup")(spark, sf).collect()
+    assert(rows.length == 1, s"expected one row: ${rows.toSeq}")
+    val r = rows(0)
+    assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
+      s"flags must hold: $r")
+  }
+}
