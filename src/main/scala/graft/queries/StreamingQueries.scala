@@ -24,6 +24,15 @@ object StreamingQueries {
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
     "q_stream_tws" -> ((s, d) => StreamingPipelines.cmsTransformWithState(s, d)),
+    // TTL'd twin: same per-user CMS state, but every value written with a
+    // 1-hour PROCESSING-TIME TTL (TimeMode.ProcessingTime) — the config
+    // that bounds state under unbounded key cardinality at 100 TB. The
+    // horizon is far beyond the seconds-long replay, so no eviction can
+    // fire mid-run and the output equals q_stream_tws deterministically;
+    // StateTtlSpec proves actual eviction with a short TTL + paced batches.
+    "q_stream_tws_ttl" -> ((s, d) => StreamingPipelines.cmsTransformWithState(
+      s, d, org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofHours(1)), "stream_tws_ttl")),
     "q_stream_timer_session" -> ((s, d) => StreamingPipelines.sessionTimerCounts(s, d)),
     "q_stream_stream_join" -> ((s, d) => StreamingPipelines.streamStreamJoin(s, d)),
     "q_stream_outer_join" -> ((s, d) => StreamingPipelines.streamOuterJoin(s, d)),
@@ -124,6 +133,12 @@ object StreamingQueries {
     // per-user CMS (proven byte-equivalent to mapGroupsWithState in
     // StreamingSpec), so the same exact-count oracle applies
     "q_stream_tws" ->
+      """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click_est
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TTL'd twin: the 1h processing-time horizon cannot elapse during
+    // the replay, so the TTL'd state answers identically — same oracle
+    "q_stream_tws_ttl" ->
       """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click_est
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -19,17 +19,19 @@ import graft.functions._
   * reference's `updateStateByKey` sketch loop on the transformWithState
   * API. State is bytes (not the sketch object) so the RocksDB store can
   * snapshot it without custom serde. */
-class CmsStatefulProcessor
+class CmsStatefulProcessor(
+    ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, String), (Long, Long)] {
-  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
   import org.apache.spark.util.sketch.CountMinSketch
 
   @transient private var cmsBytes: ValueState[Array[Byte]] = _
 
   override def init(outputMode: OM, timeMode: TimeMode): Unit =
     cmsBytes = getHandle.getValueState[Array[Byte]](
-      "cms", org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+      "cms", org.apache.spark.sql.Encoders.BINARY, ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
       timers: TimerValues): Iterator[(Long, Long)] = {
@@ -141,14 +143,21 @@ object StreamingPipelines {
     * so downstream batch post-processing keeps the session default.
     */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode, singleBatch: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     spark.conf.set(key, "4")
     try {
-      val q = df.writeStream.outputMode(mode)
+      // Under TimeMode.ProcessingTime (state TTL / proc-time timers) the
+      // engine never goes idle — a timer-driven batch is always pending,
+      // so an AvailableNow run never reaches its end marker and
+      // processAllAvailable never returns (both verified hanging). The
+      // one trigger that provably terminates there is Trigger.Once:
+      // ALL available data in one batch, then stop.
+      val writer = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
+      val q = writer.trigger(
+        if (singleBatch) Trigger.Once() else Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally spark.conf.set(key, prior)
     spark.table(name)
@@ -356,7 +365,10 @@ object StreamingPipelines {
     * provider a 1000-executor deployment would run, where state must
     * spill to disk and checkpoint incrementally rather than live on the
     * JVM heap. Same answer as [[cmsStatefulStream]] by construction. */
-  def cmsTransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+  def cmsTransformWithState(spark: SparkSession, sfDir: String,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE,
+      sink: String = "stream_tws"): DataFrame = {
     import spark.implicits._
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -366,15 +378,20 @@ object StreamingPipelines {
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
       ".changelogCheckpointing.enabled", "true")
     try {
+      // state TTL needs the processing-time clock; the TTL-free twin
+      // keeps TimeMode.None (no clock dependency at all)
+      val usesTtl = ttl != org.apache.spark.sql.streaming.TTLConfig.NONE
+      val timeMode =
+        if (!usesTtl) org.apache.spark.sql.streaming.TimeMode.None()
+        else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
       val est = eventStream(spark, sfDir)
         .select(col("user_id"), col("event_type"))
         .as[(Long, String)]
         .groupByKey(_._1)
-        .transformWithState(new CmsStatefulProcessor,
-          org.apache.spark.sql.streaming.TimeMode.None(),
+        .transformWithState(new CmsStatefulProcessor(ttl), timeMode,
           OutputMode.Update())
         .toDF("user_id", "click_est")
-      runToMemory(spark, est, "stream_tws", OutputMode.Update())
+      runToMemory(spark, est, sink, OutputMode.Update(), singleBatch = usesTtl)
         .groupBy("user_id").agg(max("click_est").as("click_est"))
         .orderBy("user_id")
     } finally {
