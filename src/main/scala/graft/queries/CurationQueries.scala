@@ -201,6 +201,64 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- END-TO-END curation DAG (round 8 bonus): canonical dedup →
+    // language/quality heuristic filter → exact token-budget cutoff →
+    // hash-sharding, composed in ONE declarative plan and fully
+    // DuckDB-oracle-checkable (every stage is SQL-expressible, unlike
+    // the learned-classifier twin). Catalyst optimizes ACROSS stages —
+    // one scan feeds the dedup agg and the token stats; the budget
+    // decision rides a bounded length histogram + broadcast semi-join
+    // (never a corpus sort); the shard gate is a pure function of
+    // doc_id. The planted duplicate batch exercises the dedup stage at
+    // gate scale (its short texts then drop at the quality filter).
+    "q_curation_e2e" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(TextQueries.plantedDupDocs.toDF("doc_id", "text"))
+      // 1. canonical dedup: keep min doc_id per identical text
+      val keep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val canon = docs.join(keep, Seq("doc_id"), "left_semi")
+      // 2. per-doc token stats in one exploded hash agg (codegen'd —
+      // no interpreted filter HOF on the hot path), then the
+      // lang-ID + quality predicate of q_lang_id / q_pipeline_e2e
+      // (no stopword-based language predicate here: the 10x synthetic
+      // corpus contains zero English stopwords, which would make the
+      // whole DAG vacuous at scale — language selection is its own
+      // operator, q_domain_mix / q_lang_id)
+      val stats = canon
+        .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+        .groupBy("doc_id")
+        .agg(count(col("t")).as("n_tokens"),
+          countDistinct(col("t")).as("n_uniq"))
+      val quality = stats.filter(col("n_tokens") >= 20 &&
+        col("n_uniq").cast("double") / col("n_tokens").cast("double") >= 0.3)
+        .select("doc_id", "n_tokens")
+      // 3. token budget: keep whole length-groups longest-first while
+      // the cumulative token mass fits 50% (bounded histogram + window
+      // over distinct lengths only)
+      val hist = quality.groupBy("n_tokens")
+        .agg((col("n_tokens") * count(lit(1))).as("mass"))
+      val keepLens = hist
+        .withColumn("cmass", sum("mass").over(
+          Window.orderBy(col("n_tokens").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(hist.agg(sum("mass").cast("double").as("total"))))
+        .filter(col("cmass") <= col("total") * 0.5)
+        .select("n_tokens")
+      val budgeted = quality.join(broadcast(keepLens), "n_tokens")
+      // 4. md5-digit shard gate (id-distribution-independent, the
+      // q_corpus_shuffle technique) + per-shard accounting
+      budgeted
+        .withColumn("shard", pmod(substring(concat(
+            regexp_replace(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+              "[a-f]", ""), lit("0000")), 1, 4).cast("long"), lit(4L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+        .orderBy("shard")
+    }),
+
     // --- quality classifier gate row: data-derived n_docs (the oracle
     // recomputes it) + in-plan guarantee flags (the q_knn_lsh pattern —
     // xxhash buckets and exp aren't DuckDB-expressible): the trained
@@ -711,6 +769,46 @@ object CurationQueries {
   val oracleSql: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    // fully stage-by-stage mirrored e2e DAG — same planted batch, same
+    // tokenize/filter/budget/shard arithmetic
+    "q_curation_e2e" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL ${TextQueries.plantedValuesSql(TextQueries.plantedDupDocs)}),
+        |canon AS (
+        |  SELECT d.doc_id, d.text FROM docs d
+        |  JOIN (SELECT text, min(doc_id) AS doc_id FROM docs GROUP BY text) k
+        |    ON d.doc_id = k.doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+        |  FROM canon),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_uniq
+        |  FROM toks GROUP BY 1),
+        |quality AS (
+        |  SELECT doc_id, n_tokens FROM stats
+        |  WHERE n_tokens >= 20
+        |    AND n_uniq::DOUBLE / n_tokens::DOUBLE >= 0.3),
+        |hist AS (
+        |  SELECT n_tokens, n_tokens * count(*) AS mass
+        |  FROM quality GROUP BY 1),
+        |keep_lens AS (
+        |  SELECT n_tokens FROM (
+        |    SELECT n_tokens,
+        |      sum(mass) OVER (ORDER BY n_tokens DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmass
+        |    FROM hist), (SELECT sum(mass)::DOUBLE AS total FROM hist)
+        |  WHERE cmass <= total * 0.5),
+        |sharded AS (
+        |  SELECT doc_id, n_tokens,
+        |    (substr(regexp_replace(md5('shard:' || doc_id::VARCHAR),
+        |       '[a-f]', '', 'g') || '0000', 1, 4)::BIGINT % 4) AS shard
+        |  FROM quality JOIN keep_lens USING (n_tokens))
+        |SELECT shard, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM sharded GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // guarantee-flag row (xxhash feature buckets + exp aren't DuckDB-
     // expressible): n_docs is real and recomputed; the flags are pinned

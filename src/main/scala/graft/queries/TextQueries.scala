@@ -21,7 +21,7 @@ object TextQueries {
 
   // tiny per-language stopword lists for the pure-SQL language-ID
   // heuristic (expressible identically in Spark and DuckDB)
-  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[queries] val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /**
    * Deterministic planted duplicate batches (VERDICT r7 #2). The
@@ -51,7 +51,7 @@ object TextQueries {
 
   /** The planted rows as a DuckDB VALUES relation — generated from the
     * same Seq the Spark plan unions, so the two sides cannot drift. */
-  private def plantedValuesSql(rows: Seq[(Long, String)]): String =
+  private[queries] def plantedValuesSql(rows: Seq[(Long, String)]): String =
     rows.map { case (id, t) => s"(${id}::BIGINT, '$t')" }
       .mkString("SELECT * FROM (VALUES ", ", ", ") t(doc_id, text)")
 
