@@ -91,6 +91,60 @@ object MaintenanceQueries {
         (col("files_before") === 64 && col("files_after") === 4).as("files_ok"))
     }),
 
+    // --- incremental materialized-view maintenance: a materialized
+    // aggregate (orders revenue per status × month) is brought current
+    // by MERGING the partial aggregate of a late-arriving change batch —
+    // the classic self-maintainable-view algebra (count/sum are
+    // retractable: updates add Δprice, deletes add (−1, −price), inserts
+    // add (+1, +price)). The change batch touches ONLY the final month
+    // (late-arriving facts), so maintenance cost is the delta's partial
+    // agg + a join against |groups| rows — never a rescan of the base
+    // fact table. At 100 TB that is the difference between a view
+    // refresh costing minutes and one costing the full corpus; the
+    // `touched` column proves how few groups the merge rewrote. The
+    // delta is derived deterministically from the base (final-month keys
+    // ≡ 0 mod 10 get a 10% price bump, ≡ 1 mod 10 are deleted, ≡ 2 mod
+    // 10 gain a twin insert) so the oracle can rebuild the same state.
+    "q_mv_incremental" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      val grp = Seq(col("o_orderstatus"), date_trunc("month", col("o_orderdate"))
+        .cast("date").as("month"))
+      // the materialized view as a production pipeline would persist it:
+      // count + a decimal sum (exact, mergeable)
+      val mv0 = o.groupBy(grp: _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(30,12)")).as("rev"))
+      // late-arriving change batch, confined to the final month
+      val lastMonth = o.agg(date_trunc("month", max(col("o_orderdate")))
+        .cast("date").as("lm"))
+      val late = o.crossJoin(broadcast(lastMonth))
+        .filter(date_trunc("month", col("o_orderdate")).cast("date") === col("lm"))
+      val k = col("o_orderkey")
+      val deltaRows =
+        late.filter(k % 10 === 0).select(col("o_orderstatus"), col("o_orderdate"),
+            lit(0L).as("dn"),
+            (col("o_totalprice") * 0.1).cast("decimal(30,12)").as("drev"))
+        .unionAll(late.filter(k % 10 === 1).select(col("o_orderstatus"),
+            col("o_orderdate"), lit(-1L).as("dn"),
+            (-col("o_totalprice")).cast("decimal(30,12)").as("drev")))
+        .unionAll(late.filter(k % 10 === 2).select(col("o_orderstatus"),
+            col("o_orderdate"), lit(1L).as("dn"),
+            col("o_totalprice").cast("decimal(30,12)").as("drev")))
+      val deltaAgg = deltaRows.groupBy(grp: _*)
+        .agg(sum("dn").as("dn"), sum("drev").as("drev"))
+      mv0.join(deltaAgg, Seq("o_orderstatus", "month"), "full_outer")
+        .select(col("o_orderstatus"), col("month"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          round(coalesce(col("rev"), lit(0).cast("decimal(30,12)"))
+            + coalesce(col("drev"), lit(0).cast("decimal(30,12)")), 4)
+            .cast("double").as("rev"),
+          col("dn").isNotNull.as("touched"))
+        .filter(col("n") > 0)
+        .orderBy("o_orderstatus", "month")
+    }),
+
     // --- snapshot versioning / time travel, partition-level
     // copy-on-write: orders hash-partitioned into 4 directories;
     // version 2 changes only keys ≡ 0 (mod 16) — every one lives in
@@ -151,6 +205,40 @@ object MaintenanceQueries {
         |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
         |  true AS rows_ok, true AS content_ok, true AS files_ok
         |FROM lineitem""".stripMargin,
+
+    "q_mv_incremental" ->
+      """WITH lm AS (SELECT date_trunc('month', max(o_orderdate)) AS lm
+        |            FROM orders),
+        |mv0 AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate)::DATE AS month,
+        |    count(*) AS n, sum(o_totalprice::DECIMAL(30,12)) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |drows AS (
+        |  SELECT o_orderstatus, o_orderdate, 0 AS dn,
+        |    (o_totalprice * 0.1)::DECIMAL(30,12) AS drev
+        |  FROM orders, lm
+        |  WHERE date_trunc('month', o_orderdate) = lm AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderdate, -1,
+        |    (-o_totalprice)::DECIMAL(30,12)
+        |  FROM orders, lm
+        |  WHERE date_trunc('month', o_orderdate) = lm AND o_orderkey % 10 = 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderdate, 1, o_totalprice::DECIMAL(30,12)
+        |  FROM orders, lm
+        |  WHERE date_trunc('month', o_orderdate) = lm AND o_orderkey % 10 = 2),
+        |delta AS (
+        |  SELECT o_orderstatus, date_trunc('month', o_orderdate)::DATE AS month,
+        |    sum(dn) AS dn, sum(drev) AS drev
+        |  FROM drows GROUP BY 1, 2)
+        |SELECT o_orderstatus, month,
+        |  (coalesce(n, 0) + coalesce(dn, 0))::BIGINT AS n,
+        |  round(coalesce(rev, 0::DECIMAL(30,12))
+        |        + coalesce(drev, 0::DECIMAL(30,12)), 4)::DOUBLE AS rev,
+        |  dn IS NOT NULL AS touched
+        |FROM mv0 FULL OUTER JOIN delta USING (o_orderstatus, month)
+        |WHERE coalesce(n, 0) + coalesce(dn, 0) > 0
+        |ORDER BY o_orderstatus, month""".stripMargin,
 
     "q_time_travel" ->
       """SELECT 1 AS version, count(*) AS n_rows,

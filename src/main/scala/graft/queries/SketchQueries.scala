@@ -319,6 +319,42 @@ object SketchQueries {
           (col("est").cast("double") <= col("exact").cast("double")
             + col("n_dyadic") * lit(eps) * col("n_rows")).as("within_eps"))
         .orderBy("rid")
+    }),
+
+    // AMS tug-of-war sketch (Alon–Matias–Szegedy '96): the second
+    // frequency moment F₂ = Σ f_k² — the SELF-join size of a key column,
+    // the statistic a planner needs to price a self-join or pick a
+    // skew strategy — from 64 ±1-signed counters instead of a groupBy
+    // over every key. Counter_j = Σ_rows σ_j(key) with σ_j(key) =
+    // 2·(bit₀ of xxhash64(j, key)) − 1; E[counter²] = F₂. Estimate =
+    // median of 8 means of 8 counter² each (variance 2F₂²/8 per mean →
+    // the median is within ½·F₂ except with probability < 2⁻⁵ —
+    // deterministic here at the pinned hash family). Plan shape: ONE
+    // hash-agg pass builds all 64 counters as one wide row (no row
+    // multiplication, no shuffle beyond the 1-row final agg); the
+    // median-of-means is arithmetic on that single row. At 100 TB the
+    // sketch state is 64 longs regardless of key cardinality — vs the
+    // exact twin's full per-key aggregate. The exact F₂ rides along
+    // only as the yardstick for the error-contract flags.
+    "q_ams_f2" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sums = (0 until 64).map(j =>
+        sum(when(xxhash64(lit(j), col("user_id")).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L))).as(s"c$j")) :+
+        count(lit(1)).as("n_rows")
+      val wide = ev.agg(sums.head, sums.tail: _*)
+      val est = wide.select(col("n_rows"), explode(array(
+          (0 until 64).map(j =>
+            struct(lit(j / 8).as("g"),
+              (col(s"c$j") * col(s"c$j")).cast("double").as("c2"))): _*)).as("x"))
+        .groupBy(col("n_rows"), col("x.g")).agg(avg(col("x.c2")).as("m"))
+        .groupBy(col("n_rows")).agg(expr("median(m)").as("f2_est"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("f2_exact"))
+      est.join(exact)
+        .select(col("n_rows"), col("f2_exact"),
+          (abs(col("f2_est") - col("f2_exact").cast("double"))
+            <= lit(0.5) * col("f2_exact")).as("within_half"))
     }))
 
   /** Greedy-left dyadic decomposition of [lo, hi]: maximal aligned
@@ -432,6 +468,13 @@ object SketchQueries {
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ams_f2" ->
+      """WITH f AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1)
+        |SELECT (SELECT count(*) FROM events) AS n_rows,
+        |       sum(f * f)::BIGINT AS f2_exact,
+        |       true AS within_half
+        |FROM f""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH ranked AS (

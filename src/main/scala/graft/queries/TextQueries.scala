@@ -839,6 +839,46 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // --- BM25 top-k retrieval (2j): the lexical-retrieval half of a
+    // RAG / data-curation stack (TF-IDF ranks terms; BM25 ranks DOCS for
+    // a query). Okapi BM25 with the Lucene idf form,
+    //   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    //   s(d,t)  = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    // k1=1.2, b=0.75. Scale shape: the query-term filter is a codegen'd
+    // isin() on the exploded token stream (at 100 TB this is the posting
+    // lists of |Q| terms, not a corpus scan of all terms); df/avgdl/N are
+    // term- or 1-row relations joined broadcast; top-k is
+    // TakeOrderedAndProject (per-partition heaps, no global sort). The
+    // per-doc score sums per-term contributions integer-scaled at 1e6 —
+    // exact and associative, so distributed summation order can never
+    // flip the rounded output (the q_ccnet_buckets trick) — and the
+    // k-cut orders by the rounded score with a doc_id tie-break, so both
+    // engines cut the same boundary.
+    "q_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("spark", "join", "vector")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+        .withColumn("c_e6", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+            * lit(1e6)).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("c_e6").as("s_e6"), count(lit(1)).as("n_terms"))
+        .select(col("doc_id"), round(col("s_e6") / lit(1e6), 4).as("bm25"),
+          col("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // --- repetition quality signals (2j): the Gopher-style repeated-
     // n-gram fractions a corpus filter thresholds on — per doc the
     // fraction of bigram occurrences taken by the single most frequent
@@ -1301,6 +1341,28 @@ object TextQueries {
         |SELECT lang, max(term) AS top_term, max(tfidf) AS top_tfidf
         |FROM scored JOIN best USING (lang, tfidf)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |          * (tf * 2.2)
+        |          / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |          * 1e6)::BIGINT AS c_e6
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad)
+        |SELECT doc_id, round(sum(c_e6) / 1e6, 4) AS bm25, count(*) AS n_terms
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT lang, count(DISTINCT text) AS n_unique, count(*) AS n_total

@@ -283,6 +283,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bm25_topk matches a driver-side BM25 recomputation") {
+    val qTerms = Seq("spark", "join", "vector")
+    val docs = corpus.map { case (_, id, toks) => (id, toks) }
+    val n = docs.size.toDouble
+    val dl = docs.map { case (id, t) => id -> t.size.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / dl.size
+    val tf = docs.flatMap { case (id, toks) =>
+      toks.filter(qTerms.contains).map(t => (id, t)) }
+      .groupBy(identity).map { case ((id, t), xs) => (id, t, xs.size.toLong) }.toSeq
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = tf.groupBy(_._1).map { case (id, rows) =>
+      val sE6 = rows.map { case (_, t, f) =>
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        math.round(idf * (f * 2.2)
+          / (f + 1.2 * (0.25 + (0.75 * dl(id)) / avgdl)) * 1e6)
+      }.sum
+      val bm25 = BigDecimal(sE6 / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, bm25, rows.size.toLong)
+    }.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    val got = SparkEntry.queries("q_bm25_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the gate must rank something: a corpus where no query term occurs
+    // would make this test vacuous
+    assert(got.nonEmpty && got.head._2 > 0.0)
+  }
+
   test("q_minhash_recall: banding finds every exact pair on this corpus") {
     val r = SparkEntry.queries("q_minhash_recall")(spark, sf).collect()
     assert(r.length == 1 && r(0).getBoolean(2),

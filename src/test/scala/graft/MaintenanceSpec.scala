@@ -96,6 +96,51 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == coveredAll)
   }
 
+  test("q_mv_incremental equals a full recompute of the post-change state") {
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      .collect()
+      .map { r =>
+        val ldt = r.get(3) match { // NTZ reads as LocalDateTime, LTZ as Timestamp
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case l: java.time.LocalDateTime => l
+        }
+        (r.getLong(0), r.getString(1), BigDecimal(r.getDouble(2)),
+          ldt.toLocalDate.withDayOfMonth(1))
+      }
+    val lastMonth = base.map(_._4).max
+    // full recompute of the merged state, group-by-group in BigDecimal
+    val expected = base.flatMap { case (k, st, p, m) =>
+      val late = m == lastMonth
+      if (late && k % 10 == 1) Seq.empty // deleted
+      else if (late && k % 10 == 0)
+        Seq(((st, m), (1L, p + p * BigDecimal("0.1")))) // updated
+      else if (late && k % 10 == 2)
+        Seq(((st, m), (1L, p)), ((st, m), (1L, p))) // original + twin insert
+      else Seq(((st, m), (1L, p)))
+    }.groupBy(_._1).map { case (g, rows) =>
+      g -> (rows.map(_._2._1).sum,
+        rows.map(_._2._2).sum.setScale(4, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val got = MaintenanceQueries.queries("q_mv_incremental")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), (r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(4), r.getBoolean(4))))
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (g, (n, rev, _)) =>
+      val (en, erev) = expected(g)
+      assert(n === en, s"group $g count")
+      // engine Δprice rides a double→decimal cast; reference is pure
+      // BigDecimal — agree to well under a cent per group
+      assert((rev - erev).abs < BigDecimal("0.005"), s"group $g rev $rev vs $erev")
+    }
+    // incrementality evidence: only the final month's groups are touched
+    got.foreach { case ((_, m), (_, _, touched)) =>
+      assert(touched === (m == lastMonth), s"group $m touched=$touched") }
+    val nTouched = got.count(_._2._3)
+    assert(nTouched > 0 && nTouched < got.length / 10,
+      s"touched $nTouched of ${got.length} groups — delta not confined")
+  }
+
   test("q_time_travel: snapshots isolated, v2 delta equals the priced change set") {
     val rows = MaintenanceQueries.queries("q_time_travel")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))

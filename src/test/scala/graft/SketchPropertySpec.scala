@@ -167,4 +167,27 @@ class SketchPropertySpec extends AnyFunSuite {
       bytes(l) == bytes(whole)
     })
   }
+
+  test("ams: tug-of-war counter² is an EXACTLY unbiased F₂ estimator (∀ multisets)") {
+    // The identity behind q_ams_f2, checked without probability: averaged
+    // over ALL 2^K sign assignments σ: keys → ±1, the cross terms of
+    // (Σ_k σ(k)·f_k)² cancel pairwise and the mean equals Σ f_k² = F₂
+    // exactly — in integer arithmetic, for every multiset. (The sketch
+    // replaces the enumeration with a hash family; unbiasedness is this
+    // identity, accuracy is the median-of-means bound the query's
+    // within_half flag pins on real data.)
+    val multiset: Gen[List[Int]] =
+      Gen.chooseNum(1, 10).flatMap(k =>
+        Gen.listOfN(k, Gen.chooseNum(1, 50))) // f_k frequencies, K ≤ 10 keys
+    check("ams-unbiased", Prop.forAll(multiset) { fs =>
+      val k = fs.length
+      val f2 = fs.map(f => f.toLong * f).sum
+      val sumSq = (0 until (1 << k)).map { mask =>
+        val c = fs.zipWithIndex.map { case (f, i) =>
+          if ((mask >> i & 1) == 1) f.toLong else -f.toLong }.sum
+        BigInt(c) * c
+      }.sum
+      sumSq == BigInt(f2) * (1 << k)
+    })
+  }
 }
