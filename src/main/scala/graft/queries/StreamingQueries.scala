@@ -37,7 +37,8 @@ object StreamingQueries {
     "q_stream_stream_join" -> ((s, d) => StreamingPipelines.streamStreamJoin(s, d)),
     "q_stream_outer_join" -> ((s, d) => StreamingPipelines.streamOuterJoin(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)),
-    "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)))
+    "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)),
+    "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     // streaming CDC apply converges to the same end state as the batch
@@ -58,6 +59,28 @@ object StreamingQueries {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 1) AS n_deleted,
         |  (SELECT round(sum(price::DECIMAL(30,12)), 4)::DOUBLE FROM merged)
         |    AS sum_price""".stripMargin,
+
+    // the streamed MinHash gate + exact verify provably equals the
+    // Jaccard = 1.0 pair graph of documents ∪ planted (sig-identity is
+    // implied by gram-set equality; sub-1.0 collisions are verified away)
+    "q_stream_minhash_dedup" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM (SELECT doc_id, text FROM documents
+        |              UNION ALL ${TextQueries.plantedValuesSql(TextQueries.plantedDupDocs)}))
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 1.0
+        |ORDER BY 1, 2""".stripMargin,
 
     // tumbling 1-day windows == time_bucket days (epoch-aligned in both)
     "q_stream_tumbling" ->

@@ -101,6 +101,36 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Keyed near-dup gate state: per MinHash-signature key, the minimum
+  * doc_id seen so far (the canonical keeper) and the running copy
+  * count — both order-independent, so emissions are deterministic
+  * whatever the batch split. State is two longs per DISTINCT signature:
+  * bounded by content diversity, not stream length. */
+class SigDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var minId: ValueState[Long] = _
+  @transient private var nSeen: ValueState[Long] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    minId = getHandle.getValueState[Long](
+      "minId", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    nSeen = getHandle.getValueState[Long](
+      "n", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var m = if (minId.exists()) minId.get() else Long.MaxValue
+    var c = if (nSeen.exists()) nSeen.get() else 0L
+    rows.foreach { case (_, id) => m = math.min(m, id); c += 1 }
+    minId.update(m); nSeen.update(c)
+    Iterator.single((key, m, c))
+  }
+}
+
 object StreamingPipelines {
 
   /** events schema with `ts` in whatever shape the parquet files read as
@@ -434,6 +464,107 @@ object StreamingPipelines {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** Per-row MinHash signature hash (k=16 coordinates over 3-gram
+    * hashes), computed WITHOUT any shuffle: tokens → gram hashes →
+    * per-coordinate minima, all per-row codegen'd/HOF expressions — so
+    * in a stream only the 8-byte signature (not grams, not text) ever
+    * reaches the keyed state store. Gram hashes match
+    * [[graft.queries.TextQueries.gramHashPostings]] (xxhash64 of the
+    * token triple; whole-doc gram under 3 tokens): identical
+    * distinct-gram SETS — exactly Jaccard 1.0 — therefore give
+    * identical signatures by construction, so the gate can never miss
+    * a 1.0 pair. */
+  private[graft] def minhashSigHash(text: org.apache.spark.sql.Column) = {
+    val tk = tokens(text)
+    val n = size(tk)
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        xxhash64(element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array(xxhash64(array_join(tk, " "))))
+    xxhash64(concat_ws(",", (0 until 16).map(j =>
+      array_min(transform(grams, g => xxhash64(lit(j), g))).cast("string")): _*))
+  }
+
+  /**
+   * Streaming near-duplicate GATE: documents arrive in micro-batches
+   * (3 single-file batches via maxFilesPerTrigger=1, planted duplicates
+   * split ACROSS batches) and a `transformWithState` processor keyed on
+   * the per-row MinHash signature admits first-seen content and counts
+   * copies — the ingest-time dedup a 100 TB crawl pipeline runs, where
+   * the corpus-wide near-dup pass ([[graft.queries.TextQueries]]) is
+   * the compaction-time twin. Scale shape: signature computation is
+   * map-side per-row (nothing shuffles but the 8-byte key), state is
+   * two longs per distinct signature (content-bounded, TTL-able), and
+   * emissions are min/count — order- and batching-independent, so the
+   * result is deterministic under any batch split. Post-stream, the
+   * few multi-copy signature groups are exact-verified with the
+   * postings Jaccard join and thresholded at 1.0; since sig-identity
+   * is IMPLIED by Jaccard 1.0 (same gram set → same minima), the
+   * output provably EQUALS the exact Jaccard = 1.0 pair graph of
+   * documents ∪ planted — the plain-SQL oracle — while collisions of
+   * sub-1.0 pairs (p ≈ j¹⁶ per pair) are filtered deterministically.
+   */
+  def streamMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val io = "/tmp/graft_io/stream_minhash"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val planted = graft.queries.TextQueries.plantedDupDocs.toDF("doc_id", "text")
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionAll(planted)
+    def oneFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$io/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/in"))
+    // planted ids mod 3 = {1, 2, 0, 1, 2}: every duplicate group spans
+    // ≥2 batches, so the gate exercises real cross-batch state
+    (0 until 3).foreach(b => oneFile(docs.filter(col("doc_id") % 3 === b), s"b$b"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", "true")
+    try {
+      val gate = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/in/b*.parquet")
+        .select(minhashSigHash(col("text")).as("sig"), col("doc_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SigDedupProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("sig", "keep_id", "n")
+      val emissions = runToMemory(spark, gate, "stream_minhash", OutputMode.Update())
+      // final state per signature: min keeper / max count over emissions
+      val dupGroups = emissions.groupBy("sig")
+        .agg(min("keep_id").as("keep_id"), max("n").as("n"))
+        .filter(col("n") > 1)
+      val sigs = docs.select(col("doc_id"), minhashSigHash(col("text")).as("sig"))
+      val members = sigs.join(dupGroups.select("sig"), "sig")
+      val cand = members.select(col("sig"), col("doc_id").as("id_a"))
+        .join(members.select(col("sig"), col("doc_id").as("id_b")), "sig")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val postings = graft.queries.TextQueries.gramHashPostings(docs).distinct()
+      graft.queries.TextQueries.verifyJaccard(cand, postings)
+        .filter(col("jaccard") >= 1.0)
+        .orderBy("id_a", "id_b")
     } finally {
       prior match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)

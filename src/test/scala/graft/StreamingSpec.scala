@@ -128,4 +128,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(tws === mgws)
   }
+
+  test("streaming minhash gate finds the planted CROSS-BATCH duplicate groups") {
+    val got = StreamingPipelines.streamMinhashDedup(spark, GraftSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair must surface; the alpha pair's members land in
+    // DIFFERENT micro-batches (ids mod 3 = 1 and 2 with
+    // maxFilesPerTrigger=1), so finding it requires keyed state to
+    // survive across batches — the property this pipeline exists to prove
+    val planted = Set((9000001L, 9000002L), (9000003L, 9000004L),
+      (9000003L, 9000005L), (9000004L, 9000005L))
+    assert(planted.subsetOf(got), s"missing planted pairs: ${planted -- got}")
+    // deterministic under re-run (fresh state dir, same batch split)
+    val rerun = StreamingPipelines.streamMinhashDedup(spark, GraftSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rerun === got)
+  }
 }
