@@ -428,6 +428,110 @@ object VectorQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- hybrid retrieval (2j): reciprocal-rank fusion of the two
+    // production rankers — the sparse BM25 leg (q_bm25_topk's scoring,
+    // integer-scaled so the cut is engine-exact) and the dense cosine
+    // leg (q_knn_brute's scoring against the vec_id-0 query) — over the
+    // id-aligned corpora (embedding i ↔ document i). Each leg is cut to
+    // its top-20 FIRST (TakeOrderedAndProject — a bounded all-reduce,
+    // never a global sort), so rank assignment and the fusion join run
+    // on ≤20-row relations regardless of corpus size; RRF score
+    // Σ 1/(60+rank) is computed as round(1e9/(60+r)) longs so the
+    // fused ordering is exact-integer in both engines. This is the
+    // standard RAG retrieval front-end: lexical recall + semantic
+    // recall fused without score calibration.
+    "q_hybrid_retrieval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qTerms = Seq("spark", "join", "vector")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val bm25 = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+        .withColumn("c_e6", round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+            * lit(1e6)).cast("long"))
+        .groupBy("doc_id").agg(round(sum("c_e6") / lit(1e6), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val sparse = bm25.withColumn("rank_sparse", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_sparse")
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val cos = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+      val dense = cos.withColumn("rank_dense", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_dense")
+      def rrf(rank: org.apache.spark.sql.Column) =
+        coalesce(round(lit(1e9) / (lit(60) + rank)).cast("long"), lit(0L))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (rrf(col("rank_sparse")) + rrf(col("rank_dense"))).as("rrf_e9"),
+          col("rank_sparse"), col("rank_dense"))
+        .orderBy(col("rrf_e9").desc, col("doc_id")).limit(10)
+    }),
+
+    // --- principal direction by power iteration (2j): the top
+    // eigenvector of the (uncentered) Gram matrix XᵀX, taken to two
+    // power-iteration steps from the all-ones start — v₂ = (XᵀX)²·1 —
+    // then every embedding projected onto it and the 10 most-extreme
+    // docs reported (the dominant-axis outliers a curation pass
+    // inspects; also the first step of any spectral dim-reduction).
+    // Determinism recipe = q_kmeans's applied to linear algebra:
+    // components are integer-scaled (×1e3) so all Gram sums, both
+    // matrix-vector products, and the projections are EXACT integer/
+    // decimal arithmetic — no float accumulation order anywhere until
+    // one final double division for display. Scale shape: XᵀX is a
+    // bounded 64×64 = 4096-group hash agg (map-side partial over
+    // n×4096 generated rows — linear in corpus, constant state);
+    // each iteration is a join against a 64-row broadcast relation;
+    // magnitudes are sized so decimal(38) holds through 10× (larger
+    // corpora insert an exact power-of-ten scale shift per step).
+    "q_pca_power" -> ((s, d) => {
+      val dim = 64
+      val exArr = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 1000).cast("long")).as("xv"))
+      val rows = exArr.select(col("xv"), posexplode(col("xv")).as(Seq("i", "xi")))
+      // Gram row-block per i as 64 sum columns: every multiply-add stays
+      // inside ONE 64-group hash agg over n×64 rows (vs materializing
+      // n×4096 product rows through a second generator — 64× the rows)
+      val gAggs = (0 until dim).map(j =>
+        sum(col("xi") * element_at(col("xv"), j + 1)).as(s"g$j"))
+      val gramWide = rows.groupBy("i").agg(gAggs.head, gAggs.tail: _*)
+      val gram = gramWide.select(col("i"),
+        posexplode(array((0 until dim).map(j => col(s"g$j")): _*))
+          .as(Seq("j", "g")))
+      val v1 = gram.groupBy(col("i").as("vi")).agg(sum("g").as("v"))
+      val v2 = gram.join(broadcast(v1), col("j") === col("vi"))
+        .groupBy("i")
+        .agg(sum(col("g").cast("decimal(38,0)") * col("v")).as("v"))
+      val proj = exArr
+        .select(col("vec_id"), posexplode(col("xv")).as(Seq("i", "x")))
+        .join(broadcast(v2), "i")
+        .groupBy("vec_id")
+        .agg(sum(col("x").cast("decimal(38,0)") * col("v")).as("p"))
+      val mx = proj.agg(max(abs(col("p"))).as("m"))
+      proj.crossJoin(broadcast(mx))
+        .select(col("vec_id"),
+          when(col("m") > 0,
+            round(col("p").cast("double") / col("m").cast("double"), 4))
+            .otherwise(0.0).as("proj_rel"))
+        .orderBy(abs(col("proj_rel")).desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // --- distributed k-means (Lloyd, 3 iterations, k = 10 label
     // prototypes as seed): assignment = k-way broadcast join + argmin
     // (min over (dist, cid) structs — deterministic tie-break),
@@ -708,6 +812,70 @@ object VectorQueries {
   val oracleSql: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+
+    // HUGEINT (int128) mirrors Spark's decimal(38,0): both exact, so
+    // every Gram sum / matrix-vector product / projection is the SAME
+    // integer in both engines; only the final display division is float
+    "q_pca_power" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i, round(embedding[i + 1]::DOUBLE * 1000)::BIGINT AS x
+        |  FROM embeddings, range(0, 64) t(i)),
+        |gram AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+        |v1 AS (SELECT i AS vi, sum(g) AS v FROM gram GROUP BY 1),
+        |v2 AS (SELECT gram.i, sum(gram.g::HUGEINT * v1.v) AS v
+        |       FROM gram JOIN v1 ON gram.j = v1.vi GROUP BY 1),
+        |proj AS (SELECT ex.vec_id, sum(ex.x::HUGEINT * v2.v) AS p
+        |         FROM ex JOIN v2 USING (i) GROUP BY 1),
+        |mm AS (SELECT max(abs(p)) AS m FROM proj)
+        |SELECT vec_id,
+        |  CASE WHEN m > 0 THEN round(p::DOUBLE / m::DOUBLE, 4) ELSE 0 END
+        |    AS proj_rel
+        |FROM proj, mm
+        |ORDER BY abs(proj_rel) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |          * (tf * 2.2)
+        |          / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |          * 1e6)::BIGINT AS c_e6
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad),
+        |bm AS (SELECT doc_id, round(sum(c_e6) / 1e6, 4) AS bm25
+        |       FROM contrib GROUP BY doc_id
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |sparse AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_sparse
+        |  FROM bm),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS cos_sim
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_dense
+        |  FROM cs)
+        |SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+        |  coalesce(round(1e9 / (60 + rank_sparse))::BIGINT, 0)
+        |    + coalesce(round(1e9 / (60 + rank_dense))::BIGINT, 0) AS rrf_e9,
+        |  rank_sparse, rank_dense
+        |FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
+        |ORDER BY rrf_e9 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_knn_brute" ->
       """SELECT e.vec_id,
