@@ -119,16 +119,25 @@ object CurationQueries {
     * first gradient steps). Label y = 1 for English docs (the in-domain
     * class a CCNet-style filter keeps). One scan + one distinct per doc;
     * nothing wider than (doc_id, bucket) shuffles. */
-  private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** Sparse (doc_id, b, xs) presence features of ANY (doc_id, text)
+    * relation — the label-free half of [[qcFeatures]], shared with the
+    * streaming inference twin (q_stream_quality_filter), which scores
+    * micro-batches it has no labels for. */
+  private[graft] def qcSparseFeatures(docs: DataFrame): DataFrame = {
     val sparse = TextQueries.gramHashPostings(docs)
       .select(col("doc_id"), pmod(col("gh"), lit(qcD)).as("b"))
       .distinct()
     val bias = docs.select(col("doc_id"), lit(qcBias).as("b"))
+    sparse.unionAll(bias).select(col("doc_id"), col("b"),
+      lit(1000000L).as("xs"))
+  }
+
+  private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
     docs.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      .join(sparse.unionAll(bias), "doc_id")
-      .select(col("doc_id"), col("y"), col("b"), lit(1000000L).as("xs"))
+      .join(qcSparseFeatures(docs), "doc_id")
+      .select(col("doc_id"), col("y"), col("b"), col("xs"))
   }
 
   /** Per-doc margins under a weight relation: m = Σ_b w_b·x_b, computed
@@ -183,9 +192,31 @@ object CurationQueries {
     (feats, w)
   }
 
+  /** One training run per (session, sfDir) — q_quality_classifier and
+    * the streaming inference twin share the trained weight relation,
+    * the same lifetime story as [[TextQueries.jaccardPairsShared]]. */
+  private val qcCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private[graft] def qcTrainShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    qcCache.computeIfAbsent((s, d), _ => qcTrain(s, d))
+
+  /** Label-free inference under a trained weight relation: per-doc
+    * margin via the same exact-decimal dot product as training, keep =
+    * σ(m) ≥ 0.5 ⇔ m ≥ 0. Join on the bucket key, agg on doc_id — the
+    * model is never broadcast, so this scores any corpus size. */
+  private[graft] def qcScore(docs: DataFrame, w: DataFrame): DataFrame =
+    qcSparseFeatures(docs).join(w, Seq("b"))
+      .select(col("doc_id"),
+        (round(col("wv") * 1e9).cast("long").cast("decimal(19,0)")
+          * col("xs").cast("decimal(19,0)")).as("t"))
+      .groupBy("doc_id")
+      .agg((sum("t").cast("double") / 1e15).as("m"))
+      .select(col("doc_id"), col("m"), (col("m") >= 0.0).as("keep"))
+
   /** Scored corpus + training metrics (spec/probe surface). */
   private[graft] def qcMetrics(s: SparkSession, d: String): DataFrame = {
-    val (feats, w) = qcTrain(s, d)
+    val (feats, w) = qcTrainShared(s, d)
     qcMargins(feats, w)
       .select(col("y"), (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
       .agg(count(lit(1)).as("n_docs"),

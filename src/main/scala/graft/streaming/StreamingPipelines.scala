@@ -472,6 +472,25 @@ object StreamingPipelines {
     }
   }
 
+  /** Split a (doc_id, …) relation into `n` single-file parquet batches
+    * under `dir` (batch b = ids ≡ b mod n) — the replayable micro-batch
+    * fixture the file-stream pipelines consume with maxFilesPerTrigger=1.
+    */
+  private def writeIdSplitBatches(spark: SparkSession, df: DataFrame,
+      dir: String, n: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    (0 until n).foreach { b =>
+      val tmp = s"$dir/tmp_b$b"
+      df.filter(col("doc_id") % n === b).coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/b$b.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
   /** Per-row MinHash signature hash (k=16 coordinates over 3-gram
     * hashes), computed WITHOUT any shuffle: tokens → gram hashes →
     * per-coordinate minima, all per-row codegen'd/HOF expressions — so
@@ -521,18 +540,9 @@ object StreamingPipelines {
     val planted = graft.queries.TextQueries.plantedDupDocs.toDF("doc_id", "text")
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
       .unionAll(planted)
-    def oneFile(df: DataFrame, name: String): Unit = {
-      val tmp = s"$io/tmp_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/$name.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/in"))
     // planted ids mod 3 = {1, 2, 0, 1, 2}: every duplicate group spans
     // ≥2 batches, so the gate exercises real cross-batch state
-    (0 until 3).foreach(b => oneFile(docs.filter(col("doc_id") % 3 === b), s"b$b"))
+    writeIdSplitBatches(spark, docs, s"$io/in", 3)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -571,6 +581,61 @@ object StreamingPipelines {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  /**
+   * Streaming quality-classifier inference: the weight relation trained
+   * by q_quality_classifier ([[graft.queries.CurationQueries.qcTrainShared]],
+   * one training run per session) scores document micro-batches at
+   * ingest time — the filter-at-the-door deployment of a learned
+   * quality model, where the batch query is the train/backfill twin.
+   * Each foreachBatch invocation derives the batch's sparse features
+   * map-side, joins them against the STATIC (bucket, weight) relation
+   * on the bucket key (stream-static join — the model is never
+   * broadcast and never in the state store; per-batch state is zero,
+   * so the pipeline admits unbounded streams), and appends
+   * (doc_id, margin, keep) to the scored sink. Because the margin is
+   * the exact-decimal dot product, the streamed scores are
+   * BIT-IDENTICAL to the batch twin under any batch split — which the
+   * result row proves in-plan: n_scored (exactly-once file replay ⇒
+   * = n_docs, DuckDB-checked) and stream_eq_batch (full-outer join
+   * against the batch twin finds zero disagreements).
+   */
+  def streamQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val io = "/tmp/graft_io/stream_qc"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val w = graft.queries.CurationQueries.qcTrainShared(spark, sfDir)._2
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    writeIdSplitBatches(spark, docs, s"$io/in", 3)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/in/b*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.CurationQueries.qcScore(batch, w)
+          .write.mode("append").parquet(s"$io/scored")
+      }
+      .option("checkpointLocation", s"$io/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$io/scored")
+    val batchTwin = graft.queries.CurationQueries.qcScore(docs, w)
+    val disagree = streamed.withColumnRenamed("m", "ms")
+      .withColumnRenamed("keep", "ks")
+      .join(batchTwin, Seq("doc_id"), "full_outer")
+      .filter(col("ms").isNull || col("m").isNull ||
+        col("ms") =!= col("m") || col("ks") =!= col("keep"))
+      .agg(count(lit(1)).as("n_bad"))
+    streamed.agg(count(lit(1)).as("n_scored"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(disagree)
+      .select(col("n_docs"), col("n_scored"), lit(3L).as("n_batches"),
+        (col("n_bad") === 0).as("stream_eq_batch"))
   }
 
   /**

@@ -92,4 +92,29 @@ class QcSpec extends AnyFunSuite {
     info(f"acc=$acc%.4f keep_en=$keepEn%.4f keep_other=$keepOther%.4f loss=$loss%.4f")
     assert(acc >= 0.88 && keepEn - keepOther >= 0.75 && loss < 0.6931)
   }
+
+  test("streaming inference equals the batch twin; the equality flag is not vacuous") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q_stream_quality_filter")(spark, sf).head()
+    assert(r.getLong(0) === r.getLong(1), s"n_scored != n_docs: $r")
+    assert(r.getBoolean(3), s"streamed scores diverged from batch twin: $r")
+    // negative control: a one-bucket weight perturbation must produce
+    // scoring disagreements — i.e. the equality the flag asserts is a
+    // real property of the margins, not an artifact of the comparison
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val w = CurationQueries.qcTrainShared(spark, sf)._2
+    val wPert = w.select(col("b"),
+      when(col("b") === BIAS, col("wv") - lit(10.0)).otherwise(col("wv"))
+        .as("wv"))
+    val base = CurationQueries.qcScore(docs, w)
+      .withColumnRenamed("m", "m0").withColumnRenamed("keep", "k0")
+    val diverged = base.join(CurationQueries.qcScore(docs, wPert), "doc_id")
+      .filter(col("m0") =!= col("m") || col("k0") =!= col("keep"))
+      .count()
+    assert(diverged > 0, "perturbed model scored identically — comparison is vacuous")
+    // the trained filter actually filters: keeps some docs, not all
+    val keeps = CurationQueries.qcScore(docs, w)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)), count(lit(1))).head()
+    assert(keeps.getLong(0) > 0 && keeps.getLong(0) < keeps.getLong(1), s"$keeps")
+  }
 }
