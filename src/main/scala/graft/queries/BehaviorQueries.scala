@@ -24,6 +24,28 @@ object BehaviorQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- first-order Markov transition matrix over user event streams:
+    // P(next event type | current) — the journey model behind
+    // next-action prediction and anomalous-flow detection. Per-user
+    // ordering is a lead() window PARTITIONED on user_id (bounded
+    // per-user sorts that scale out with the keyspace; ties broken by
+    // the unique event_id so the successor is engine-exact), then all
+    // cross-user work is two bounded aggs on the (from, to) type pairs
+    // — |types|² rows — with the row-normalizing totals broadcast back.
+    "q_markov_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cnt = ev.withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy("from_type").agg(sum("n").as("tot"))
+      cnt.join(broadcast(tot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot").cast("double"), 4).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // --- ordered conversion funnel: view → first click AFTER that view
     // → first purchase AFTER that click, per user. Sequential stages =
     // chained conditional-min aggregates joined on user_id (each stage
@@ -355,6 +377,19 @@ object BehaviorQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_markov_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1)
+        |SELECT from_type, to_type, n, round(n::DOUBLE / tot::DOUBLE, 4) AS p
+        |FROM cnt JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "q_preference_pairs" ->
       """WITH e AS (SELECT user_id, event_id, round(value, 4) AS v FROM events),
         |n AS (SELECT user_id, count(*) AS n_events FROM e

@@ -192,4 +192,23 @@ class BehaviorSpec extends AnyFunSuite {
       assert((rid, rv) == ((rejected._2, rejected._3)), s"user $u rejected mismatch")
     }
   }
+
+  test("q_markov_transitions is row-stochastic and conserves transitions") {
+    val rows = SparkEntry.queries("q_markov_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // each from-row's probabilities sum to 1 (4-decimal rounding slack)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val psum = rs.map(_._4).sum
+      assert(math.abs(psum - 1.0) <= rs.length * 5e-5, s"$from: psum=$psum")
+      val tot = rs.map(_._3).sum
+      rs.foreach { case (_, to, n, p) =>
+        assert(math.abs(p - n.toDouble / tot) <= 5e-5, s"$from->$to")
+      }
+    }
+    // Σ n = Σ_users (events_u - 1): every event but each user's last
+    // contributes exactly one transition
+    val expected = events.groupBy(_._1).values.map(_.size.toLong - 1L).sum
+    assert(rows.map(_._3).sum === expected)
+  }
 }
