@@ -233,6 +233,11 @@ package object functions {
   def phash64(payload: Column): Column =
     Shims.column(PHash64(Shims.expression(payload)))
 
+  /** Shannon entropy of a binary payload in bits/byte ([[ByteEntropy]]):
+    * the content-corruption probe for opaque media columns. */
+  def byte_entropy(payload: Column): Column =
+    Shims.column(ByteEntropy(Shims.expression(payload)))
+
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

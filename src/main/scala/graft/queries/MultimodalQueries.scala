@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{hamming64, phash64}
+import graft.functions.{byte_entropy, hamming64, phash64}
 
 /**
  * Multimodal-column plumbing (SURVEY.md §2j): opaque `binary` payloads +
@@ -99,6 +99,37 @@ object MultimodalQueries {
           col("planted_pair_found"), col("neg_rejected"))
     }),
 
+    // --- byte-entropy media quality gate: Shannon bits/byte of every
+    // payload via the codegen'd [[graft.functions.ByteEntropy]]
+    // expression — the content-corruption probe (truncated/padded
+    // media → 0, encrypted/bit-rot → 8, structured content in
+    // between). Pure per-row map over the scan (no shuffle, O(256)
+    // state) + one bounded agg. Planted controls make the gate bite:
+    // a constant payload must score ~0, an exact 0..255 uniform
+    // payload ~8, and the corpus text payloads must land strictly
+    // between — thresholds the driver checks through literal-TRUE
+    // flags (the histogram logs aren't SQL-expressible).
+    "q_media_entropy" -> ((s, d) => {
+      import s.implicits._
+      val planted = Seq(
+        (9300001L, Array.fill(256)(65.toByte)),
+        (9300002L, Array.tabulate(256)(_.toByte))).toDF("media_id", "payload")
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .unionAll(planted)
+      media.select(col("media_id"), byte_entropy(col("payload")).as("h"))
+        .agg(count(lit(1)).as("n_media"),
+          min(when(col("media_id") === 9300001L, col("h"))).as("h_const"),
+          min(when(col("media_id") === 9300002L, col("h"))).as("h_uni"),
+          min(when(col("media_id") < 9300000L, col("h"))).as("h_min"),
+          max(when(col("media_id") < 9300000L, col("h"))).as("h_max"))
+        .select(col("n_media"),
+          (abs(col("h_const")) < 1e-9).as("const_zero_ok"),
+          (abs(col("h_uni") - 8.0) < 1e-9).as("uniform_max_ok"),
+          (col("h_min") > 0.5 && col("h_max") < 7.5).as("corpus_between_ok"))
+    }),
+
     // binary payload plumbing: byte sizes aggregate (✦ oracle)
     "q_binary_payloads" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -129,6 +160,13 @@ object MultimodalQueries {
       """SELECT 'ahash' AS method, 3 AS max_hamming,
         |  count(*) + 3 AS n_media, true AS blocking_complete,
         |  true AS planted_pair_found, true AS neg_rejected
+        |FROM documents""".stripMargin,
+
+    // guarantee-flag row (the per-payload histogram entropy isn't
+    // SQL-expressible): n_media is real (corpus + 2 planted controls)
+    "q_media_entropy" ->
+      """SELECT count(*) + 2 AS n_media, true AS const_zero_ok,
+        |  true AS uniform_max_ok, true AS corpus_between_ok
         |FROM documents""".stripMargin,
 
     "q_media_decode" ->

@@ -47,4 +47,37 @@ class PHashSpec extends AnyFunSuite {
     assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5),
       s"flags must hold: $r")
   }
+
+  test("byte_entropy: exact landmarks, histogram differential, codegen agreement") {
+    import graft.functions.ByteEntropy
+    // landmarks
+    assert(ByteEntropy.compute(Array.emptyByteArray) == 0.0)
+    assert(math.abs(ByteEntropy.compute(Array.fill(100)(7.toByte))) < 1e-12)
+    assert(math.abs(ByteEntropy.compute(Array.tabulate(256)(_.toByte)) - 8.0) < 1e-12)
+    // two equiprobable symbols → exactly 1 bit
+    assert(math.abs(ByteEntropy.compute(
+      Array.tabulate(64)(i => (i % 2).toByte)) - 1.0) < 1e-12)
+    // independent histogram recompute on every corpus payload
+    def naive(b: Array[Byte]): Double = {
+      if (b.isEmpty) return 0.0
+      b.groupBy(identity).values.map { g =>
+        val p = g.length.toDouble / b.length
+        -p * math.log(p) / math.log(2.0)
+      }.sum
+    }
+    val viaPlan = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.byte_entropy(encode(col("text"), "UTF-8")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDriver = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> naive(r.getString(1).getBytes("UTF-8"))).toMap
+    assert(viaPlan.keySet == viaDriver.keySet)
+    viaPlan.foreach { case (id, h) =>
+      assert(math.abs(h - viaDriver(id)) < 1e-9, s"doc $id: $h vs ${viaDriver(id)}")
+    }
+    // gate row
+    val r = SparkEntry.queries("q_media_entropy")(spark, sf).head()
+    assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3), s"flags: $r")
+  }
 }
