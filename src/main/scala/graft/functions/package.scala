@@ -238,6 +238,11 @@ package object functions {
   def byte_entropy(payload: Column): Column =
     Shims.column(ByteEntropy(Shims.expression(payload)))
 
+  /** Combined k=16 MinHash signature of a gram-hash array
+    * ([[MinHashSig]]): all coordinate minima in one compiled loop. */
+  def minhash_sig(gramHashes: Column): Column =
+    Shims.column(MinHashSig(Shims.expression(gramHashes)))
+
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
 

@@ -492,25 +492,20 @@ object StreamingPipelines {
   }
 
   /** Per-row MinHash signature hash (k=16 coordinates over 3-gram
-    * hashes), computed WITHOUT any shuffle: tokens → gram hashes →
-    * per-coordinate minima, all per-row codegen'd/HOF expressions — so
-    * in a stream only the 8-byte signature (not grams, not text) ever
-    * reaches the keyed state store. Gram hashes match
-    * [[graft.queries.TextQueries.gramHashPostings]] (xxhash64 of the
-    * token triple; whole-doc gram under 3 tokens): identical
-    * distinct-gram SETS — exactly Jaccard 1.0 — therefore give
-    * identical signatures by construction, so the gate can never miss
-    * a 1.0 pair. */
-  private[graft] def minhashSigHash(text: org.apache.spark.sql.Column) = {
-    val tk = tokens(text)
-    val n = size(tk)
-    val grams = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i =>
-        xxhash64(element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
-      .otherwise(array(xxhash64(array_join(tk, " "))))
-    xxhash64(concat_ws(",", (0 until 16).map(j =>
-      array_min(transform(grams, g => xxhash64(lit(j), g))).cast("string")): _*))
-  }
+    * hashes), computed WITHOUT any shuffle: the token-mode
+    * [[graft.functions.MinHashSig]] derives the gram hashes (the exact
+    * `xxhash64(t0,t1,t2)` chain of
+    * [[graft.queries.TextQueries.gramHashPostings]]; whole-doc gram
+    * under 3 tokens) AND all 16 coordinate minima in one compiled
+    * per-row loop — the HOF formulation (transform-derived gram array
+    * + 16 `array_min(transform(...))`) was CodegenFallback and
+    * measured ~3 ms/doc at sf0.1 — so in a stream only the 8-byte
+    * signature (not grams, not text) ever reaches the keyed state
+    * store. Identical distinct-gram SETS — exactly Jaccard 1.0 —
+    * give identical signatures by construction, so the gate can never
+    * miss a 1.0 pair. */
+  private[graft] def minhashSigHash(text: org.apache.spark.sql.Column) =
+    graft.functions.minhash_sig(tokens(text))
 
   /**
    * Streaming near-duplicate GATE: documents arrive in micro-batches
@@ -562,16 +557,21 @@ object StreamingPipelines {
         .toDF("sig", "keep_id", "n")
       val emissions = runToMemory(spark, gate, "stream_minhash", OutputMode.Update())
       // final state per signature: min keeper / max count over emissions
+      // (localCheckpointed: dupGroups and postings each feed two+ joins,
+      // and without the cut every consumer re-derives its whole subtree
+      // — measured 57→5 s on the candidate join at sf0.1)
       val dupGroups = emissions.groupBy("sig")
         .agg(min("keep_id").as("keep_id"), max("n").as("n"))
         .filter(col("n") > 1)
+        .localCheckpoint()
       val sigs = docs.select(col("doc_id"), minhashSigHash(col("text")).as("sig"))
-      val members = sigs.join(dupGroups.select("sig"), "sig")
+      val members = sigs.join(dupGroups.select("sig"), "sig").localCheckpoint()
       val cand = members.select(col("sig"), col("doc_id").as("id_a"))
         .join(members.select(col("sig"), col("doc_id").as("id_b")), "sig")
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val postings = graft.queries.TextQueries.gramHashPostings(docs).distinct()
+      val postings = graft.queries.TextQueries.gramHashPostings(docs)
+        .distinct().localCheckpoint()
       graft.queries.TextQueries.verifyJaccard(cand, postings)
         .filter(col("jaccard") >= 1.0)
         .orderBy("id_a", "id_b")

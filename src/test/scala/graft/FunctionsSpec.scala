@@ -274,4 +274,51 @@ class FunctionsSpec extends AnyFunSuite {
     val bad = expected.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
     assert(bad.isEmpty, s"jaccard mismatches: ${bad.take(5)}")
   }
+
+  test("minhash_sig: pure set function, codegen == driver compute, discriminates") {
+    import graft.functions.MinHashSig
+    val grams = Seq(11L, 42L, 7L, 999L, -3L)
+    def sigOf(xs: Seq[Long]): Long = {
+      val df = Seq(Tuple1(xs.toArray)).toDF("g")
+      df.select(minhash_sig(col("g")).as("s")).head().getLong(0)
+    }
+    val s0 = sigOf(grams)
+    // set semantics: order and multiplicity are invisible
+    assert(sigOf(grams.reverse) === s0)
+    assert(sigOf(grams ++ grams) === s0)
+    // a different set almost surely differs
+    assert(sigOf(grams :+ 123456L) !== s0)
+    assert(sigOf(grams.tail) !== s0)
+    // driver compute (interpreted path) agrees with the plan (codegen)
+    val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(grams.toArray)
+    assert(MinHashSig.compute(ad) === s0)
+    // minima are true coordinate minima (independent recompute)
+    val viaCoord = {
+      val mins = (0 until MinHashSig.K).map(j => grams.map(g => MinHashSig.coord(g, j)).min)
+      // fold as compute does: can't re-derive privately, so just pin
+      // that a singleton's signature changes when the element changes
+      mins
+    }
+    assert(viaCoord.distinct.size > 1)
+    assert(sigOf(Seq(1L)) !== sigOf(Seq(2L)))
+  }
+
+  test("minhash_sig token mode == gram-hash mode over xxhash64 3-gram chain") {
+    // token mode fuses gram hashing (the exact xxhash64(t0,t1,t2) chain)
+    // into the compiled loop; it must agree with hashing done by the SQL
+    // xxhash64 on every corpus document, including <3-token edge cases
+    val docs = Tables.documents(spark, GraftSpark.sf).select("doc_id", "text")
+      .unionAll(Seq((1L, "one two"), (2L, "single"), (3L, ""), (4L, "a b c"))
+        .toDF("doc_id", "text"))
+    val tk = tokens(col("text"))
+    val n = size(tk)
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        xxhash64(element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array(xxhash64(array_join(tk, " "))))
+    val both = docs.select(col("doc_id"),
+      minhash_sig(tk).as("sig_tok"), minhash_sig(grams).as("sig_gram"))
+      .filter(col("sig_tok") =!= col("sig_gram"))
+    assert(both.count() === 0, "token-mode signature diverged from gram-hash mode")
+  }
 }
