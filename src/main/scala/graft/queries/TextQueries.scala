@@ -175,6 +175,50 @@ object TextQueries {
     pairGraphCache.computeIfAbsent((s, d),
       _ => jaccardPairs(s, d).localCheckpoint())
 
+  /** Connected-component labels (node → min-id cluster) over the shared
+    * Jaccard ≥ 0.8 pair graph: iterative min-label propagation to a
+    * fixpoint — the standard distributed CC loop (GraphX/large-star
+    * shape; converges in graph-diameter rounds, and near-dup clusters
+    * are shallow by nature). Each round's join touches only
+    * edges × labels, never documents; labels are checkpointed per round
+    * to keep lineage flat. Cached per (session, sfDir) — cluster
+    * formation (q_dedup_clusters) and canonical selection
+    * (q_cluster_canonical) consume the same labels. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[graft] def ccLabelsShared(s: SparkSession, d: String): DataFrame =
+    ccCache.computeIfAbsent((s, d), _ => {
+      val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
+      val edges = pairs.toDF("a", "b")
+        .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()
+      var labels = pairs.select(col("id_a").as("node"))
+        .union(pairs.select(col("id_b"))).distinct()
+        .withColumn("cluster", col("node")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      // 32 rounds ≈ graph diameter 2^32 under pointer-halving-free
+      // propagation is far beyond any dup cluster; hitting the cap means
+      // a bug, and silently returning half-propagated labels would be a
+      // WRONG answer — fail loudly instead (the oracle would catch it,
+      // but a library user has no oracle).
+      while (!converged && iter < 32) {
+        val nbrMin = edges.join(labels, col("a") === col("node"))
+          .groupBy(col("b").as("n2")).agg(min("cluster").as("nbr_min"))
+        val next = labels.join(nbrMin, col("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("cluster", "prev"), "node")
+          .filter(col("cluster") =!= col("prev")).isEmpty
+        labels = next
+        iter += 1
+      }
+      require(converged,
+        s"dedup-cluster label propagation did not converge in $iter rounds")
+      labels
+    })
+
   /** Positional rolling-window hashes: one 64-bit hash per W-token
     * window with its 1-based start position — the exact-substring-dedup
     * index (windowed twin of [[gramHashPostings]], built the same
@@ -1065,36 +1109,37 @@ object TextQueries {
     // each round's labels are checkpointed to keep lineage flat. The
     // per-round driver action is the convergence test — the same loop a
     // 1000-executor job runs.
-    "q_dedup_clusters" -> ((s, d) => {
-      val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
-      val edges = pairs.toDF("a", "b")
-        .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()
-      var labels = pairs.select(col("id_a").as("node"))
-        .union(pairs.select(col("id_b"))).distinct()
-        .withColumn("cluster", col("node")).localCheckpoint()
-      var converged = false
-      var iter = 0
-      // 32 rounds ≈ graph diameter 2^32 under pointer-halving-free
-      // propagation is far beyond any dup cluster; hitting the cap means
-      // a bug, and silently returning half-propagated labels would be a
-      // WRONG answer — fail loudly instead (the oracle would catch it,
-      // but a library user has no oracle).
-      while (!converged && iter < 32) {
-        val nbrMin = edges.join(labels, col("a") === col("node"))
-          .groupBy(col("b").as("n2")).agg(min("cluster").as("nbr_min"))
-        val next = labels.join(nbrMin, col("node") === col("n2"), "left")
-          .select(col("node"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"))
-          .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("cluster", "prev"), "node")
-          .filter(col("cluster") =!= col("prev")).isEmpty
-        labels = next
-        iter += 1
-      }
-      require(converged, s"dedup-cluster label propagation did not converge in $iter rounds")
-      labels.groupBy(col("cluster").as("cluster_id"))
+    "q_dedup_clusters" -> ((s, d) =>
+      ccLabelsShared(s, d)
+        .groupBy(col("cluster").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
+        .orderBy("cluster_id")),
+
+    // --- cluster-aware canonical selection (2j): the step AFTER
+    // cluster formation — per near-dup cluster keep the most
+    // informative member (max token count, min-id tie-break) rather
+    // than the arbitrary min id, with the dedup-savings accounting
+    // (tokens kept vs dropped) a curation report needs. Argmax is two
+    // bounded HASH aggs (per-cluster max then the tie set's min id) —
+    // never a max_by/struct-min (SortAggregate) and never a per-cluster
+    // sort; members = the shared label relation joined to one bounded
+    // per-doc token count. Everything downstream of the pair graph
+    // touches only cluster members — tiny relative to the corpus.
+    "q_cluster_canonical" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val mem = ccLabelsShared(s, d)
+        .join(tc, col("node") === col("doc_id"))
+        .select(col("cluster").as("cluster_id"), col("node"), col("n_tokens"))
+      val mx = mem.groupBy("cluster_id")
+        .agg(max("n_tokens").as("kept_tokens"), count(lit(1)).as("n_members"),
+          sum("n_tokens").as("tot"))
+      val keep = mem.join(mx.select("cluster_id", "kept_tokens"), "cluster_id")
+        .filter(col("n_tokens") === col("kept_tokens"))
+        .groupBy("cluster_id").agg(min("node").as("keep_id"))
+      mx.join(keep, "cluster_id")
+        .select(col("cluster_id"), col("keep_id"), col("n_members"),
+          col("kept_tokens"), (col("tot") - col("kept_tokens")).as("dropped_tokens"))
         .orderBy("cluster_id")
     }),
 
@@ -1657,5 +1702,40 @@ object TextQueries {
         |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
         |SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
         |FROM (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cluster_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams, len(toks) AS n_tokens
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+        |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        |mem AS (SELECT cluster_id, node, n_tokens
+        |        FROM labels JOIN sh ON node = doc_id),
+        |mx AS (SELECT cluster_id, max(n_tokens) AS kept_tokens,
+        |         count(*) AS n_members, sum(n_tokens) AS tot
+        |       FROM mem GROUP BY 1),
+        |keep AS (SELECT m.cluster_id, min(node) AS keep_id
+        |         FROM mem m JOIN mx USING (cluster_id)
+        |         WHERE n_tokens = kept_tokens GROUP BY 1)
+        |SELECT cluster_id, keep_id, n_members, kept_tokens,
+        |  (tot - kept_tokens)::BIGINT AS dropped_tokens
+        |FROM mx JOIN keep USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin)
 }
