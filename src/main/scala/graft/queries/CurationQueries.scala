@@ -469,6 +469,34 @@ object CurationQueries {
     // no global sort, no shuffle of the corpus itself beyond the final
     // per-language count. 100 TB shape: two hash aggs + a broadcast
     // join; the gate keeps resampling deterministic under retries.
+    // --- corpus datasheet (2j): the per-(lang, source) dataset card a
+    // curation run publishes — volume (docs/tokens), exact-dup pressure
+    // (docs vs distinct texts), length profile, short-doc fraction, and
+    // type-token richness. ALL per-doc stats are map-side array ops
+    // (size/array_distinct on the token array — no explode, no
+    // per-doc shuffle); the report itself is two bounded hash aggs on
+    // the (lang, source) key joined together. One corpus scan per agg,
+    // any corpus size.
+    "q_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perDoc = docs.select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq"))
+      val stats = perDoc.groupBy("lang", "source").agg(
+        sum("n_tok").as("total_tokens"),
+        round(avg("n_tok"), 4).as("avg_tokens"),
+        round(avg(when(col("n_tok") < 20, 1.0).otherwise(0.0)), 4)
+          .as("short_frac"),
+        round(avg(when(col("n_tok") > 0,
+          col("n_uniq").cast("double") / col("n_tok").cast("double"))), 4)
+          .as("avg_ttr"))
+      val vol = docs.groupBy("lang", "source").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_texts"))
+      vol.join(stats, Seq("lang", "source"))
+        .orderBy("lang", "source")
+    }),
+
     "q_domain_mix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       // corpus totals ride a window OVER THE PER-LANGUAGE AGGREGATE
@@ -936,6 +964,31 @@ object CurationQueries {
         |  round((w_int / tw::DOUBLE) / (n_docs / tn::DOUBLE), 4) AS boost,
         |  round(w_int / tw::DOUBLE * 1e5)::BIGINT AS epoch_docs
         |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH perdoc AS (
+        |  SELECT lang, source, len(toks) AS n_tok,
+        |    len(list_distinct(toks)) AS n_uniq
+        |  FROM (SELECT lang, source,
+        |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |        FROM documents)),
+        |stats AS (
+        |  SELECT lang, source,
+        |    sum(n_tok)::BIGINT AS total_tokens,
+        |    round(avg(n_tok), 4) AS avg_tokens,
+        |    round(avg(CASE WHEN n_tok < 20 THEN 1.0 ELSE 0.0 END), 4)
+        |      AS short_frac,
+        |    round(avg(CASE WHEN n_tok > 0
+        |                   THEN n_uniq::DOUBLE / n_tok::DOUBLE END), 4) AS avg_ttr
+        |  FROM perdoc GROUP BY 1, 2),
+        |vol AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    count(DISTINCT text) AS n_unique_texts
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, n_unique_texts, total_tokens,
+        |  avg_tokens, short_frac, avg_ttr
+        |FROM vol JOIN stats USING (lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "q_domain_mix" ->
       """WITH tot AS (
