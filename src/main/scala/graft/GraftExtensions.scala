@@ -92,7 +92,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.sketches.CmsInnerProduct(args(0), args(1))),
     ("bloom_ndv",
       info("bloom_ndv", "bloom_ndv(bf) - Swamidass-Baldi distinct-count estimate from the filter's fill ratio"),
-      (args: Seq[Expression]) => graft.sketches.BloomNdv(args(0))))
+      (args: Seq[Expression]) => graft.sketches.BloomNdv(args(0))),
+    ("phash64",
+      info("phash64", "phash64(payload) - 64-bit perceptual average-hash of a binary payload (64-stripe pool)"),
+      (args: Seq[Expression]) => graft.functions.PHash64(args(0))),
+    ("byte_entropy",
+      info("byte_entropy", "byte_entropy(payload) - Shannon entropy of a binary payload in bits/byte"),
+      (args: Seq[Expression]) => graft.functions.ByteEntropy(args(0))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(grams|tokens) - combined k=16 MinHash signature (array<bigint> gram hashes, or array<string> tokens with fused xxhash64 3-gram chain)"),
+      (args: Seq[Expression]) => graft.functions.MinHashSig(args(0))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

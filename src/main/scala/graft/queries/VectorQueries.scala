@@ -426,6 +426,51 @@ object VectorQueries {
       (assigned.localCheckpoint(), cent.localCheckpoint())
     })
 
+  /** Hybrid retrieval fusion (q_hybrid_retrieval / q_rag_e2e): BM25 and
+    * dense-cosine legs each cut to their bounded top-20 FIRST
+    * (TakeOrderedAndProject — never a global sort), ranks fused via
+    * round(1e9/(60+r)) longs so the fused order is engine-exact. */
+  private def rrfFused(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("spark", "join", "vector")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val bm25 = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
+      .withColumn("c_e6", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
+          * lit(1e6)).cast("long"))
+      .groupBy("doc_id").agg(round(sum("c_e6") / lit(1e6), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val sparse = bm25.withColumn("rank_sparse", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_sparse")
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val cos = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
+    val dense = cos.withColumn("rank_dense", row_number()
+        .over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_dense")
+    def rrf(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1e9) / (lit(60) + rank)).cast("long"), lit(0L))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (rrf(col("rank_sparse")) + rrf(col("rank_dense"))).as("rrf_e9"),
+        col("rank_sparse"), col("rank_dense"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // --- hybrid retrieval (2j): reciprocal-rank fusion of the two
@@ -440,46 +485,45 @@ object VectorQueries {
     // fused ordering is exact-integer in both engines. This is the
     // standard RAG retrieval front-end: lexical recall + semantic
     // recall fused without score calibration.
-    "q_hybrid_retrieval" -> ((s, d) => {
+    "q_hybrid_retrieval" -> ((s, d) =>
+      rrfFused(s, d).orderBy(col("rrf_e9").desc, col("doc_id")).limit(10)),
+
+    // --- RAG context assembly, end-to-end (2j): the full retrieval
+    // front-end as ONE declarative plan — hybrid RRF retrieval (top-5
+    // docs) → 64/48 stride chunking of ONLY the retrieved docs → chunk
+    // scoring by query-term hits → top-3 context chunks with their
+    // content md5 (what gets pasted into the prompt). Every stage is
+    // bounded after retrieval: chunking/scoring touch 5 docs however
+    // big the corpus, the rankers are the proven bounded-top-k legs,
+    // and all ordering keys are integers — engine-exact. Catalyst
+    // optimizes across stages (the doc scan feeding BM25 also feeds
+    // chunking; the top-5 set broadcast-semi-joins the corpus).
+    "q_rag_e2e" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val qTerms = Seq("spark", "join", "vector")
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val avgdl = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val tf = toks.filter(col("term").isin(qTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val bm25 = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
-        .crossJoin(broadcast(nDocs)).crossJoin(broadcast(avgdl))
-        .withColumn("c_e6", round(
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))
-            * lit(1e6)).cast("long"))
-        .groupBy("doc_id").agg(round(sum("c_e6") / lit(1e6), 4).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-      val sparse = bm25.withColumn("rank_sparse", row_number()
-          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-        .select("doc_id", "rank_sparse")
-      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"))
-      val cos = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id").as("doc_id"),
-          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
-      val dense = cos.withColumn("rank_dense", row_number()
-          .over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
-        .select("doc_id", "rank_dense")
-      def rrf(rank: org.apache.spark.sql.Column) =
-        coalesce(round(lit(1e9) / (lit(60) + rank)).cast("long"), lit(0L))
-      sparse.join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (rrf(col("rank_sparse")) + rrf(col("rank_dense"))).as("rrf_e9"),
-          col("rank_sparse"), col("rank_dense"))
-        .orderBy(col("rrf_e9").desc, col("doc_id")).limit(10)
+      val top5 = rrfFused(s, d)
+        .orderBy(col("rrf_e9").desc, col("doc_id")).limit(5)
+        .select("doc_id")
+      val toks = Tables.documents(s, d)
+        .join(broadcast(top5), "doc_id")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+      val chunks = toks.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L),
+            greatest(col("n_tok") - 17, lit(0L)), lit(48L))).as("start"))
+        .select(col("doc_id"), (col("start") / 48).cast("long").as("chunk_idx"),
+          slice(col("tk"), (col("start") + 1).cast("int"), lit(64)).as("win"))
+      val scored = chunks.select(col("doc_id"), col("chunk_idx"),
+        size(filter(col("win"),
+          t => t === "spark" || t === "join" || t === "vector"))
+          .cast("long").as("n_hits"),
+        md5(array_join(col("win"), " ")).as("chunk_md5"))
+      scored
+        .orderBy(col("n_hits").desc, col("doc_id"), col("chunk_idx")).limit(3)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_hits").desc, col("doc_id"), col("chunk_idx")))
+          .cast("long"))
+        .select("rank", "doc_id", "chunk_idx", "n_hits", "chunk_md5")
+        .orderBy("rank")
     }),
 
     // --- principal direction by power iteration (2j): the top
@@ -876,6 +920,65 @@ object VectorQueries {
         |  rank_sparse, rank_dense
         |FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id
         |ORDER BY rrf_e9 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_rag_e2e" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |ad AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |          * (tf * 2.2)
+        |          / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl))
+        |          * 1e6)::BIGINT AS c_e6
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), nd, ad),
+        |bm AS (SELECT doc_id, round(sum(c_e6) / 1e6, 4) AS bm25
+        |       FROM contrib GROUP BY doc_id
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |sparse AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_sparse
+        |  FROM bm),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |    round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS cos_sim
+        |  FROM embeddings e,
+        |       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY cos_sim DESC, doc_id LIMIT 20),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_dense
+        |  FROM cs),
+        |fused AS (SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+        |    coalesce(round(1e9 / (60 + rank_sparse))::BIGINT, 0)
+        |      + coalesce(round(1e9 / (60 + rank_dense))::BIGINT, 0) AS rrf_e9
+        |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id),
+        |top5 AS (SELECT doc_id FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 5),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents JOIN top5 USING (doc_id)),
+        |c AS (SELECT doc_id, tk,
+        |    unnest(range(0, greatest(len(tk) - 16, 1)::BIGINT, 48)) AS start
+        |  FROM tk),
+        |scored AS (SELECT doc_id, (start / 48)::BIGINT AS chunk_idx,
+        |    len(list_filter(tk[start + 1 : start + 64],
+        |        t -> list_contains(['spark', 'join', 'vector'], t)))::BIGINT
+        |      AS n_hits,
+        |    md5(array_to_string(tk[start + 1 : start + 64], ' ')) AS chunk_md5
+        |  FROM c),
+        |top3 AS (SELECT * FROM scored
+        |         ORDER BY n_hits DESC, doc_id, chunk_idx LIMIT 3)
+        |SELECT row_number() OVER (ORDER BY n_hits DESC, doc_id, chunk_idx)::BIGINT
+        |    AS rank,
+        |  doc_id, chunk_idx, n_hits, chunk_md5
+        |FROM top3 ORDER BY rank""".stripMargin,
 
     "q_knn_brute" ->
       """SELECT e.vec_id,

@@ -321,4 +321,22 @@ class FunctionsSpec extends AnyFunSuite {
       .filter(col("sig_tok") =!= col("sig_gram"))
     assert(both.count() === 0, "token-mode signature diverged from gram-hash mode")
   }
+
+  test("phash64 / byte_entropy / minhash_sig are registered SQL functions") {
+    val r = spark.sql(
+      """SELECT phash64(cast('aaaabbbb' AS BINARY)) AS ph,
+        |  byte_entropy(cast('aabb' AS BINARY)) AS be,
+        |  minhash_sig(array('a', 'b', 'c', 'd')) AS ms_tok,
+        |  minhash_sig(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS ms_gram
+        |""".stripMargin).head()
+    assert(r.getLong(0) ===
+      graft.functions.PHash64.compute("aaaabbbb".getBytes("UTF-8")))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    val viaCol = Seq("a b c d").toDF("text")
+      .select(minhash_sig(tokens(col("text")))).head().getLong(0)
+    assert(r.getLong(2) === viaCol, "SQL token-mode sig != Column API sig")
+    val viaGram = Seq(Tuple1(Array(1L, 2L))).toDF("g")
+      .select(minhash_sig(col("g"))).head().getLong(0)
+    assert(r.getLong(3) === viaGram)
+  }
 }
