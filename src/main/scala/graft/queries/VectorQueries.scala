@@ -593,6 +593,70 @@ object VectorQueries {
         .orderBy("cid")
     }),
 
+    // --- incremental ANN index maintenance (2j): a delta batch of new
+    // vectors (vec_id ≡ 3 mod 10 — today's embeddings) is folded into
+    // a deployed IVF index WITHOUT retraining: the coarse quantizer
+    // (per-label decimal-exact centroids of the BASE corpus) stays
+    // frozen and each delta vector argmins into its nearest existing
+    // cell — the production index-update path (q_dedup_incremental /
+    // q_zorder_incremental's pattern in the vector lane). At scale the
+    // base inverted lists are the maintained index; only the delta
+    // assignment pass (|delta| × k broadcast distances) is new work —
+    // the base assignment here exists so the oracle can rebuild the
+    // same lists. Per-cell accounting shows where the delta landed.
+    "q_ivf_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id") +: col("label") +:
+          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      val base = emb.filter(col("vec_id") % 10 =!= 3)
+      val delta = emb.filter(col("vec_id") % 10 === 3)
+      val cent = base.groupBy(col("label").as("cid")).agg(
+        count(lit(1)).as("cn"),
+        kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as(s"c$i")): _*)
+      def assign(df: DataFrame) = df
+        .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
+        .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+        .agg(min_by(col("cid"), kmDist).as("asg"))
+      val baseLists = assign(base)
+        .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nb"))
+      val deltaLists = assign(delta)
+        .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nd"))
+      baseLists.join(deltaLists, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nd"), lit(0L)).as("n_delta"))
+        .withColumn("n_total", col("n_base") + col("n_delta"))
+        .orderBy("cid")
+    }),
+
+    // --- embedding distribution drift (2j ○ monitoring): per-label
+    // centroid agreement between the corpus's two id-parity snapshots
+    // (epoch A = even vec_ids, epoch B = odd) — the vector-lane twin of
+    // q_drift_psi. Centroids are decimal-exact per-dim means (bounded
+    // 2k-row agg), the drift statistic is their cosine — 1.0 means the
+    // label's embedding distribution is stable, a drop flags
+    // upstream-model or data drift. All bounded state; one scan.
+    "q_embed_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id") +: col("label") +:
+          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      def cent(df: DataFrame, suffix: String) =
+        df.groupBy(col("label")).agg(
+          count(lit(1)).as(s"n_$suffix"),
+          kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+            / count(lit(1))).as(s"$suffix$i")): _*)
+      val a = cent(emb.filter(col("vec_id") % 2 === 0), "a")
+      val b = cent(emb.filter(col("vec_id") % 2 === 1), "b")
+      val dot = kmDims.map(i => col(s"a$i") * col(s"b$i")).reduce(_ + _)
+      val na = sqrt(kmDims.map(i => col(s"a$i") * col(s"a$i")).reduce(_ + _))
+      val nb = sqrt(kmDims.map(i => col(s"b$i") * col(s"b$i")).reduce(_ + _))
+      a.join(b, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(dot / (na * nb), 4).as("centroid_cos"))
+        .orderBy("label")
+    }),
+
     // --- semantic dedup (SemDeDup shape): within each k-means cluster,
     // the member closest to the centroid becomes the cluster
     // representative (medoid; argmin over (dist, vec_id) structs), and
@@ -853,7 +917,50 @@ object VectorQueries {
        |GROUP BY 1, 2 ORDER BY repx.cid""".stripMargin
   }
 
+  private def ivfIncrementalOracle: String = {
+    val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
+    val cs = kmDims.map(i =>
+      s"sum(x$i::DECIMAL(20,10))::DOUBLE / count(*) AS c$i").mkString(", ")
+    val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
+    val keep = kmDims.map(i => s"x$i").mkString(", ")
+    s"""WITH emb AS (SELECT vec_id, label, $xs FROM embeddings),
+       |base AS (SELECT * FROM emb WHERE vec_id % 10 <> 3),
+       |delta AS (SELECT * FROM emb WHERE vec_id % 10 = 3),
+       |cent AS (SELECT label AS cid, $cs FROM base GROUP BY 1),
+       |ab AS (SELECT vec_id, arg_min(cid, $dist) AS asg
+       |       FROM base CROSS JOIN cent GROUP BY vec_id, $keep),
+       |ad AS (SELECT vec_id, arg_min(cid, $dist) AS asg
+       |       FROM delta CROSS JOIN cent GROUP BY vec_id, $keep),
+       |bl AS (SELECT asg AS cid, count(*) AS n_base FROM ab GROUP BY 1),
+       |dl AS (SELECT asg AS cid, count(*) AS n_delta FROM ad GROUP BY 1)
+       |SELECT coalesce(bl.cid, dl.cid) AS cid,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta,
+       |  coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_total
+       |FROM bl FULL OUTER JOIN dl ON bl.cid = dl.cid
+       |ORDER BY cid""".stripMargin
+  }
+
+  private def embedDriftOracle: String = {
+    val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
+    def cs(p: String) = kmDims.map(i =>
+      s"sum(x$i::DECIMAL(20,10))::DOUBLE / count(*) AS $p$i").mkString(", ")
+    val dot = kmDims.map(i => s"a$i * b$i").mkString(" + ")
+    val na = kmDims.map(i => s"a$i * a$i").mkString(" + ")
+    val nb = kmDims.map(i => s"b$i * b$i").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, label, $xs FROM embeddings),
+       |ca AS (SELECT label, count(*) AS n_a, ${cs("a")}
+       |       FROM emb WHERE vec_id % 2 = 0 GROUP BY 1),
+       |cb AS (SELECT label, count(*) AS n_b, ${cs("b")}
+       |       FROM emb WHERE vec_id % 2 = 1 GROUP BY 1)
+       |SELECT label, n_a, n_b,
+       |  round(($dot) / (sqrt($na) * sqrt($nb)), 4) AS centroid_cos
+       |FROM ca JOIN cb USING (label)
+       |ORDER BY label""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ivf_incremental" -> ivfIncrementalOracle,
+    "q_embed_drift" -> embedDriftOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
 

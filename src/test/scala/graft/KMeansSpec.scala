@@ -121,6 +121,48 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ivf_incremental: counts partition base/delta; frozen-centroid argmin tie-free") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_ivf_incremental")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val emb = Tables.embeddings(spark, sf)
+    val nBase = emb.filter(col("vec_id") % 10 =!= 3).count()
+    val nDelta = emb.filter(col("vec_id") % 10 === 3).count()
+    assert(rows.map(_._2).sum === nBase, "base lists must partition the base set")
+    assert(rows.map(_._3).sum === nDelta, "delta lists must partition the delta")
+    rows.foreach { case (_, nb, nd, nt) => assert(nt === nb + nd) }
+    // tie-free: every vector's distances to the frozen base centroids
+    // are pairwise distinct, so min_by/arg_min agree in both engines
+    val baseVecs = emb.filter(col("vec_id") % 10 =!= 3)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).take(8).map(_.toDouble).toArray))
+    val cents = baseVecs.groupBy(_._1).map { case (l, xs) =>
+      l -> (0 until 8).map { i =>
+        val s = xs.map(v => BigDecimal(v._2(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / xs.length
+      }.toArray
+    }
+    emb.select(col("vec_id"), col("embedding")).collect().foreach { r =>
+      val x = r.getSeq[Float](1).take(8).map(_.toDouble).toArray
+      val ds = cents.values.map(c =>
+        (0 until 8).map(i => (x(i) - c(i)) * (x(i) - c(i))).sum).toSeq
+      assert(ds.distinct.size == ds.size, s"tie at vec ${r.getLong(0)}")
+    }
+  }
+
+  test("q_embed_drift: cosines in [-1,1], snapshots partition each label") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_embed_drift")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val perLabel = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (l, na, nb, c) =>
+      assert(na + nb === perLabel(l), s"label $l snapshots don't partition")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("Lloyd inertia is non-increasing across the unrolled iterations") {
     val (_, inertias, _) = lloyd(vecs, 3)
     inertias.sliding(2).foreach {
