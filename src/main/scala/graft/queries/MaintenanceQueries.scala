@@ -91,6 +91,39 @@ object MaintenanceQueries {
         (col("files_before") === 64 && col("files_after") === 4).as("files_ok"))
     }),
 
+    // --- snapshot diff (table-version changelog derivation): given two
+    // versions of a table, emit the added/removed/modified/unchanged
+    // partition with value-delta accounting — the inverse of
+    // q_cdc_merge (which APPLIES changes, this DERIVES them; the CDF
+    // a lakehouse exposes between versions). One full-outer join on
+    // the key — the only shape that finds adds AND removes in one
+    // pass — then a 4-group hash agg; decimal-exact price deltas. v2
+    // is derived deterministically from v1 (10% bump / delete / added
+    // twin per key class) so the oracle rebuilds both versions.
+    "q_snapshot_diff" -> ((s, d) => {
+      val v1 = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(30,12)").as("p"))
+      val k = col("k")
+      val v2 = v1.filter(k % 10 =!= 1)
+        .select(col("k"), when(k % 10 === 0,
+            (col("p") * 1.1).cast("decimal(30,12)")).otherwise(col("p")).as("p"))
+        .unionAll(v1.filter(k % 10 === 2)
+          .select((col("k") + 100000000L).as("k"), col("p")))
+      v1.select(col("k"), col("p").as("p1"))
+        .join(v2.select(col("k"), col("p").as("p2")), Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("p1").isNull, "added")
+            .when(col("p2").isNull, "removed")
+            .when(col("p1") =!= col("p2"), "modified")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("p2"), lit(0).cast("decimal(30,12)"))
+            - coalesce(col("p1"), lit(0).cast("decimal(30,12)"))), 4)
+            .cast("double").as("price_delta"))
+        .orderBy("change_type")
+    }),
+
     // --- incremental materialized-view maintenance: a materialized
     // aggregate (orders revenue per status × month) is brought current
     // by MERGING the partial aggregate of a late-arriving change batch —
@@ -205,6 +238,28 @@ object MaintenanceQueries {
         |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price,
         |  true AS rows_ok, true AS content_ok, true AS files_ok
         |FROM lineitem""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k, o_totalprice::DECIMAL(30,12) AS p
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 10 = 0 THEN (p * 1.1)::DECIMAL(30,12)
+        |                 ELSE p END AS p
+        |  FROM v1 WHERE k % 10 <> 1
+        |  UNION ALL
+        |  SELECT k + 100000000, p FROM v1 WHERE k % 10 = 2),
+        |diff AS (
+        |  SELECT coalesce(v1.k, v2.k) AS k, v1.p AS p1, v2.p AS p2,
+        |    CASE WHEN v1.p IS NULL THEN 'added'
+        |         WHEN v2.p IS NULL THEN 'removed'
+        |         WHEN v1.p <> v2.p THEN 'modified'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT change_type, count(*) AS n,
+        |  round(sum(coalesce(p2, 0::DECIMAL(30,12))
+        |        - coalesce(p1, 0::DECIMAL(30,12))), 4)::DOUBLE AS price_delta
+        |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mv_incremental" ->
       """WITH lm AS (SELECT date_trunc('month', max(o_orderdate)) AS lm

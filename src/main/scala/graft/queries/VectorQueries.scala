@@ -657,6 +657,28 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // --- embedding outlier detection (2j ○ quality): the 10 vectors
+    // farthest from their OWN label centroid — mislabeled/corrupted
+    // embedding candidates a curation pass reviews (the vector twin of
+    // q_anomaly_mad). Centroids are the bounded decimal-exact agg;
+    // per-vector distance is one broadcast join + codegen'd arithmetic;
+    // the cut is a bounded TakeOrdered on (rounded dist, vec_id) —
+    // engine-exact, no global sort.
+    "q_embed_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(
+        col("vec_id") +: col("label") +:
+          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      val cs = kmDims.map(i =>
+        (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+          / count(lit(1))).as(s"c$i"))
+      val cent = emb.groupBy(col("label")).agg(cs.head, cs.tail: _*)
+      emb.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(kmDist, 4).as("dist_sq"))
+        .orderBy(col("dist_sq").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // --- semantic dedup (SemDeDup shape): within each k-means cluster,
     // the member closest to the centroid becomes the cluster
     // representative (medoid; argmin over (dist, vec_id) structs), and
@@ -958,9 +980,22 @@ object VectorQueries {
        |ORDER BY label""".stripMargin
   }
 
+  private def embedOutliersOracle: String = {
+    val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
+    val cs = kmDims.map(i =>
+      s"sum(x$i::DECIMAL(20,10))::DOUBLE / count(*) AS c$i").mkString(", ")
+    val dist = kmDims.map(i => s"(x$i - c$i) * (x$i - c$i)").mkString(" + ")
+    s"""WITH emb AS (SELECT vec_id, label, $xs FROM embeddings),
+       |cent AS (SELECT label, $cs FROM emb GROUP BY 1)
+       |SELECT vec_id, label, round($dist, 4) AS dist_sq
+       |FROM emb JOIN cent USING (label)
+       |ORDER BY dist_sq DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_ivf_incremental" -> ivfIncrementalOracle,
     "q_embed_drift" -> embedDriftOracle,
+    "q_embed_outliers" -> embedOutliersOracle,
     "q_kmeans" -> kmeansOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
 

@@ -507,6 +507,28 @@ object WarehouseQueries {
       """)
     }),
 
+    // --- SQL session variables + IDENTIFIER clause (Spark 4 SQL
+    // surface): a data-derived threshold lands in a session variable
+    // (DECLARE/SET VAR), the target table name in another, and the
+    // final query is parameterized through IDENTIFIER(var) — the
+    // templated-SQL pattern (dbt-style) without string interpolation
+    // or injection surface. The oracle inlines the threshold as a
+    // scalar subquery; the variable mechanics are engine-side only.
+    "q_sql_variables" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sqlvar")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_price_cut DOUBLE")
+      s.sql("SET VAR graft_price_cut = (SELECT avg(o_totalprice) FROM orders_sqlvar)")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING")
+      s.sql("SET VAR graft_tbl = 'orders_sqlvar'")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n_above,
+               round(avg(o_totalprice) - graft_price_cut, 4) AS avg_excess
+        FROM IDENTIFIER(graft_tbl)
+        WHERE o_totalprice > graft_price_cut
+        GROUP BY 1 ORDER BY 1
+      """)
+    }),
+
     // --- custom UDAF over a window frame: the Welford/Chan typed
     // Aggregator (exact-merge variance) evaluated over a moving 10-row
     // frame, against the built-in var_samp on the same frame — the
@@ -732,6 +754,14 @@ object WarehouseQueries {
       """SELECT o_orderkey AS k, o_orderstatus AS status,
         |  round(o_totalprice, 2) AS price, o_orderkey AS xpath_k
         |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""".stripMargin,
+
+    "q_sql_variables" ->
+      """WITH cut AS (SELECT avg(o_totalprice) AS c FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_above,
+        |  round(avg(o_totalprice) - c, 4) AS avg_excess
+        |FROM orders, cut
+        |WHERE o_totalprice > c
+        |GROUP BY o_orderstatus, c ORDER BY o_orderstatus""".stripMargin,
 
     "q_recursive_cte" ->
       """WITH RECURSIVE months(m, depth) AS (
