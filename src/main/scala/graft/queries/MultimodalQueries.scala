@@ -130,6 +130,50 @@ object MultimodalQueries {
           (col("h_min") > 0.5 && col("h_max") < 7.5).as("corpus_between_ok"))
     }),
 
+    // --- binaryFile source scan (2a, the multimodal INGEST path): a
+    // directory of opaque media files read with Spark's `binaryFile`
+    // format into (path, length, content) — how image/audio corpora
+    // actually enter a 100 TB pipeline before any decode. The fixture
+    // is written EXECUTOR-SIDE (foreachPartition, one file per row of
+    // the id-sampled subset — the layout a crawler leaves), ids are
+    // recovered from filenames, and the gate proves lossless intake:
+    // every file's bytes equal the source payload (exact byte compare
+    // AND phash64 agreement with the in-plan encode — tying the intake
+    // to the perceptual-dedup lane), lengths equal source sizes.
+    "q_binaryfile_scan" -> ((s, d) => {
+      val io = "/tmp/graft_io/binfiles"
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration)
+      val fsRoot = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fsRoot.delete(new org.apache.hadoop.fs.Path(io), true)
+      fsRoot.mkdirs(new org.apache.hadoop.fs.Path(io))
+      val sample = Tables.documents(s, d).filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      sample.repartition(4).foreachPartition {
+        (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val fs = org.apache.hadoop.fs.FileSystem.get(conf.value)
+          rows.foreach { r =>
+            val out = fs.create(new org.apache.hadoop.fs.Path(
+              s"$io/doc_${r.getLong(0)}.bin"), true)
+            out.write(r.getAs[Array[Byte]](1)); out.close()
+          }
+      }
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(io)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+            .as("doc_id"),
+          col("length"), col("content"))
+      files.join(sample, "doc_id")
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("total_bytes"),
+          min(col("content") === col("payload")).as("bytes_ok"),
+          min(graft.functions.phash64(col("content")) ===
+            graft.functions.phash64(col("payload"))).as("phash_ok"),
+          min(col("length") === octet_length(col("payload"))).as("length_ok"))
+    }),
+
     // binary payload plumbing: byte sizes aggregate (✦ oracle)
     "q_binary_payloads" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -161,6 +205,14 @@ object MultimodalQueries {
         |  count(*) + 3 AS n_media, true AS blocking_complete,
         |  true AS planted_pair_found, true AS neg_rejected
         |FROM documents""".stripMargin,
+
+    // intake counts/bytes are data-derived; the byte/phash/length
+    // equality flags are literal TRUE (lossless intake by construction)
+    "q_binaryfile_scan" ->
+      """SELECT count(*) AS n_files,
+        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  true AS bytes_ok, true AS phash_ok, true AS length_ok
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
 
     // guarantee-flag row (the per-payload histogram entropy isn't
     // SQL-expressible): n_media is real (corpus + 2 planted controls)
