@@ -107,6 +107,23 @@ object CurationQueries {
     * weight) RELATION distributed on the bucket key — the LM-perplexity
     * shape — so D scales to fastText's millions unchanged; only the
     * occupied buckets (≤ vocab) materialize as rows. */
+  /** Unicode-normalization constants (q_text_normalize), shared
+    * VERBATIM by the Column expressions and the DuckDB oracle SQL —
+    * escape syntax only (\x{…}/\xHH work in both Java regex and RE2;
+    * no raw control bytes travel through the SQL channel). */
+  private val spaceCls =
+    """\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}"""
+  private val zwCls = """\x{200B}-\x{200D}\x{FEFF}"""
+  private val ctrlCls = """\x00-\x08\x0B\x0C\x0E-\x1F"""
+  private val fwFrom =
+    (('Ａ' to 'Ｚ') ++ ('ａ' to 'ｚ') ++ ('０' to '９')).mkString
+  private val fwTo =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9')).mkString
+  private[graft] val textNormPlanted: Seq[(Long, String)] = Seq(
+    (9400001L, "cafe au lait ​ done "),
+    (9400002L, "ＦＵＬＬ　ＷＩＤＴＨ　１２３"),
+    (9400003L, "badcontrolhere\tok"))
+
   private val qcD = 1L << 22
   private val qcBias = -1L // bias pseudo-bucket, present in every doc
   private val qcSteps = 3
@@ -469,6 +486,36 @@ object CurationQueries {
     // no global sort, no shuffle of the corpus itself beyond the final
     // per-language count. 100 TB shape: two hash aggs + a broadcast
     // join; the gate keeps resampling deterministic under retries.
+    // --- unicode text normalization (2j): the cleanup pass every
+    // multilingual crawl runs before tokenization — fullwidth→ASCII
+    // folding (translate), exotic-space folding, zero-width strip,
+    // control-char strip, whitespace collapse — all codegen'd
+    // translate/regexp_replace, one map-side pass. The regex classes
+    // are shared CONSTANTS interpolated into BOTH engines (escape
+    // syntax, no raw control bytes in SQL), and the planted unicode
+    // batch (NBSP/ideographic space, fullwidth letters, zero-width +
+    // control chars) gives the gate nonzero rows at every scale: the
+    // output is exactly the CHANGED documents with their cleaned text
+    // — the cleanup audit a curation run reviews.
+    "q_text_normalize" -> ((s, d) => {
+      import s.implicits._
+      val planted = textNormPlanted.toDF("doc_id", "text")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(planted)
+      val folded = translate(col("text"), fwFrom, fwTo)
+      val stripped = regexp_replace(regexp_replace(regexp_replace(
+        folded,
+        s"[$spaceCls]", " "),
+        s"[$zwCls]", ""),
+        s"[$ctrlCls]", "")
+      val cleaned = trim(
+        regexp_replace(stripped, "[ \\t\\n\\x0B\\f\\r]+", " "), " ")
+      docs.select(col("doc_id"), col("text"), cleaned.as("cleaned"))
+        .filter(col("cleaned") =!= col("text"))
+        .select(col("doc_id"), col("cleaned"))
+        .orderBy("doc_id")
+    }),
+
     // --- corpus datasheet (2j): the per-(lang, source) dataset card a
     // curation run publishes — volume (docs/tokens), exact-dup pressure
     // (docs vs distinct texts), length profile, short-doc fraction, and
@@ -964,6 +1011,22 @@ object CurationQueries {
         |  round((w_int / tw::DOUBLE) / (n_docs / tn::DOUBLE), 4) AS boost,
         |  round(w_int / tw::DOUBLE * 1e5)::BIGINT AS epoch_docs
         |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    "q_text_normalize" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL ${TextQueries.plantedValuesSql(textNormPlanted)}),
+        |c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      translate(text, '$fwFrom', '$fwTo'),
+        |      '[$spaceCls]', ' ', 'g'),
+        |      '[$zwCls]', '', 'g'),
+        |      '[$ctrlCls]', '', 'g'),
+        |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ') AS cleaned
+        |  FROM all_docs)
+        |SELECT doc_id, cleaned FROM c WHERE cleaned <> text
+        |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_report" ->
       """WITH perdoc AS (
