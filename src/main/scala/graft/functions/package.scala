@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.sketches.{BloomBuildAgg, BloomMergeAgg, BloomMightContain, CmsBuildAgg, CmsEstimate, CmsMergeAgg}
 
@@ -242,6 +242,19 @@ package object functions {
     * ([[MinHashSig]]): all coordinate minima in one compiled loop. */
   def minhash_sig(gramHashes: Column): Column =
     Shims.column(MinHashSig(Shims.expression(gramHashes)))
+
+  /** 1-bit sign quantization: 32 sign bits per Long word, 32× smaller
+    * than float32 ([[VecSignPack32]]); Hamming over the words is the
+    * SRP-LSH angular-distance estimate. */
+  def sign_pack32(a: Column): Column =
+    Shims.column(VecSignPack32(Shims.expression(a)))
+
+  /** Hamming distance between two packed sign-bit word arrays:
+    * sum over words of bit_count(xor). HOF formulation (generic arity);
+    * fixed-dim hot paths inline the per-word form to stay in codegen. */
+  def hamming_words(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast(LongType)),
+      lit(0L), (s, x) => s + x)
 
   /** L2 norm. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))

@@ -806,6 +806,41 @@ object VectorQueries {
     "q_knn_quantized" -> ((s, d) =>
       recallFlag(quantizedTop10(s, d), s, d, floor = 8, method = "int8")),
 
+    // Binary-quantized kNN — the most compressed rung of the
+    // quantization ladder (float32 256 B → int8 64 B → sign bits 8 B,
+    // 32×). Stage 1 scans only the packed sign words: Hamming(sig, qsig)
+    // = XOR + POPCNT per 64-dim vector (the SRP-LSH angular estimate,
+    // E[hamming]/dim = θ/π), shortlists the 32 closest sign patterns;
+    // stage 2 reranks the 32 survivors with the exact float cosine. At
+    // 100 TB stage 1 is bandwidth-bound on 8 B/vector — the whole corpus'
+    // signatures fit where 3% of the floats would — and stage 2 touches
+    // only shortlist×dim floats. Unlike the other ANN rows this one is
+    // hash-exact, not recall-flagged: sign packing is pure integer
+    // construction (32 bits/word, no sign-bit arithmetic), so the oracle
+    // rebuilds bit-identical signatures and both stages' rankings (ties
+    // broken by vec_id on hamming and on the 4-decimal cosine) must
+    // agree exactly across engines.
+    "q_knn_binary" -> ((s, d) => {
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sign_pack32(col("embedding")).as("sig"))
+      val q = sigs.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"), col("embedding").as("qv"))
+      val shortlist = sigs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          (bit_count(element_at(col("sig"), 1)
+              .bitwiseXOR(element_at(col("qsig"), 1))) +
+           bit_count(element_at(col("sig"), 2)
+              .bitwiseXOR(element_at(col("qsig"), 2))))
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(32)
+      shortlist
+        .select(col("vec_id"), col("hamming"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    }),
+
     // Embedding-space near-dup detection, hyperplane-LSH-bucket blocked:
     // candidate pairs share a P-bit bucket in ≥1 of L tables (a shuffle
     // self-equi-join on (table, bucket) — occupied buckets GROW with n,
@@ -1161,6 +1196,34 @@ object VectorQueries {
     "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, true AS recall_ok",
     "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, true AS recall_ok",
     "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, true AS recall_ok",
+
+    // bit-identical signature rebuild: 32 sign bits per word via integer
+    // shifts, Hamming shortlist of 32, exact-cosine rerank — both
+    // rankings tie-broken by vec_id, so the 10 rows hash-match exactly
+    "q_knn_binary" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(32), i -> CASE
+        |      WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+        |      ELSE 0::BIGINT END))::BIGINT AS sig_lo,
+        |    list_sum(list_transform(range(32), i -> CASE
+        |      WHEN embedding[i+33] > 0 THEN (1::BIGINT << i)
+        |      ELSE 0::BIGINT END))::BIGINT AS sig_hi
+        |  FROM embeddings),
+        |q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, embedding AS qv
+        |      FROM sigs WHERE vec_id = 0),
+        |shortlist AS (
+        |  SELECT e.vec_id, e.embedding, q.qv,
+        |    (bit_count(xor(e.sig_lo, q.q_lo)) +
+        |     bit_count(xor(e.sig_hi, q.q_hi)))::INT AS hamming
+        |  FROM sigs e, q WHERE e.vec_id <> 0
+        |  ORDER BY hamming, e.vec_id LIMIT 32)
+        |SELECT vec_id, hamming,
+        |  round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+        |FROM shortlist
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, true AS recall_ok",
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, true AS recall_ok",
 

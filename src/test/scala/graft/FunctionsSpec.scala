@@ -138,6 +138,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diffs === 0L)
   }
 
+  test("sign_pack32: known sign patterns pack to the expected words") {
+    // 5 elements, one word: positives at 0 and 3 -> 0b1001; exact 0.0 is
+    // NOT positive (the sign boundary both engines share)
+    val w1 = one[collection.Seq[Long]](sign_pack32(
+      array(lit(1.0f), lit(-1.0f), lit(0.0f), lit(2.0f), lit(-3.0f))))
+    assert(w1 === Seq(9L))
+    // 33 elements -> two words; position 32 lands at bit 0 of word 1
+    val cols33 = (0 until 33).map(i => lit(if (i == 2 || i == 32) 1.0f else -1.0f))
+    val w2 = one[collection.Seq[Long]](sign_pack32(array(cols33: _*)))
+    assert(w2 === Seq(4L, 1L))
+  }
+
+  test("sign_pack32 hamming == per-position sign-disagreement count on embeddings") {
+    val emb = Tables.embeddings(spark, GraftSpark.sf)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val bad = emb.crossJoin(q)
+      .select(
+        hamming_words(sign_pack32($"embedding"), sign_pack32($"qv")).as("packed"),
+        size(filter(zip_with($"embedding", $"qv",
+          (x, y) => (x > 0.0f) =!= (y > 0.0f)), b => b)).cast("long").as("direct"))
+      .filter($"packed" =!= $"direct").count()
+    assert(bad === 0L)
+  }
+
+  test("sign_pack32 null semantics: null array -> null") {
+    val r = spark.range(1)
+      .select(sign_pack32(lit(null).cast("array<float>")).as("v")).head()
+    assert(r.isNullAt(0))
+  }
+
   test("vec_dot null semantics: mismatched lengths and null arrays -> null") {
     val r = spark.range(1).select(
       vec_dot(array(lit(1.0f), lit(2.0f)), array(lit(1.0f))).as("mismatch"),
