@@ -355,6 +355,49 @@ object SketchQueries {
         .select(col("n_rows"), col("f2_exact"),
           (abs(col("f2_est") - col("f2_exact").cast("double"))
             <= lit(0.5) * col("f2_exact")).as("within_half"))
+    }),
+
+    // DDSketch-shaped quantiles: a log-bucket histogram with γ=2 —
+    // bucket(v) = bit-length of ⌊v⌋, i.e. v ∈ [2^(b−1), 2^b) — answered
+    // by rank-walking the cumulative counts. The state is ≤64 counters
+    // regardless of data size, and (unlike KLL/GK) it is trivially
+    // mergeable by ADDING counters, so at 100 TB the plan is one
+    // map-side-combined hash agg into 64 rows per shard/time-window and
+    // pure arithmetic after; the guarantee is RELATIVE error (the bucket
+    // midpoint is within ×4/3 of any value in the bucket), which is what
+    // latency/price-style long-tailed metrics want — uniform-error
+    // sketches spend their budget on the dense head. Production DDSketch
+    // uses γ=1.02 via float log; γ=2 via exact integer bit-length keeps
+    // both engines' bucketing bit-identical (no libm divergence), so the
+    // whole result — bucket choice, bounds, midpoint estimate — is
+    // hash-exact rather than tolerance-flagged. ⌊·⌋ before the cast is
+    // deliberate: both engines floor doubles exactly, where a fractional
+    // double→int cast truncates in Spark but rounds in DuckDB.
+    "q_ddsketch_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val hist = Tables.lineitem(s, d)
+        .select(length(bin(floor(col("l_extendedprice")).cast("long")))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      // ≤64-row relation: the single-partition cumulative window is
+      // bounded by the sketch width, not the data
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum("cnt").over(w))
+      val total = hist.agg(sum("cnt").as("n"))
+      Seq(0.5, 0.9, 0.99).toDF("q")
+        .crossJoin(broadcast(total))
+        .withColumn("rank", ceil(col("q") * col("n")))
+        .join(broadcast(cum), col("cum") >= col("rank"))
+        .groupBy("q", "rank", "n").agg(min("bucket").cast("int").as("bucket"))
+        .select(col("q"), col("bucket"),
+          expr("shiftleft(1L, bucket - 1)").as("lo_val"),
+          expr("shiftleft(1L, bucket) - 1").as("hi_val"),
+          expr("(shiftleft(1L, bucket - 1) + shiftleft(1L, bucket) - 1) div 2")
+            .as("est_val"),
+          col("rank"), col("n"))
+        .orderBy("q")
     }))
 
   /** Greedy-left dyadic decomposition of [lo, hi]: maximal aligned
@@ -382,6 +425,33 @@ object SketchQueries {
    * deterministic boolean on fixed data.
    */
   val oracleSql: Map[String, String] = Map(
+    // γ=2 bucketing is exact integer bit-length in both engines, so the
+    // full sketch answer (bucket, bounds, midpoint) hash-matches
+    "q_ddsketch_quantiles" ->
+      """WITH hist AS (
+        |  SELECT length(bin(CAST(floor(l_extendedprice) AS BIGINT)))::INT
+        |      AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum
+        |  FROM hist),
+        |tot AS (SELECT sum(cnt)::BIGINT AS n FROM hist),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |picked AS (
+        |  SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank, n,
+        |    min(bucket)::INT AS bucket
+        |  FROM qs, tot, cum
+        |  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |  GROUP BY q, rank, n)
+        |SELECT q, bucket,
+        |  (1::BIGINT << (bucket - 1)) AS lo_val,
+        |  (1::BIGINT << bucket) - 1 AS hi_val,
+        |  ((1::BIGINT << (bucket - 1)) + (1::BIGINT << bucket) - 1) // 2
+        |    AS est_val,
+        |  rank, n
+        |FROM picked ORDER BY q""".stripMargin,
+
     "q_cms_event_counts" ->
       """SELECT event_type, count(*) AS exact, count(*) AS estimate
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

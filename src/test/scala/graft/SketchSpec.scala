@@ -359,4 +359,22 @@ class SketchSpec extends AnyFunSuite {
     assert(one === viaRank.collect().toSeq,
       "bounded heaps must reproduce the full-sort window answer")
   }
+
+  test("ddsketch buckets: the exact rank value lands inside the chosen bucket") {
+    // the γ=2 log-bucket guarantee: the value at rank ⌈q·n⌉ of ⌊price⌋
+    // lies in [2^(b−1), 2^b) for the bucket b the query picks — so the
+    // midpoint estimate is within relative error (γ−1)/(γ+1) = 1/3
+    val picked = graft.queries.SketchQueries
+      .queries("q_ddsketch_quantiles")(spark, GraftSpark.sf)
+      .collect().map(r => (r.getAs[Long]("rank"),
+        r.getAs[Long]("lo_val"), r.getAs[Long]("hi_val")))
+    val sorted = lineitem
+      .select(floor($"l_extendedprice").cast("long").as("v"))
+      .orderBy("v").collect().map(_.getLong(0))
+    picked.foreach { case (rank, lo, hi) =>
+      val v = sorted((rank - 1).toInt)
+      assert(v >= lo && v <= hi,
+        s"rank-$rank value $v escaped bucket [$lo, $hi]")
+    }
+  }
 }
