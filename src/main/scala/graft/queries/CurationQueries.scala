@@ -249,6 +249,41 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Content-addressed takedown (right-to-erasure / DMCA / CSAM-list
+    // removal — the compliance twin of dedup): a notice list of content
+    // fingerprints md5(text) must be scrubbed from the corpus, catching
+    // EVERY copy of the content, not just the noticed doc_id. The
+    // 100 TB plan never joins the full corpus against the list: a Bloom
+    // filter over the notice hashes (two-job pattern, SURVEY §3.3 —
+    // built distributed, re-broadcast as a scan-stage literal predicate)
+    // splits the scan into a no-false-negative fast path (might_contain
+    // = false ⇒ provably not noticed, kept with NO join) and a small
+    // might-contain branch that alone pays the exact anti join to shed
+    // Bloom false positives. Join input shrinks from n_corpus to
+    // n_noticed + fpp·n_corpus rows; the Bloom's size (15 MB per 10⁷
+    // notices at fpp 0.1%) is the broadcast dial. Accounting output
+    // (per-source before/removed/after) is what a deletion-certificate
+    // audit wants, and is exactly SQL-expressible — the Bloom split is
+    // pure optimization, so the oracle is a plain NOT IN.
+    "q_takedown_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), md5(col("text")).as("h"))
+      val notice = Tables.documents(s, d).filter(col("doc_id") % 37 === 3)
+        .select(md5(col("text")).as("nh"))
+      val bf = lit(notice
+        .agg(bloom_agg(col("nh"), 100000L, 0.001).as("bf"))
+        .head().getAs[Array[Byte]]("bf"))
+      val survivors = docs.filter(!bloom_might_contain(bf, col("h")))
+        .unionAll(docs.filter(bloom_might_contain(bf, col("h")))
+          .join(notice, col("h") === col("nh"), "left_anti"))
+      val before = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val after = survivors.groupBy("source").agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("source"), "left")
+        .select(col("source"), col("n_before"),
+          (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_removed"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"))
+        .orderBy("source")
+    }),
+
     // --- END-TO-END curation DAG (round 8 bonus): canonical dedup →
     // language/quality heuristic filter → exact token-budget cutoff →
     // hash-sharding, composed in ONE declarative plan and fully
@@ -873,6 +908,19 @@ object CurationQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the Bloom split is pure optimization (no false negatives; false
+    // positives shed by the exact anti join) — the oracle is plain NOT IN
+    "q_takedown_delete" ->
+      """WITH notice AS (
+        |  SELECT md5(text) AS nh FROM documents WHERE doc_id % 37 = 3),
+        |docs AS (SELECT source, md5(text) AS h FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN h IN (SELECT nh FROM notice) THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_removed,
+        |  sum(CASE WHEN h IN (SELECT nh FROM notice) THEN 0 ELSE 1 END)
+        |    ::BIGINT AS n_after
+        |FROM docs GROUP BY source ORDER BY source""".stripMargin,
+
     "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
 
