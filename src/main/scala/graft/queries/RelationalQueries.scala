@@ -129,6 +129,39 @@ object RelationalQueries {
       .select("o_orderstatus", "o_orderpriority").distinct()
       .orderBy("o_orderstatus", "o_orderpriority")),
 
+    // Contiguous global id assignment (stable row ids for training
+    // examples / surrogate keys), WITHOUT the anti-pattern formulation
+    // row_number() over a global ORDER BY — that window has one
+    // partition, so every row funnels through a single task. The
+    // scalable shape is two-phase: (1) coarse key-range buckets (the
+    // range-partitioner analog; boundary arithmetic from a 1-row max
+    // broadcast), whose ≤32-row count histogram prefix-sums into
+    // per-bucket offsets; (2) row_number PARTITIONED by bucket (parallel
+    // bounded sorts) + broadcast offset join, so stable_id = offset +
+    // local_rank − 1. Same contract as a global sort, cluster-wide
+    // parallelism — the declarative twin of RDD zipWithIndex's
+    // per-partition-counts + offsets trick, but ordered by key. At
+    // 100 TB the bucket count scales with the cluster (it is the
+    // shuffle-partition dial), offsets stay a tiny broadcast.
+    "q_stable_ids" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val bucketed = docs.crossJoin(broadcast(mx))
+        .select(col("doc_id"),
+          expr("doc_id div ((mx + 32) div 32)").as("bucket"))
+      val offsets = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          sum("cnt").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("cnt"))
+        .select("bucket", "off")
+      bucketed.join(broadcast(offsets), "bucket")
+        .withColumn("stable_id",
+          col("off") + row_number().over(
+            Window.partitionBy("bucket").orderBy("doc_id")) - 1)
+        .select("doc_id", "stable_id").orderBy("doc_id")
+    }),
+
     "q_tokenize_wordcount" -> ((s, d) => Tables.documents(s, d)
       .select(explode(graft.functions.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -712,6 +745,13 @@ object RelationalQueries {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY 1, 2""".stripMargin,
+
+    // the bucketed two-phase assignment must equal the naive global
+    // row_number contract exactly
+    "q_stable_ids" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS stable_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_tokenize_wordcount" ->
       """SELECT word, count(*) AS cnt FROM (
