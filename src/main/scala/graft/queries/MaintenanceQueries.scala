@@ -214,6 +214,68 @@ object MaintenanceQueries {
       snap(1).unionAll(snap(2))
         .withColumn("reused_partitions", lit(3))
         .orderBy("version")
+    }),
+
+    // --- snapshot expiry / vacuum (the other half of the Iceberg/Delta
+    // lifecycle q_time_travel opens): three copy-on-write snapshots
+    // share partitions (v2 rewrites p0, v3 rewrites p1), the retention
+    // policy keeps the latest two, and vacuum must delete exactly the
+    // files referenced ONLY by expired snapshots — here v1/p0, since
+    // v1's other three files are still live through v2/v3's manifests.
+    // The reachability math is DataFrame set algebra over the manifest
+    // relations (all-files EXCEPT live-files): at 100 TB manifests are
+    // themselves tables with millions of file entries, and this EXCEPT
+    // is a distributed anti-join; only the final delete list
+    // materializes (bounded — expired files per policy window), exactly
+    // like expire_snapshots planning. The files are then PHYSICALLY
+    // deleted, and the output re-reads both retained snapshots from
+    // their manifests afterwards — proving vacuum removed nothing a
+    // live snapshot reaches (the accounting row would lose rows or the
+    // read would fail outright if it had).
+    "q_vacuum" -> ((s, d) => {
+      import s.implicits._
+      val base = "/tmp/graft_io/vacuum"
+      val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .withColumn("p", (col("o_orderkey") % 4).cast("int"))
+      (0 to 3).foreach { p =>
+        o.filter(col("p") === p).drop("p")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/v1/p$p")
+      }
+      o.filter(col("p") === 0).drop("p")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 16 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v2/p0")
+      o.filter(col("p") === 1).drop("p")
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 16 === 1, col("o_totalprice") * 0.9)
+            .otherwise(col("o_totalprice")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/v3/p1")
+      val manifests: Map[Int, Seq[String]] = Map(
+        1 -> (0 to 3).map(p => s"$base/v1/p$p"),
+        2 -> (s"$base/v2/p0" +: (1 to 3).map(p => s"$base/v1/p$p")),
+        3 -> Seq(s"$base/v2/p0", s"$base/v3/p1", s"$base/v1/p2", s"$base/v1/p3"))
+      val all = manifests.toSeq
+        .flatMap { case (v, paths) => paths.map(v -> _) }
+        .toDF("version", "path")
+      val live = all.filter($"version" >= 2).select("path").distinct()
+      val expired = all.select("path").distinct().except(live)
+      val toDelete = expired.collect().map(_.getString(0)).sorted
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      toDelete.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val nBefore = manifests.values.flatten.toSet.size.toLong
+      val snap = (v: Int) => s.read.parquet(manifests(v): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      snap(2).unionAll(snap(3))
+        .withColumn("n_files_before", lit(nBefore))
+        .withColumn("n_files_deleted", lit(toDelete.length.toLong))
+        .withColumn("n_files_after", lit(nBefore - toDelete.length))
+        .orderBy("version")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -306,6 +368,26 @@ object MaintenanceQueries {
         |    THEN o_totalprice * 1.1 ELSE o_totalprice END)::DECIMAL(30,12)),
         |    4)::DOUBLE,
         |  3
+        |FROM orders
+        |ORDER BY version""".stripMargin,
+
+    // retained snapshots re-read AFTER physical deletion; the file
+    // accounting (6 on disk, 1 expired-only, 5 live) is manifest
+    // reachability arithmetic the oracle states as its contract
+    "q_vacuum" ->
+      """SELECT 2 AS version, count(*) AS n_rows,
+        |  round(sum((CASE WHEN o_orderkey % 16 = 0
+        |    THEN o_totalprice * 1.1 ELSE o_totalprice END)::DECIMAL(30,12)),
+        |    4)::DOUBLE AS sum_price,
+        |  6::BIGINT AS n_files_before, 1::BIGINT AS n_files_deleted,
+        |  5::BIGINT AS n_files_after
+        |FROM orders
+        |UNION ALL
+        |SELECT 3, count(*),
+        |  round(sum((CASE WHEN o_orderkey % 16 = 0 THEN o_totalprice * 1.1
+        |    WHEN o_orderkey % 16 = 1 THEN o_totalprice * 0.9
+        |    ELSE o_totalprice END)::DECIMAL(30,12)), 4)::DOUBLE,
+        |  6::BIGINT, 1::BIGINT, 5::BIGINT
         |FROM orders
         |ORDER BY version""".stripMargin)
 }
