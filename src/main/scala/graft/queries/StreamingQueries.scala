@@ -20,6 +20,8 @@ object StreamingQueries {
     "q_stream_sliding" -> ((s, d) => StreamingPipelines.slidingCounts(s, d)),
     "q_stream_session" -> ((s, d) => StreamingPipelines.sessionCounts(s, d)),
     "q_stream_dedup" -> ((s, d) => StreamingPipelines.streamDedup(s, d)),
+    "q_stream_dedup_wm" -> ((s, d) =>
+      StreamingPipelines.streamDedupWithinWatermark(s, d)),
     "q_stream_bloom" -> ((s, d) => StreamingPipelines.bloomFilteredStream(s, d)),
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
@@ -101,6 +103,14 @@ object StreamingQueries {
     // streaming dropDuplicates(user_id, event_type) == DISTINCT pairs
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // within-watermark dedup: every copy of a (user, type, day) key lies
+    // inside one day < the 3-day delay, so no key expires before its
+    // last copy and the emitted set == exact first-occurrence dedup
+    "q_stream_dedup_wm" ->
+      """SELECT event_type,
+        |  count(DISTINCT (user_id, ts::DATE)) AS n_keys
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // sliding 2-day/1-day windows: each event lands in exactly two

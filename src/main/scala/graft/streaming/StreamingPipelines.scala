@@ -254,6 +254,32 @@ object StreamingPipelines {
       .orderBy("event_type")
   }
 
+  /** Streaming dedup with WATERMARK-BOUNDED state —
+    * dropDuplicatesWithinWatermark on (user_id, event_type, day). Plain
+    * dropDuplicates ([[streamDedup]]) keeps every key seen FOREVER: at
+    * 100 TB/day of events its state store grows without bound and the
+    * pipeline eventually dies on state size. The within-watermark
+    * variant expires a key's state once the event-time watermark passes
+    * it — state is bounded by keys-per-delay-window, the only shape
+    * that survives unbounded key domains — at the documented cost that
+    * a duplicate arriving ≥ delay after its first copy re-emits. The
+    * contract stays deterministic because every copy of a
+    * (user, type, day) key lies within one day while the delay is 3
+    * days, so no live key can expire before its last copy arrives and
+    * the emitted set equals exact first-occurrence dedup; the
+    * eviction-then-re-emission behavior itself is pinned by
+    * WatermarkSpec on a crafted two-batch stream. */
+  def streamDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "3 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+    runToMemory(spark, deduped, "stream_dedup_wm", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("event_type")
+  }
+
   /** Stream filtered by a Bloom filter built from a static table — the
     * reference's signature stream-membership pipeline (stream-static
     * semi-join, approximated sketch-side then made exact). */
