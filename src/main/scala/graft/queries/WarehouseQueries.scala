@@ -327,6 +327,55 @@ object WarehouseQueries {
         .orderBy("check")
     }),
 
+    // --- optimizer-statistics collection (the ANALYZE TABLE .. COMPUTE
+    // STATISTICS FOR COLUMNS analog): per-column ndv / null-count /
+    // min / max over orders in ONE scan pass — every stat is a partial-
+    // aggregatable function, so the plan is a single map-side-combined
+    // agg regardless of table size; there is no per-column re-scan
+    // (stack() melts the 1-row wide agg afterwards, a 0-cost reshape).
+    // These are exactly the stats a CBO feeds on (join reordering wants
+    // ndv, pruning wants min/max, null fractions pick outer-join
+    // strategies). At 100 TB the only swap is exact countDistinct →
+    // HLL (q_approx_distinct pins that path's error contract); min/max/
+    // counts are already constant-state. Values ride in a DOUBLE melt
+    // (dates as epoch-day) with string min/max in separate rows cast
+    // to their lexical rank — kept numeric to keep the melt uniform.
+    "q_analyze_stats" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        countDistinct(col("o_orderkey")).cast("double").as("orderkey_ndv"),
+        countDistinct(col("o_custkey")).cast("double").as("custkey_ndv"),
+        countDistinct(col("o_orderstatus")).cast("double").as("status_ndv"),
+        countDistinct(col("o_orderpriority")).cast("double").as("priority_ndv"),
+        sum(col("o_custkey").isNull.cast("int")).cast("double")
+          .as("custkey_nulls"),
+        round(min(col("o_totalprice")), 4).as("totalprice_min"),
+        round(max(col("o_totalprice")), 4).as("totalprice_max"),
+        unix_date(min(col("o_orderdate")).cast("date")).cast("double")
+          .as("orderdate_min_epochday"),
+        unix_date(max(col("o_orderdate")).cast("date")).cast("double")
+          .as("orderdate_max_epochday"),
+        min(length(col("o_orderpriority"))).cast("double")
+          .as("priority_len_min"),
+        max(length(col("o_orderpriority"))).cast("double")
+          .as("priority_len_max"))
+        .selectExpr("""stack(12,
+          'n_rows', n_rows,
+          'orderkey_ndv', orderkey_ndv,
+          'custkey_ndv', custkey_ndv,
+          'status_ndv', status_ndv,
+          'priority_ndv', priority_ndv,
+          'custkey_nulls', custkey_nulls,
+          'totalprice_min', totalprice_min,
+          'totalprice_max', totalprice_max,
+          'orderdate_min_epochday', orderdate_min_epochday,
+          'orderdate_max_epochday', orderdate_max_epochday,
+          'priority_len_min', priority_len_min,
+          'priority_len_max', priority_len_max) AS (stat, value)""")
+        .orderBy("stat")
+    }),
+
     // --- join-key skew diagnostics: the planning pass that DECIDES
     // salting (q_salted_join is the cure; this is the diagnosis). One
     // per-key hash agg, then only bounded re-aggregates over the key
@@ -667,6 +716,40 @@ object WarehouseQueries {
         |  ('lineitem_discount_out_of_domain', lineitem_discount_out_of_domain),
         |  ('lineitem_orphans', lineitem_orphans)) AS t("check", value)
         |ORDER BY "check"""".stripMargin,
+
+    "q_analyze_stats" ->
+      """WITH w AS (
+        |  SELECT count(*)::DOUBLE AS n_rows,
+        |    count(DISTINCT o_orderkey)::DOUBLE AS orderkey_ndv,
+        |    count(DISTINCT o_custkey)::DOUBLE AS custkey_ndv,
+        |    count(DISTINCT o_orderstatus)::DOUBLE AS status_ndv,
+        |    count(DISTINCT o_orderpriority)::DOUBLE AS priority_ndv,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      AS custkey_nulls,
+        |    round(min(o_totalprice), 4) AS totalprice_min,
+        |    round(max(o_totalprice), 4) AS totalprice_max,
+        |    date_diff('day', DATE '1970-01-01', min(o_orderdate)::DATE)::DOUBLE
+        |      AS orderdate_min_epochday,
+        |    date_diff('day', DATE '1970-01-01', max(o_orderdate)::DATE)::DOUBLE
+        |      AS orderdate_max_epochday,
+        |    min(length(o_orderpriority))::DOUBLE AS priority_len_min,
+        |    max(length(o_orderpriority))::DOUBLE AS priority_len_max
+        |  FROM orders)
+        |SELECT stat, value FROM w,
+        |LATERAL (VALUES
+        |  ('n_rows', n_rows),
+        |  ('orderkey_ndv', orderkey_ndv),
+        |  ('custkey_ndv', custkey_ndv),
+        |  ('status_ndv', status_ndv),
+        |  ('priority_ndv', priority_ndv),
+        |  ('custkey_nulls', custkey_nulls),
+        |  ('totalprice_min', totalprice_min),
+        |  ('totalprice_max', totalprice_max),
+        |  ('orderdate_min_epochday', orderdate_min_epochday),
+        |  ('orderdate_max_epochday', orderdate_max_epochday),
+        |  ('priority_len_min', priority_len_min),
+        |  ('priority_len_max', priority_len_max)) AS t(stat, value)
+        |ORDER BY stat""".stripMargin,
 
     "q_skew_diagnostics" ->
       """WITH counts AS (
