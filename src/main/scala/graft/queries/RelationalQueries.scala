@@ -383,6 +383,30 @@ object RelationalQueries {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
       .orderBy("p_partkey").limit(100)),
 
+    // URL parsing family (parse_url — a native codegen-able Catalyst
+    // expression, the op behind domain filtering / URL dedup / robots
+    // scoping in a web-corpus pipeline). The URLs are synthesized
+    // in-plan from (source, lang, doc_id), which gives the oracle
+    // ground truth BY CONSTRUCTION: DuckDB rebuilds each component from
+    // the same fields instead of re-implementing a URL parser, so any
+    // parse_url misextraction (host bleeding into path, query into
+    // fragment, …) hash-fails. One scan, all six components per row.
+    "q_url_funcs" -> ((s, d) => Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?ref="), col("source"), lit("&page=2#sec"), col("doc_id")))
+      .select(
+        col("doc_id"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref_param"),
+        parse_url(col("url"), lit("REF")).as("frag"))
+      .orderBy("doc_id")),
+
     "q_date_funcs" -> ((s, d) => Tables.events(s, d)
       .select(
         date_trunc("day", col("ts")).cast("date").as("day"),
@@ -909,6 +933,18 @@ object RelationalQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
         |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    // ground truth by construction: components rebuilt from the fields
+    // the URL was synthesized from, not re-parsed
+    "q_url_funcs" ->
+      """SELECT doc_id,
+        |  'https' AS proto,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc/' || doc_id AS path,
+        |  'ref=' || source || '&page=2' AS query,
+        |  source AS ref_param,
+        |  'sec' || doc_id AS frag
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT date_trunc('day', ts)::DATE AS day,
