@@ -243,6 +243,12 @@ package object functions {
   def minhash_sig(gramHashes: Column): Column =
     Shims.column(MinHashSig(Shims.expression(gramHashes)))
 
+  /** Order-8 Hilbert-curve index of an (x, y) cell ([[HilbertIndex8]]):
+    * the locality-optimal clustering key (adjacent d ⇒ adjacent cell —
+    * no Z-order jumps). */
+  def hilbert_index8(x: Column, y: Column): Column =
+    Shims.column(HilbertIndex8(Shims.expression(x), Shims.expression(y)))
+
   /** 1-bit sign quantization: 32 sign bits per Long word, 32× smaller
     * than float32 ([[VecSignPack32]]); Hamming over the words is the
     * SRP-LSH angular-distance estimate. */

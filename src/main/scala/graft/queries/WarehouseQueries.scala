@@ -327,6 +327,36 @@ object WarehouseQueries {
         .orderBy("check")
     }),
 
+    // --- Hilbert-curve layout audit: q_zorder_layout's locality
+    // upgrade. Z-order's curve JUMPS (consecutive z-values can be far
+    // apart in (x,y)), so z-range buckets carry dead bounding-box area;
+    // the Hilbert walk is unit-adjacent at every step — the reason
+    // modern clustering layouts moved from Z-order to Hilbert — giving
+    // tighter per-bucket boxes and better min-max file skipping for the
+    // same bucket count. Same audit shape as the z-order row (range
+    // split over the curve, NO global sort — at 100 TB the bucket id is
+    // the repartition key and each file's box is its skipping
+    // metadata); bbox_area makes the locality win directly comparable
+    // against the z buckets. The codegen'd [[graft.functions
+    // .HilbertIndex8]] runs in the scan stage; the oracle re-walks the
+    // same flip-swap recurrence as an 8-step recursive CTE, so buckets
+    // are hash-checked exactly.
+    "q_hilbert_layout" -> ((s, d) => {
+      val rows = Tables.lineitem(s, d).select(
+        col("l_partkey").bitwiseAND(lit(255L)).as("p8"),
+        col("l_suppkey").bitwiseAND(lit(255L)).as("s8"))
+      rows
+        .withColumn("bucket",
+          shiftright(graft.functions.hilbert_index8(col("p8"), col("s8")), 12))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("p8").as("min_p"), max("p8").as("max_p"),
+          min("s8").as("min_s"), max("s8").as("max_s"))
+        .withColumn("bbox_area",
+          (col("max_p") - col("min_p") + 1) * (col("max_s") - col("min_s") + 1))
+        .orderBy("bucket")
+    }),
+
     // --- optimizer-statistics collection (the ANALYZE TABLE .. COMPUTE
     // STATISTICS FOR COLUMNS analog): per-column ndv / null-count /
     // min / max over orders in ONE scan pass — every stat is a partial-
@@ -716,6 +746,37 @@ object WarehouseQueries {
         |  ('lineitem_discount_out_of_domain', lineitem_discount_out_of_domain),
         |  ('lineitem_orphans', lineitem_orphans)) AS t("check", value)
         |ORDER BY "check"""".stripMargin,
+
+    // the oracle re-walks the xy2d flip-swap recurrence as a recursive
+    // CTE carrying (x, y, d, s) through 8 halvings — two's-complement
+    // BIGINT arithmetic identical to the codegen'd expression
+    "q_hilbert_layout" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT (l_partkey & 255)::BIGINT AS p8,
+        |    (l_suppkey & 255)::BIGINT AS s8, count(*)::BIGINT AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (
+        |  SELECT p8, s8, cnt, p8 AS x, s8 AS y, 0::BIGINT AS d,
+        |    128::BIGINT AS s
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT p8, s8, cnt,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+        |    ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+        |    ELSE y END,
+        |    d + s * s * xor(CASE WHEN (x & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM h WHERE s > 0)
+        |SELECT d >> 12 AS bucket, sum(cnt)::BIGINT AS n_rows,
+        |  min(p8) AS min_p, max(p8) AS max_p,
+        |  min(s8) AS min_s, max(s8) AS max_s,
+        |  (max(p8) - min(p8) + 1) * (max(s8) - min(s8) + 1) AS bbox_area
+        |FROM h WHERE s = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_analyze_stats" ->
       """WITH w AS (
