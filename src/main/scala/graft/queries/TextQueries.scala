@@ -1115,6 +1115,54 @@ object TextQueries {
         .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
         .orderBy("cluster_id")),
 
+    // --- triangle count over the near-dup pair graph — the graph
+    // statistic that separates CLIQUE-like duplicate clusters (every
+    // member pairwise-similar: transitive duplication, safe to collapse
+    // to one canonical) from CHAIN-like ones (a-b-c without a-c:
+    // drifted versions where collapsing loses content). Node-iterator
+    // with DEGREE ORDERING, the standard distributed formulation: every
+    // edge is oriented low≺high by (degree, id), so wedges are
+    // enumerated only from each triangle's smallest-degree vertex —
+    // out-degrees are bounded by O(√m) on any graph, capping the wedge
+    // blow-up a hub vertex causes under naive id-ordering (at 100 TB a
+    // boilerplate-text hub with 10⁶ neighbors would otherwise emit
+    // 10¹² wedges; degree-ordering caps it at its out-neighborhood).
+    // Two self-joins on the bounded pair graph, nothing touches
+    // documents; the oracle counts by plain id-order — any consistent
+    // total order counts each triangle exactly once, so the two
+    // formulations must agree to the row.
+    "q_triangle_count" -> ((s, d) => {
+      val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
+      val deg = pairs.select(col("id_a").as("n"))
+        .unionAll(pairs.select(col("id_b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val oriented = pairs
+        .join(deg.select(col("n").as("id_a"), col("deg").as("da")), "id_a")
+        .join(deg.select(col("n").as("id_b"), col("deg").as("db")), "id_b")
+        .select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("id_a") < col("id_b")),
+            struct(col("id_a").as("u"), col("id_b").as("v"), col("db").as("dv")))
+          .otherwise(
+            struct(col("id_b").as("u"), col("id_a").as("v"), col("da").as("dv")))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+        .localCheckpoint()
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+           (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+        .select(col("e1.v").as("b"), col("e2.v").as("c"))
+      // the wedge has b ≺ c, and oriented stores every edge as u ≺ v —
+      // so the closing edge can only appear as (b, c); one equi-join
+      val tri = wedges
+        .join(oriented.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      nn.crossJoin(ne).crossJoin(tri)
+    }),
+
     // --- cluster-aware canonical selection (2j): the step AFTER
     // cluster formation — per near-dup cluster keep the most
     // informative member (max token count, min-id tie-break) rather
@@ -1678,6 +1726,32 @@ object TextQueries {
         |  tokens_removed, len(tk) - tokens_removed AS n_tokens_after
         |FROM toks t JOIN removed USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // same pair graph; the oracle counts triangles by plain id-order
+    // (a<b<c) — any consistent total order counts each exactly once, so
+    // the degree-ordered engine count must agree to the row
+    "q_triangle_count" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8)
+        |SELECT
+        |  (SELECT count(DISTINCT n) FROM (SELECT id_a AS n FROM pairs
+        |     UNION ALL SELECT id_b FROM pairs))::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM pairs e1
+        |     JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+        |     JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b)
+        |    ::BIGINT AS n_triangles""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
