@@ -22,6 +22,7 @@ object StreamingQueries {
     "q_stream_dedup" -> ((s, d) => StreamingPipelines.streamDedup(s, d)),
     "q_stream_dedup_wm" -> ((s, d) =>
       StreamingPipelines.streamDedupWithinWatermark(s, d)),
+    "q_stream_chained" -> ((s, d) => StreamingPipelines.streamChained(s, d)),
     "q_stream_bloom" -> ((s, d) => StreamingPipelines.bloomFilteredStream(s, d)),
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
@@ -104,6 +105,16 @@ object StreamingQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chained stateful (dedup → windowed count): daily uniques per type,
+    // restricted to windows the 1h-delay watermark provably closed
+    "q_stream_chained" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts)::DATE AS day, event_type,
+        |  count(DISTINCT (user_id, ts::DATE)) AS n_uniques
+        |FROM events
+        |WHERE time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'
+        |  <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // within-watermark dedup: every copy of a (user, type, day) key lies
     // inside one day < the 3-day delay, so no key expires before its

@@ -280,6 +280,37 @@ object StreamingPipelines {
       .orderBy("event_type")
   }
 
+  /** CHAINED stateful operators in one streaming query: dedup (state
+    * #1) feeding a watermarked tumbling-window count (state #2) — the
+    * canonical ingest shape "exactly-once events → daily uniques"
+    * expressed as ONE pipeline instead of dedup-to-storage + a second
+    * job. Multi-stateful chaining needs the engine to propagate the
+    * watermark THROUGH the first operator so the second's windows still
+    * close (late-arrival bounds compose); one checkpoint covers both
+    * state stores, so recovery is atomic across the chain. Append mode
+    * emits only watermark-closed windows — the tail day is withheld, so
+    * the post-stream filter keeps windows provably emitted (end ≤
+    * max_ts − 1h delay), the same determinism technique as
+    * [[sessionCounts]]. The dedup key includes the day, so whichever
+    * physical row survives dedup lands in the same window — the count
+    * per (day, type) is batch-exact regardless of arrival order. */
+  def streamChained(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type", "day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_uniques"))
+    val cutoff = graft.Tables.events(spark, sfDir)
+      .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("cut"))
+    runToMemory(spark, agg, "stream_chained", OutputMode.Append())
+      .crossJoin(broadcast(cutoff))
+      .filter(col("window.end") <= col("cut"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"), col("n_uniques"))
+      .orderBy("day", "event_type")
+  }
+
   /** Stream filtered by a Bloom filter built from a static table — the
     * reference's signature stream-membership pipeline (stream-static
     * semi-join, approximated sketch-side then made exact). */
