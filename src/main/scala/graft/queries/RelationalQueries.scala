@@ -383,6 +383,67 @@ object RelationalQueries {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
       .orderBy("p_partkey").limit(100)),
 
+    // TPC-H Q3 (shipping priority) — the classic sel-fact-fact composite:
+    // a filtered dimension (BUILDING customers, broadcast) semi-drives
+    // two date-filtered fact scans whose join is the only shuffle; the
+    // revenue top-10 rides the rounded value so cross-engine ordering is
+    // exact. The date predicates push to both parquet scans
+    // (PushdownSpec-style PushedFilters), which at 100 TB is the
+    // difference between scanning a month and scanning the table.
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("date"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(col("rev").cast("decimal(30,12)")), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+
+    // TPC-H Q5 (local supplier volume) — the 6-table star with the
+    // c_nationkey = s_nationkey correlation that makes join ORDER the
+    // whole game: region→nation→supplier reduce to a broadcast-sized
+    // supplier subset before any fact is touched, customer broadcasts
+    // against orders, and the single big shuffle is lineitem⋈orders.
+    // A wrong order (facts first, nation correlation last) carries the
+    // full fact join across the cluster to throw 4/5 of it away.
+    "q_tpch_q5" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val custOrd = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(custOrd, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("rev").cast("decimal(30,12)")), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -933,6 +994,30 @@ object RelationalQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
         |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1997-03-15'
+        |  AND l_shipdate > DATE '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     // ground truth by construction: components rebuilt from the fields
     // the URL was synthesized from, not re-parsed
