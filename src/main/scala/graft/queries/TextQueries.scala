@@ -280,6 +280,32 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- positional-index phrase search (the search-engine primitive
+    // behind exact-quote retrieval and contamination span checks): find
+    // every occurrence of a 4-token phrase by joining POSITIONAL
+    // postings — (doc, pos, term) rows match the phrase's (i, term_i)
+    // relation, each match votes for start = pos − i, and a start with
+    // ALL 4 votes is an occurrence. No document re-scan, no substring
+    // pass: candidates are bounded by the phrase terms' posting lists
+    // (a production engine intersects from the rarest term first; the
+    // group-by-(doc, start) count is the same algebra). The probe
+    // phrase is data-derived (doc 0's first 4 tokens) so the oracle
+    // rebuilds it identically; repeated phrase terms are handled
+    // correctly since each i matches at most one pos per start.
+    "q_phrase_search" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text")))
+          .as(Seq("pos", "term")))
+      val phrase = tok.filter(col("doc_id") === 0 && col("pos") < 4)
+        .select(col("pos").as("i"), col("term").as("p"))
+      tok.join(broadcast(phrase), col("term") === col("p"))
+        .select(col("doc_id"), (col("pos") - col("i")).as("start"))
+        .groupBy("doc_id", "start").agg(count(lit(1)).as("k"))
+        .filter(col("k") === 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     // --- custom-Generator trigram statistics (SURVEY.md §2i UDTF): the
     // pos_ngrams Generator streams (pos, gram) windows straight off each
     // document's token array — no per-doc n-gram array materialization
@@ -1725,6 +1751,25 @@ object TextQueries {
         |SELECT t.doc_id, n_ranges, len(tk)::BIGINT AS n_tokens_before,
         |  tokens_removed, len(tk) - tokens_removed AS n_tokens_after
         |FROM toks t JOIN removed USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // phrase rebuilt from doc 0's tokens; occurrences counted by a
+    // direct sliding comparison over each doc's token list
+    "q_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (SELECT toks[1] AS p1, toks[2] AS p2, toks[3] AS p3, toks[4] AS p4
+        |      FROM t WHERE doc_id = 0)
+        |SELECT doc_id,
+        |  len([i FOR i IN range(1, greatest(len(toks) - 2, 1))
+        |       IF toks[i] = p1 AND toks[i+1] = p2
+        |          AND toks[i+2] = p3 AND toks[i+3] = p4])::BIGINT AS n_occ
+        |FROM t, p
+        |WHERE len([i FOR i IN range(1, greatest(len(toks) - 2, 1))
+        |       IF toks[i] = p1 AND toks[i+1] = p2
+        |          AND toks[i+2] = p3 AND toks[i+3] = p4]) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // same pair graph; the oracle counts triangles by plain id-order
