@@ -383,6 +383,30 @@ object RelationalQueries {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
       .orderBy("p_partkey").limit(100)),
 
+    // ANSI null-semantics parity: the behaviors that silently diverge
+    // between engines if either gets them wrong — NULL forms its own
+    // group, count(col) skips NULLs while count(*) doesn't, avg/ndv
+    // ignore NULLs, <=> (IS NOT DISTINCT FROM) treats NULL as equal to
+    // NULL, and NULL ordering is explicit (Spark ASC defaults
+    // NULLS FIRST, DuckDB NULLS LAST — the one line every cross-engine
+    // query must pin). NULLs are injected in-plan by key arithmetic so
+    // both engines build the identical nullable columns.
+    "q_null_semantics" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("ck", when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")))
+        .withColumn("pr", when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_orderpriority")))
+      o.groupBy("pr").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("ck")).as("n_ck_nonnull"),
+          sum(col("ck").isNull.cast("int")).as("n_ck_null"),
+          sum((col("ck") <=> lit(null)).cast("int")).as("n_ck_nullsafe_eq"),
+          countDistinct(col("ck")).as("ck_ndv"),
+          round(avg(col("ck")), 4).as("ck_avg"))
+        .orderBy(asc_nulls_first("pr"))
+    }),
+
     // TPC-H Q3 (shipping priority) — the classic sel-fact-fact composite:
     // a filtered dimension (BUILDING customers, broadcast) semi-drives
     // two date-filtered fact scans whose join is the only shuffle; the
@@ -994,6 +1018,22 @@ object RelationalQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
         |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "q_null_semantics" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |           ELSE o_custkey END AS ck,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |           ELSE o_orderpriority END AS pr
+        |  FROM orders)
+        |SELECT pr, count(*) AS n_rows,
+        |  count(ck) AS n_ck_nonnull,
+        |  sum(CASE WHEN ck IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_ck_null,
+        |  sum(CASE WHEN ck IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_ck_nullsafe_eq,
+        |  count(DISTINCT ck) AS ck_ndv,
+        |  round(avg(ck), 4) AS ck_avg
+        |FROM o GROUP BY pr ORDER BY pr ASC NULLS FIRST""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
