@@ -203,6 +203,24 @@ object SourceQueries {
         min("id").as("min_id"), max("id").as("max_id"))
       .orderBy("cat")),
 
+    // DSv2 AGGREGATE pushdown (2a engine tier, the deepest rung under
+    // filter/column pushdown): COUNT(*)/MIN(id)/MAX(id) GROUP BY cat is
+    // answered by the source COMPLETELY — count of ids ≡ c (mod 7) in
+    // the (filter-tightened) range is closed-form residue arithmetic,
+    // so the "scan" emits 7 result rows and generates NO data rows.
+    // The source-side analogue of answering COUNT from parquet footer
+    // stats. q_dsv2_scan's sum(val) twin is deliberately NOT pushable:
+    // the all-or-nothing API contract rejects that aggregation and
+    // falls back to the row-generating scan — both paths are pinned in
+    // Dsv2SourceSpec, along with pushed-vs-fallback result equality.
+    "q_dsv2_agg_pushdown" -> ((s, _) => s.read.format("graftgen")
+      .option("rows", 100000).option("parts", 8).load()
+      .filter(col("id") >= 250L && col("id") < 99750L)
+      .groupBy("cat")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+        max("id").as("max_id"))
+      .orderBy("cat")),
+
     // DataSource V2 WRITE path (2a engine tier): push a deterministic
     // slice of orders through the `graftmem` connector's transactional
     // protocol — per-partition DataWriters, task commit messages, one
@@ -239,6 +257,12 @@ object SourceQueries {
         |  round(sum(((i * 2654435761) % 1000) / 10.0), 4) AS sum_val,
         |  min(i) AS min_id, max(i) AS max_id
         |FROM generate_series(20000, 79999) AS t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dsv2_agg_pushdown" ->
+      """SELECT 'c' || (i % 7) AS cat, count(*) AS n,
+        |  min(i) AS min_id, max(i) AS max_id
+        |FROM generate_series(250, 99749) AS t(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kll_quantiles" ->

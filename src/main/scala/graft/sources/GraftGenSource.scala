@@ -66,11 +66,15 @@ class GraftGenTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class GraftGenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L            // inclusive
   private var hi = rows          // exclusive
   private var pushed = Array.empty[Filter]
   private var required = GraftGenSource.schema
+  // parsed pushed aggregation: group-by-cat flag + per-agg emitters over
+  // the (cnt, minId, maxId) arithmetic of one residue class / the range
+  private var aggPushed: Option[(Boolean, Seq[String])] = None
 
   /** Range predicates on `id` tighten the generated range itself (the
     * source-level analogue of parquet row-group pruning); everything
@@ -94,7 +98,117 @@ class GraftGenScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftGenScan(lo, hi, parts, required)
+
+  /** COMPLETE aggregate pushdown (`SupportsPushDownAggregates`): for
+    * COUNT(*) / MIN(id) / MAX(id), optionally GROUP BY cat, the answer
+    * is pure residue-class arithmetic over the (already filter-
+    * tightened) id range — count of ids ≡ c (mod 7) in [lo, hi) is a
+    * closed formula — so the "scan" emits ≤7 result rows and never
+    * generates a data row at all. This is the source-side analogue of
+    * answering COUNT from parquet footer statistics: pushdown order is
+    * filters first, then aggregates, so range pruning COMPOSES with the
+    * arithmetic. All-or-nothing per the API contract: any unsupported
+    * agg/group rejects the whole pushdown and Spark falls back to the
+    * row-generating scan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    parseAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    parseAgg(agg) match {
+      case some @ Some(_) => aggPushed = some; true
+      case None => false
+    }
+  }
+
+  private def parseAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Boolean, Seq[String])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression,
+        name: String): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array(name))
+      case _ => false
+    }
+    val byCat = agg.groupByExpressions() match {
+      // global agg over an EMPTY range must yield one row with
+      // count=0 / NULL min-max — SQL semantics the arithmetic emitter
+      // doesn't model (its schema is non-nullable); reject and let the
+      // row-generating scan produce the correct empty-input aggregate
+      case Array() if hi > lo => Some(false)
+      case Array(e) if isCol(e, "cat") => Some(true)
+      case _ => None
+    }
+    val funcs = agg.aggregateExpressions().foldLeft(Option(Seq.empty[String])) {
+      case (Some(acc), _: CountStar) => Some(acc :+ "count")
+      case (Some(acc), m: Min) if isCol(m.column, "id") => Some(acc :+ "min")
+      case (Some(acc), m: Max) if isCol(m.column, "id") => Some(acc :+ "max")
+      case _ => None
+    }
+    for (g <- byCat; f <- funcs if f.nonEmpty) yield (g, f)
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((byCat, funcs)) => new GraftGenAggScan(lo, hi, byCat, funcs)
+    case None => new GraftGenScan(lo, hi, parts, required)
+  }
+}
+
+/** Result "scan" for a completely-pushed aggregation: one partition,
+  * ≤7 rows, all values computed by closed-form residue arithmetic. */
+class GraftGenAggScan(lo: Long, hi: Long, byCat: Boolean, funcs: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    (if (byCat) Seq(StructField("cat", StringType, nullable = false)) else Nil) ++
+      funcs.zipWithIndex.map { case (f, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftGenAggScan(range=[$lo,$hi), groupByCat=$byCat, " +
+      s"aggs=${funcs.mkString(",")}, aggPushed=complete)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftGenPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftGenAggReaderFactory(lo, hi, byCat, funcs)
+}
+
+case class GraftGenAggReaderFactory(lo: Long, hi: Long, byCat: Boolean,
+    funcs: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = {
+        // (cnt, minId, maxId) per emitted group
+        val groups: Seq[(Option[String], (Long, Long, Long))] =
+          if (!byCat) {
+            if (hi > lo) Seq((None, (hi - lo, lo, hi - 1))) else Nil
+          } else {
+            (0L until 7L).flatMap { c =>
+              val minId = lo + (((c - lo % 7) % 7) + 7) % 7
+              val maxId = (hi - 1) - ((((hi - 1) % 7 - c) % 7) + 7) % 7
+              if (minId >= hi || maxId < lo) None
+              else Some((Option(GraftGenSource.catOf(c)),
+                ((maxId - minId) / 7 + 1, minId, maxId)))
+            }.sortBy(_._1.get)
+          }
+        groups.iterator.map { case (cat, (cnt, mn, mx)) =>
+          val aggVals = funcs.map {
+            case "count" => cnt
+            case "min"   => mn
+            case "max"   => mx
+          }
+          InternalRow.fromSeq(
+            (cat.map(UTF8String.fromString).toSeq ++ aggVals).toIndexedSeq)
+        }
+      }
+      override def next(): Boolean = rows.hasNext
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = ()
+    }
 }
 
 class GraftGenScan(lo: Long, hi: Long, parts: Int, required: StructType)

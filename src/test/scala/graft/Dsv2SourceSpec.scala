@@ -138,6 +138,46 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(back.filter(col("tag") === "t2").count() == 100)
   }
 
+  test("graftgen aggregate pushdown: complete, composes with filters, exact") {
+    def gen = spark.read.format("graftgen")
+      .option("rows", 100000).option("parts", 8).load()
+      .filter(col("id") >= 250L && col("id") < 99750L)
+    val pushed = gen.groupBy("cat")
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("cat")
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("aggPushed=complete"),
+      "COUNT/MIN/MAX GROUP BY cat must push completely into the source")
+    assert(!plan.contains("HashAggregate"),
+      "complete pushdown must leave NO Spark-side aggregate")
+    assert(plan.contains("range=[250,99750)"),
+      "filter pushdown must tighten the range BEFORE the aggregation")
+    // fallback twin: min(abs(id)) is not a bare column (and, unlike
+    // id + 0, is not constant-folded back into one), so the
+    // all-or-nothing contract rejects the whole aggregation and the
+    // row-generating scan computes it; abs is the identity on this
+    // non-negative domain — results must agree exactly
+    val fallback = gen.groupBy("cat")
+      .agg(count(lit(1)).as("n"), min(abs(col("id"))).as("min_id"),
+        max(abs(col("id"))).as("max_id"))
+      .orderBy("cat")
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("aggPushed=complete"))
+    assert(pushed.collect().toSeq === fallback.collect().toSeq,
+      "pushed arithmetic must equal the generated-row aggregation")
+  }
+
+  test("graftgen aggregate pushdown: unsupported agg falls back all-or-nothing") {
+    // sum(val) is not pushable, so count/min/max must NOT partially push
+    val df = spark.read.format("graftgen")
+      .option("rows", 1000).option("parts", 2).load()
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("val").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftGenAggScan"))
+    assert(plan.contains("HashAggregate"))
+    assert(df.count() === 7)
+  }
+
   test("graftmem rejects a type-divergent append instead of re-labelling old rows") {
     spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
       .write.format("graftmem").option("table", "spec_ts").mode("overwrite").save()
