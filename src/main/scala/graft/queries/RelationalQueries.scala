@@ -333,6 +333,88 @@ object RelationalQueries {
         max("n_ev").as("max_session_events"))
       .orderBy("user_id")),
 
+    // --- INCREMENTAL sessionization (session stitching): merge a new
+    // event batch into an existing session table WITHOUT re-reading
+    // history. The key algebra: Spark's session_window end = last event
+    // + gap, so "delta session d merges into old session b" is exactly
+    // d.start < b.end — and at most ONE old session per user can reach
+    // past the cutoff (two would have to be ≥ gap apart, pushing the
+    // second's events past the cutoff). So the stitch is: sessionize
+    // the DELTA only, full-outer-join each user's ≤1 boundary session
+    // against its first delta session, merge or keep both, union the
+    // untouched majority through. No cascade is possible (stitching
+    // never moves d1's end, and d2 starts ≥ d1.end). Cost scales with
+    // |delta| + |users touching the boundary|; the history table is
+    // read here only to BUILD the demo's old-session state — a
+    // production pipeline maintains it as a table and pays only the
+    // delta. The oracle is FULL re-sessionization of all events: the
+    // gate proves incremental == from-scratch, the invariant that makes
+    // incremental maintenance trustworthy at 100 TB.
+    "q_session_stitch" -> ((s, d) => {
+      val base = Tables.events(s, d)
+      val cut = base.agg((max("ts") - expr("INTERVAL 7 DAYS")).as("t0"))
+      // the real corpus has NO session spanning the cutoff at gate
+      // scale, which would leave the stitched branch untested — plant a
+      // seam-crossing user (9000001: events 10 min either side of t0,
+      // MUST merge) and a near-miss control (9000002: +45 min, must
+      // NOT), same literal rows in the oracle
+      val planted = cut.select(explode(array(
+          struct(lit(9000001L).as("user_id"),
+            (col("t0") - expr("INTERVAL 10 MINUTES")).as("ts")),
+          struct(lit(9000001L).as("user_id"),
+            (col("t0") + expr("INTERVAL 10 MINUTES")).as("ts")),
+          struct(lit(9000002L).as("user_id"),
+            (col("t0") - expr("INTERVAL 10 MINUTES")).as("ts")),
+          struct(lit(9000002L).as("user_id"),
+            (col("t0") + expr("INTERVAL 45 MINUTES")).as("ts")))).as("r"))
+        .select(col("r.user_id").as("user_id"), col("r.ts").as("ts"))
+      val ev = base.select("user_id", "ts").unionAll(planted)
+      def sessions(df: DataFrame): DataFrame = df
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("session_window.start").as("st"),
+          col("session_window.end").as("en"), col("n_ev"))
+      val hist = sessions(ev.crossJoin(broadcast(cut))
+        .filter(col("ts") < col("t0")).drop("t0"))
+      val delta = sessions(ev.crossJoin(broadcast(cut))
+        .filter(col("ts") >= col("t0")).drop("t0"))
+      val untouched = hist.crossJoin(broadcast(cut))
+        .filter(col("en") < col("t0")).drop("t0")
+      val boundary = hist.crossJoin(broadcast(cut))
+        .filter(col("en") >= col("t0")).drop("t0")
+        .select(col("user_id"), col("st").as("bst"), col("en").as("ben"),
+          col("n_ev").as("bn"))
+      val byStart = Window.partitionBy("user_id").orderBy("st")
+      val dr = delta.withColumn("rn", row_number().over(byStart))
+      val d1 = dr.filter(col("rn") === 1)
+        .select(col("user_id"), col("st").as("dst"), col("en").as("den"),
+          col("n_ev").as("dn"))
+      val dRest = dr.filter(col("rn") > 1).drop("rn")
+      val seam = d1.join(boundary, Seq("user_id"), "full_outer")
+        .localCheckpoint()
+      val stitched = seam
+        .filter(col("dst").isNotNull && col("ben").isNotNull &&
+          col("dst") < col("ben"))
+        .select(col("user_id"), col("bst").as("st"), col("den").as("en"),
+          (col("bn") + col("dn")).as("n_ev"))
+      val soloB = seam
+        .filter(col("ben").isNotNull &&
+          (col("dst").isNull || col("dst") >= col("ben")))
+        .select(col("user_id"), col("bst").as("st"), col("ben").as("en"),
+          col("bn").as("n_ev"))
+      val soloD = seam
+        .filter(col("dst").isNotNull &&
+          (col("ben").isNull || col("dst") >= col("ben")))
+        .select(col("user_id"), col("dst").as("st"), col("den").as("en"),
+          col("dn").as("n_ev"))
+      untouched.unionAll(stitched).unionAll(soloB).unionAll(soloD)
+        .unionAll(dRest)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_ev").as("max_session_events"))
+        .orderBy("user_id")
+    }),
+
     // dynamic-gap session windows (2h advanced): the gap is a per-event
     // EXPRESSION (clicks time out in 30 min, everything else in 60) —
     // session_window's dynamic form. Oracle: interval-merge gaps-and-
@@ -956,6 +1038,34 @@ object RelationalQueries {
         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n_ev FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_ev) AS max_session_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the incremental stitch must equal FULL re-sessionization — same
+    // gaps-and-islands oracle as q_session_window_batch
+    "q_session_stitch" ->
+      """WITH t AS (SELECT max(ts) - INTERVAL 7 DAY AS t0 FROM events),
+        |ev AS (
+        |  SELECT user_id, ts FROM events
+        |  UNION ALL SELECT 9000001, t0 - INTERVAL 10 MINUTE FROM t
+        |  UNION ALL SELECT 9000001, t0 + INTERVAL 10 MINUTE FROM t
+        |  UNION ALL SELECT 9000002, t0 - INTERVAL 10 MINUTE FROM t
+        |  UNION ALL SELECT 9000002, t0 + INTERVAL 45 MINUTE FROM t),
+        |marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |sess AS (
         |  SELECT user_id,
