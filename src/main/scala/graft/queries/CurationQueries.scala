@@ -249,6 +249,37 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // Feature hashing (the "hashing trick" behind fastText /
+    // Vowpal-Wabbit-style linear models): categorical features map into
+    // a FIXED k=64-bucket vector through a hash, with a second hash
+    // choosing a ±1 sign so colliding features cancel in expectation
+    // instead of biasing the bucket. No vocabulary to build, broadcast,
+    // or keep consistent across a 1000-executor cluster — the feature
+    // space is closed-form, which is the whole point at 100 TB (a
+    // vocabulary dictionary is cluster state; a hash is not). Features
+    // here are the doc's (lang, source, length-bucket) categoricals;
+    // output is the per-lang hashed vector — the input representation a
+    // q_quality_classifier-style linear model consumes. Hashes are the
+    // house md5-decimal-digit construction, so DuckDB rebuilds the
+    // exact buckets and signs.
+    "q_feature_hash" -> ((s, d) => {
+      def digits4(tag: String, c: org.apache.spark.sql.Column) =
+        substring(concat(regexp_replace(md5(concat_ws(":", lit(tag), c)),
+          "[a-f]", ""), lit("0000")), 1, 4).cast("int")
+      val feats = Tables.documents(s, d).select(col("lang"), explode(array(
+          concat(lit("lang="), col("lang")),
+          concat(lit("src="), col("source")),
+          concat(lit("len="), (col("n_chars") / 100).cast("int").cast("string"))
+        )).as("feat"))
+      feats.select(col("lang"),
+          (digits4("fhb", col("feat")) % 64).as("bucket"),
+          when(digits4("fhs", col("feat")) % 2 === 0, 1L).otherwise(-1L)
+            .as("sgn"))
+        .groupBy("lang", "bucket")
+        .agg(sum("sgn").as("v"), count(lit(1)).as("n"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Content-addressed takedown (right-to-erasure / DMCA / CSAM-list
     // removal — the compliance twin of dedup): a notice list of content
     // fingerprints md5(text) must be scrubbed from the corpus, catching
@@ -908,6 +939,22 @@ object CurationQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_feature_hash" ->
+      """WITH feats AS (
+        |  SELECT lang, unnest(['lang=' || lang, 'src=' || source,
+        |                       'len=' || (n_chars // 100)]) AS feat
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang,
+        |    substr(regexp_replace(md5('fhb:' || feat), '[a-f]', '', 'g')
+        |      || '0000', 1, 4)::INT % 64 AS bucket,
+        |    CASE WHEN substr(regexp_replace(md5('fhs:' || feat),
+        |        '[a-f]', '', 'g') || '0000', 1, 4)::INT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM feats)
+        |SELECT lang, bucket, sum(sgn)::BIGINT AS v, count(*)::BIGINT AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the Bloom split is pure optimization (no false negatives; false
     // positives shed by the exact anti join) — the oracle is plain NOT IN
     "q_takedown_delete" ->
