@@ -327,6 +327,37 @@ object WarehouseQueries {
         .orderBy("check")
     }),
 
+    // --- winsorization (robust outlier capping — the feature-cleaning
+    // step before scaling/training that q_feature_scale assumes): clip
+    // each group's values at its exact [p05, p95]. Two bounded passes,
+    // no sort of the fact table: per-group exact percentiles (a 3-row
+    // agg) broadcast back onto the scan, clip with greatest/least in
+    // the projection. At 100 TB the only swap is exact percentile →
+    // approx_percentile (same plan shape, error-contracted like
+    // q_approx_quantiles); sums ride the decimal cast so both engines
+    // round identically.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val pct = li.groupBy("l_returnflag").agg(
+        expr("percentile(v, 0.05)").as("p05"),
+        expr("percentile(v, 0.95)").as("p95"))
+      li.join(broadcast(pct), "l_returnflag")
+        .select(col("l_returnflag"), col("v"), col("p05"), col("p95"),
+          greatest(col("p05"), least(col("p95"), col("v"))).as("w"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum((col("v") < col("p05")).cast("int")).as("n_lo"),
+          sum((col("v") > col("p95")).cast("int")).as("n_hi"),
+          round(sum(col("v").cast("decimal(30,12)")), 4).cast("double")
+            .as("sum_raw"),
+          round(sum(col("w").cast("decimal(30,12)")), 4).cast("double")
+            .as("sum_winsorized"),
+          round(min("p05"), 4).as("p05"),
+          round(min("p95"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
     // --- Hilbert-curve layout audit: q_zorder_layout's locality
     // upgrade. Z-order's curve JUMPS (consecutive z-values can be far
     // apart in (x,y)), so z-range buckets carry dead bounding-box area;
@@ -746,6 +777,24 @@ object WarehouseQueries {
         |  ('lineitem_discount_out_of_domain', lineitem_discount_out_of_domain),
         |  ('lineitem_orphans', lineitem_orphans)) AS t("check", value)
         |ORDER BY "check"""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_lo,
+        |  sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_hi,
+        |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_raw,
+        |  round(sum(greatest(p05, least(p95, l_extendedprice))
+        |    ::DECIMAL(30,12)), 4)::DOUBLE AS sum_winsorized,
+        |  round(min(p05), 4) AS p05, round(min(p95), 4) AS p95
+        |FROM lineitem l JOIN pct USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle re-walks the xy2d flip-swap recurrence as a recursive
     // CTE carrying (x, y, d, s) through 8 halvings — two's-complement
