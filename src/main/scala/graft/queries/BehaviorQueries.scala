@@ -24,6 +24,64 @@ object BehaviorQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // --- per-user modal event type: argmax over the per-(user, type)
+    // count histogram as two bounded HASH aggs (max count, then min
+    // type over the tie set) — never max_by/struct-min, whose immutable
+    // agg buffer silently plans a SortAggregate and whose tie choice is
+    // plan-dependent (the q_cluster_canonical rule). At 100 TB this is
+    // two shuffles on user_id over a histogram ≤ |users|×|types|.
+    "q_mode_per_group" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val mx = counts.groupBy("user_id").agg(max("c").as("mode_n"))
+        .withColumnRenamed("user_id", "mu")
+      counts.join(mx,
+          col("user_id") === col("mu") && col("c") === col("mode_n"))
+        .groupBy("user_id", "mode_n")
+        .agg(min("event_type").as("mode_type"))
+        .select(col("user_id"), col("mode_type"), col("mode_n"))
+        .orderBy("user_id")
+    }),
+
+    // --- last-touch attribution: each purchase credits the user's most
+    // recent PRIOR non-purchase event within a 7-day lookback, else
+    // 'direct'. The scalable shape is the union-merge as-of
+    // (q_scd2_lookup's): candidates (tag 0) and purchases (tag 1)
+    // union into ONE stream, one shuffle+sort per user, and
+    // last(ignoreNulls) carries the in-effect (type, ts) forward — no
+    // per-purchase range join, no per-row subquery. The lookback is
+    // enforced AFTER the merge on the carried candidate ts. Equal-ts
+    // ties: candidates sort before purchases (tag), event_id breaks the
+    // rest, mirrored exactly in the oracle's window order.
+    "q_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cands = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("tag"),
+          col("event_type").as("ctype"), col("ts").as("cts"),
+          lit(null).cast("double").as("value"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("tag"),
+          lit(null).cast("string").as("ctype"),
+          lit(null).cast("timestamp").as("cts"), col("value"))
+      val merge = Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cands.unionAll(buys)
+        .withColumn("last_type", last("ctype", ignoreNulls = true).over(merge))
+        .withColumn("last_ts", last("cts", ignoreNulls = true).over(merge))
+        .filter(col("tag") === 1)
+        .select(
+          when(col("last_ts").isNotNull &&
+              col("last_ts") > col("ts") - expr("INTERVAL 7 DAYS"),
+            col("last_type")).otherwise(lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_value"))
+        .orderBy("channel")
+    }),
+
     // --- first-order Markov transition matrix over user event streams:
     // P(next event type | current) — the journey model behind
     // next-action prediction and anomalous-flow detection. Per-user
@@ -377,6 +435,41 @@ object BehaviorQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_mode_per_group" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(c) AS mode_n FROM counts GROUP BY 1)
+        |SELECT user_id, min(event_type) AS mode_type, mode_n
+        |FROM counts JOIN mx USING (user_id)
+        |WHERE c = mode_n
+        |GROUP BY user_id, mode_n ORDER BY user_id""".stripMargin,
+
+    // same union-merge as-of, expressed with IGNORE NULLS windows; the
+    // window order (ts, tag, event_id) is the engine's exactly
+    "q_attribution" ->
+      """WITH merged AS (
+        |  SELECT user_id, ts, event_id, 0 AS tag,
+        |    event_type AS ctype, ts AS cts, NULL::DOUBLE AS value
+        |  FROM events WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, NULL, NULL, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |carried AS (
+        |  SELECT *,
+        |    last_value(ctype IGNORE NULLS) OVER w AS last_type,
+        |    last_value(cts IGNORE NULLS) OVER w AS last_ts
+        |  FROM merged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT CASE WHEN last_ts IS NOT NULL
+        |              AND last_ts > ts - INTERVAL 7 DAY
+        |         THEN last_type ELSE 'direct' END AS channel,
+        |  count(*) AS n_purchases,
+        |  round(sum(value::DECIMAL(30,12)), 4)::DOUBLE AS sum_value
+        |FROM carried WHERE tag = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_markov_transitions" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

@@ -109,6 +109,28 @@ object RelationalQueries {
         r4(expr("regr_intercept(l_extendedprice, l_quantity)")).as("intercept"))
       .orderBy("l_returnflag")),
 
+    // full pairwise correlation matrix of the 4 numeric fact columns in
+    // ONE scan pass — 6 corr() aggregates (each constant-state Welford-
+    // style moments) in a single map-side-combined agg, melted to
+    // (x, y, r) afterwards. The feature-selection / drift-dashboard
+    // staple; at 100 TB it stays one pass regardless of column count
+    // (state is O(pairs), not O(rows)).
+    "q_corr_matrix" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.map { case (a, b) =>
+        r4(corr(a, b)).as(s"${a}__$b")
+      }
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${pairs.size}, $stackArgs) AS (x, y, r)")
+        .orderBy("x", "y")
+    }),
+
     "q_percentile_exact" -> ((s, d) => Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
@@ -919,6 +941,25 @@ object RelationalQueries {
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH w AS (
+        |  SELECT
+        |    round(corr(l_quantity, l_extendedprice), 4) AS c1,
+        |    round(corr(l_quantity, l_discount), 4) AS c2,
+        |    round(corr(l_quantity, l_tax), 4) AS c3,
+        |    round(corr(l_extendedprice, l_discount), 4) AS c4,
+        |    round(corr(l_extendedprice, l_tax), 4) AS c5,
+        |    round(corr(l_discount, l_tax), 4) AS c6
+        |  FROM lineitem)
+        |SELECT x, y, r FROM w, LATERAL (VALUES
+        |  ('l_quantity', 'l_extendedprice', c1),
+        |  ('l_quantity', 'l_discount', c2),
+        |  ('l_quantity', 'l_tax', c3),
+        |  ('l_extendedprice', 'l_discount', c4),
+        |  ('l_extendedprice', 'l_tax', c5),
+        |  ('l_discount', 'l_tax', c6)) AS t(x, y, r)
+        |ORDER BY x, y""".stripMargin,
 
     "q_percentile_exact" ->
       """SELECT l_returnflag,
