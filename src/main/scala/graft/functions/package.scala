@@ -21,6 +21,19 @@ package object functions {
   // Probabilistic sketches (the reference's core — SURVEY.md §2c)
   // ------------------------------------------------------------------
 
+  /** Build a cuckoo filter over a column → BinaryType: the deletable
+    * membership sketch ([[graft.sketches.CuckooBuildAgg]]); m buckets ×
+    * 4 slots of 8-bit fingerprints, merged by re-insertion. */
+  def cuckoo_agg(col: Column, buckets: Int): Column =
+    Shims.column(new graft.sketches.CuckooBuildAgg(
+      Shims.expression(col), Shims.expression(lit(buckets)))
+      .toAggregateExpression())
+
+  /** Codegen'd cuckoo membership probe ([[graft.sketches.CuckooContains]]). */
+  def cuckoo_contains(sketch: Column, value: Column): Column =
+    Shims.column(graft.sketches.CuckooContains(
+      Shims.expression(sketch), Shims.expression(value)))
+
   /** Build a Bloom filter over a column → BinaryType (distributed, mergeable). */
   def bloom_agg(col: Column, expectedItems: Long, fpp: Double): Column =
     Shims.column(BloomBuildAgg(Shims.expression(col),

@@ -357,6 +357,50 @@ object SketchQueries {
             <= lit(0.5) * col("f2_exact")).as("within_half"))
     }),
 
+    // Cuckoo filter — the DELETABLE membership sketch (Fan et al.,
+    // CoNEXT 2014), the capability Bloom fundamentally lacks: a
+    // takedown pipeline maintaining a membership pre-filter
+    // (q_takedown_delete) can remove erased keys WITHOUT rebuilding
+    // over the corpus. Two-job build (SURVEY §3.3) like the Bloom twin;
+    // the probe is codegen'd. The query exercises the full lifecycle:
+    // build over the urgent keys, verify zero false negatives in-plan,
+    // bound the fp rate on a disjoint probe range (≈8/255 design
+    // point), then DELETE the 5 smallest keys (bounded driver list —
+    // the notice-list shape) and verify in-plan that all 5 vanish while
+    // every survivor still answers present (survivor safety is a
+    // theorem: each (bucket-pair, fp) class keeps one copy per
+    // remaining member; CuckooSpec pins the exact class model). The 5
+    // deletions all land because no survivor shares a deleted key's
+    // class on this fixed corpus — the deterministic fact the oracle
+    // row records.
+    "q_cuckoo_filter" -> ((s, d) => {
+      import s.implicits._
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val sk = urgent.agg(cuckoo_agg(col("o_orderkey"), 4096).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      val toDelete = urgent.orderBy("o_orderkey").limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      val sk2 = graft.sketches.CuckooOps.deleteLongs(sk, toDelete)
+      val members = urgent.agg(
+        count(lit(1)).as("n_members"),
+        (sum((!cuckoo_contains(lit(sk), col("o_orderkey"))).cast("int"))
+          === 0).as("all_contained"),
+        (sum(when(col("o_orderkey").isin(toDelete: _*), lit(0))
+          .otherwise((!cuckoo_contains(lit(sk2), col("o_orderkey")))
+            .cast("int"))) === 0).as("survivors_ok"))
+      val mx = urgent.agg(max("o_orderkey")).head().getLong(0)
+      val fpp = s.range(mx + 1, mx + 2001)
+        .agg((sum(cuckoo_contains(lit(sk), col("id")).cast("int"))
+          <= 200).as("fpp_ok"))
+      val gone = toDelete.toDF("k")
+        .agg(sum((!cuckoo_contains(lit(sk2), col("k"))).cast("int"))
+          .cast("long").as("n_gone"))
+      members.crossJoin(fpp).crossJoin(gone)
+        .select(col("n_members"), col("all_contained"), col("fpp_ok"),
+          lit(5L).as("n_deleted"), col("n_gone"), col("survivors_ok"))
+    }),
+
     // DDSketch-shaped quantiles: a log-bucket histogram with γ=2 —
     // bucket(v) = bit-length of ⌊v⌋, i.e. v ∈ [2^(b−1), 2^b) — answered
     // by rank-walking the cumulative counts. The state is ≤64 counters
@@ -425,6 +469,14 @@ object SketchQueries {
    * deterministic boolean on fixed data.
    */
   val oracleSql: Map[String, String] = Map(
+    // lifecycle flags are deterministic on the fixed corpus: no false
+    // negatives (theorem), fpp under the design bound, all 5 deletions
+    // land (no surviving class-sharer), survivors untouched (theorem)
+    "q_cuckoo_filter" ->
+      """SELECT count(*) AS n_members, true AS all_contained, true AS fpp_ok,
+        |  5::BIGINT AS n_deleted, 5::BIGINT AS n_gone, true AS survivors_ok
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
     // γ=2 bucketing is exact integer bit-length in both engines, so the
     // full sketch answer (bucket, bounds, midpoint) hash-matches
     "q_ddsketch_quantiles" ->
