@@ -101,7 +101,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.ByteEntropy(args(0))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(grams|tokens) - combined k=16 MinHash signature (array<bigint> gram hashes, or array<string> tokens with fused xxhash64 3-gram chain)"),
-      (args: Seq[Expression]) => graft.functions.MinHashSig(args(0))))
+      (args: Seq[Expression]) => graft.functions.MinHashSig(args(0))),
+    ("sign_pack32",
+      info("sign_pack32", "sign_pack32(arr) - 1-bit quantization: 32 sign bits per BIGINT word (32x smaller than float32)"),
+      (args: Seq[Expression]) => graft.functions.VecSignPack32(args(0))),
+    ("hilbert_index8",
+      info("hilbert_index8", "hilbert_index8(x, y) - order-8 Hilbert-curve index of an (x, y) cell, the locality-optimal clustering key"),
+      (args: Seq[Expression]) => graft.functions.HilbertIndex8(args(0), args(1))),
+    ("cuckoo_agg",
+      info("cuckoo_agg", "cuckoo_agg(col, buckets) - distributed cuckoo-filter build (deletable membership sketch), returns BINARY"),
+      (args: Seq[Expression]) => new graft.sketches.CuckooBuildAgg(args(0), args(1))
+        .toAggregateExpression()),
+    ("cuckoo_contains",
+      info("cuckoo_contains", "cuckoo_contains(sketch, value) - cuckoo-filter membership probe, no false negatives"),
+      (args: Seq[Expression]) => graft.sketches.CuckooContains(args(0), args(1))))
 }
 
 /** Idempotent runtime registration for pre-built sessions. */

@@ -369,4 +369,21 @@ class FunctionsSpec extends AnyFunSuite {
       .select(minhash_sig(col("g"))).head().getLong(0)
     assert(r.getLong(3) === viaGram)
   }
+
+  test("sign_pack32 / hilbert_index8 / cuckoo_agg+contains are registered SQL functions") {
+    val r = spark.sql(
+      """SELECT sign_pack32(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT))) AS sp,
+        |  hilbert_index8(CAST(3 AS BIGINT), CAST(5 AS BIGINT)) AS hi
+        |""".stripMargin).head()
+    assert(r.getAs[collection.Seq[Long]]("sp") === Seq(1L))
+    val viaCol = spark.range(1)
+      .select(hilbert_index8(lit(3L), lit(5L)).as("h")).head().getLong(0)
+    assert(r.getAs[Long]("hi") === viaCol)
+    val cu = spark.sql(
+      """WITH t AS (SELECT CAST(id AS BIGINT) AS k FROM range(100)),
+        |sk AS (SELECT cuckoo_agg(k, 256) AS s FROM t)
+        |SELECT sum(CAST(NOT cuckoo_contains(s, k) AS INT)) AS misses
+        |FROM t CROSS JOIN sk""".stripMargin).head()
+    assert(cu.getLong(0) === 0L, "SQL-built cuckoo filter lost a member")
+  }
 }
