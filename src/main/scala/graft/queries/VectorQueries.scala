@@ -806,6 +806,46 @@ object VectorQueries {
     "q_knn_quantized" -> ((s, d) =>
       recallFlag(quantizedTop10(s, d), s, d, floor = 8, method = "int8")),
 
+    // Binary-quantized ANN JOIN — q_knn_join's batch-retrieval shape on
+    // q_knn_binary's 8-byte signatures: every query vector broadcasts
+    // its sign words, stage 1 ranks candidates per query by XOR+POPCNT
+    // Hamming (top-8 shortlist, ties by id), stage 2 reranks each
+    // shortlist with the exact cosine (top-3). At 100 TB stage 1 scans
+    // 8 B/candidate/query; the per-query rank partitions by q_id, and
+    // the float vectors are touched only for 8 rows per query.
+    // Hash-exact like the single-query row — the oracle rebuilds the
+    // identical signatures and both ranking stages.
+    "q_knn_binary_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sign_pack32(col("embedding")).as("sig"))
+      val qs = sigs.filter(col("vec_id") % 100 === 7)
+        .select(col("vec_id").as("q_id"), col("sig").as("qsig"),
+          col("embedding").as("qv"))
+      val ham = sigs.filter(col("vec_id") % 100 =!= 7)
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("embedding"),
+          col("qv"),
+          (bit_count(element_at(col("sig"), 1)
+              .bitwiseXOR(element_at(col("qsig"), 1))) +
+           bit_count(element_at(col("sig"), 2)
+              .bitwiseXOR(element_at(col("qsig"), 2))))
+            .cast("int").as("hamming"))
+      val wh = Window.partitionBy("q_id").orderBy(col("hamming"), col("n_id"))
+      val shortlist = ham.withColumn("hrank", row_number().over(wh))
+        .filter(col("hrank") <= 8)
+      val wc = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      shortlist
+        .select(col("q_id"), col("n_id"), col("hamming"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(wc))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "n_id", "hamming", "cos_sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // Binary-quantized kNN — the most compressed rung of the
     // quantization ladder (float32 256 B → int8 64 B → sign bits 8 B,
     // 32×). Stage 1 scans only the packed sign words: Hamming(sig, qsig)
@@ -1196,6 +1236,44 @@ object VectorQueries {
     "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, true AS recall_ok",
     "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, true AS recall_ok",
     "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, true AS recall_ok",
+
+    // batch twin: same bit-identical signatures, per-query Hamming
+    // top-8 then cosine top-3, both rankings tie-broken by id
+    "q_knn_binary_join" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(range(32), i -> CASE
+        |      WHEN embedding[i+1] > 0 THEN (1::BIGINT << i)
+        |      ELSE 0::BIGINT END))::BIGINT AS sig_lo,
+        |    list_sum(list_transform(range(32), i -> CASE
+        |      WHEN embedding[i+33] > 0 THEN (1::BIGINT << i)
+        |      ELSE 0::BIGINT END))::BIGINT AS sig_hi
+        |  FROM embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id, e.embedding,
+        |    q.embedding AS qv,
+        |    (bit_count(xor(e.sig_lo, q.sig_lo)) +
+        |     bit_count(xor(e.sig_hi, q.sig_hi)))::INT AS hamming
+        |  FROM sigs e, sigs q
+        |  WHERE q.vec_id % 100 = 7 AND e.vec_id % 100 <> 7),
+        |shortlist AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY hamming, n_id) AS hrank
+        |  FROM ham),
+        |scored AS (
+        |  SELECT q_id, n_id, hamming,
+        |    round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+        |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+        |  FROM shortlist WHERE hrank <= 8),
+        |ranked AS (
+        |  SELECT q_id, n_id, hamming, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank::INT AS rank, n_id, hamming, cos_sim
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin,
 
     // bit-identical signature rebuild: 32 sign bits per word via integer
     // shifts, Hamming shortlist of 32, exact-cosine rerank — both
