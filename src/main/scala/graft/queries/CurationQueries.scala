@@ -458,6 +458,28 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // --- BPE decode round trip: the property that makes a tokenizer
+    // DEPLOYABLE — decode(encode(x)) == x for every document, verified
+    // in-plan over the whole corpus. Decode is the exact inverse by
+    // construction (merged symbols are the pair's tokens glued with
+    // U+001F, so translate(sym, U+001F, ' ') restores the token
+    // stream); the gate catches any future merge-rule change that
+    // breaks losslessness (e.g. a merge colliding with a literal token
+    // or separator leakage). One join of the shared symbolized corpus
+    // against the normalized originals, two bounded aggs.
+    "q_bpe_roundtrip" -> ((s, d) => {
+      val (_, enc) = bpeRunShared(s, d)
+      val orig = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" "))
+          .as("norm"))
+      orig.join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum((translate(col("s"), "", " ") =!= col("norm"))
+            .cast("int")) === 0).as("lossless"))
+        .orderBy("lang")
+    }),
+
     // --- DSIR-style hashed-ngram importance RESAMPLING (2j, round 7):
     // select generic-corpus docs that look in-domain (English-subset
     // reference) by importance weight in a hashed feature space — the
@@ -970,6 +992,12 @@ object CurationQueries {
 
     "q_bpe_learn" -> bpeLearnOracle,
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    // losslessness is the contract; the oracle pins the doc counts and
+    // the all-true flag the in-plan differential must produce
+    "q_bpe_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, true AS lossless
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // fully stage-by-stage mirrored e2e DAG — same planted batch, same
     // tokenize/filter/budget/shard arithmetic

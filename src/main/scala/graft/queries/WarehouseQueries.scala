@@ -327,6 +327,50 @@ object WarehouseQueries {
         .orderBy("check")
     }),
 
+    // --- data-contract quarantine split (the dead-letter-queue pattern
+    // at the batch layer): every ingest row is checked against the
+    // table's contract — non-negative value, known event type, sane
+    // event-time year, parseable props JSON — and rows violating ANY
+    // rule are quarantined, with per-rule violation accounting (what an
+    // ingest SLO dashboard and the producer-team bug report both need).
+    // All four checks are codegen'd predicates in ONE scan-stage
+    // projection feeding one agg — no per-rule re-scan. The live corpus
+    // is clean, so a deterministic planted batch (one violator per rule
+    // + one clean control, same literals in the oracle) makes every
+    // rule's counter provably able to fire.
+    "q_quarantine_split" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"), col("props"))
+      val planted = Seq(
+        ("2024-01-15 00:00:00", "click", -5.0, """{"k": 1}"""),
+        ("2024-01-15 00:00:00", "hover", 1.0, """{"k": 1}"""),
+        ("1970-01-01 00:00:00", "click", 1.0, """{"k": 1}"""),
+        ("2024-01-15 00:00:00", "click", 1.0, "notjson"),
+        ("2024-01-15 00:00:00", "click", 1.0, """{"k": 1}"""))
+        .toDF("tss", "event_type", "value", "props")
+        .select(to_timestamp(col("tss")).as("ts"), col("event_type"),
+          col("value"), col("props"))
+      base.unionAll(planted)
+        .select(
+          (col("value").isNull || col("value") < 0).as("bad_value"),
+          (!col("event_type").isin("click", "view", "purchase", "signup",
+            "error")).as("bad_type"),
+          (year(col("ts")) < 2020 || year(col("ts")) > 2030).as("bad_ts"),
+          from_json(col("props"), lit("map<string,string>")).isNull
+            .as("bad_json"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum((!col("bad_value") && !col("bad_type") && !col("bad_ts") &&
+            !col("bad_json")).cast("int")).as("n_valid"),
+          sum((col("bad_value") || col("bad_type") || col("bad_ts") ||
+            col("bad_json")).cast("int")).as("n_quarantined"),
+          sum(col("bad_value").cast("int")).as("v_value"),
+          sum(col("bad_type").cast("int")).as("v_type"),
+          sum(col("bad_ts").cast("int")).as("v_ts"),
+          sum(col("bad_json").cast("int")).as("v_json"))
+    }),
+
     // --- winsorization (robust outlier capping — the feature-cleaning
     // step before scaling/training that q_feature_scale assumes): clip
     // each group's values at its exact [p05, p95]. Two bounded passes,
@@ -777,6 +821,38 @@ object WarehouseQueries {
         |  ('lineitem_discount_out_of_domain', lineitem_discount_out_of_domain),
         |  ('lineitem_orphans', lineitem_orphans)) AS t("check", value)
         |ORDER BY "check"""".stripMargin,
+
+    // same planted violators; json validity via json_valid (the Spark
+    // side uses from_json null-on-invalid — equivalent on this domain)
+    "q_quarantine_split" ->
+      """WITH ev AS (
+        |  SELECT ts, event_type, value, props FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (TIMESTAMP '2024-01-15 00:00:00', 'click', -5.0, '{"k": 1}'),
+        |    (TIMESTAMP '2024-01-15 00:00:00', 'hover', 1.0, '{"k": 1}'),
+        |    (TIMESTAMP '1970-01-01 00:00:00', 'click', 1.0, '{"k": 1}'),
+        |    (TIMESTAMP '2024-01-15 00:00:00', 'click', 1.0, 'notjson'),
+        |    (TIMESTAMP '2024-01-15 00:00:00', 'click', 1.0, '{"k": 1}'))
+        |    AS t(ts, event_type, value, props)),
+        |flags AS (
+        |  SELECT
+        |    (value IS NULL OR value < 0) AS bad_value,
+        |    event_type NOT IN ('click', 'view', 'purchase', 'signup',
+        |      'error') AS bad_type,
+        |    (year(ts) < 2020 OR year(ts) > 2030) AS bad_ts,
+        |    NOT json_valid(props) AS bad_json
+        |  FROM ev)
+        |SELECT count(*) AS n_total,
+        |  sum(CASE WHEN NOT bad_value AND NOT bad_type AND NOT bad_ts
+        |        AND NOT bad_json THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+        |  sum(CASE WHEN bad_value OR bad_type OR bad_ts OR bad_json
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_quarantined,
+        |  sum(CASE WHEN bad_value THEN 1 ELSE 0 END)::BIGINT AS v_value,
+        |  sum(CASE WHEN bad_type THEN 1 ELSE 0 END)::BIGINT AS v_type,
+        |  sum(CASE WHEN bad_ts THEN 1 ELSE 0 END)::BIGINT AS v_ts,
+        |  sum(CASE WHEN bad_json THEN 1 ELSE 0 END)::BIGINT AS v_json
+        |FROM flags""".stripMargin,
 
     "q_winsorize" ->
       """WITH pct AS (
