@@ -221,6 +221,34 @@ object SourceQueries {
         max("id").as("max_id"))
       .orderBy("cat")),
 
+    // DSv2 row-level DELETE through the SQL surface (2a engine tier):
+    // the graftmem connector registers in a real TableCatalog
+    // (GraftMemCatalog), and `DELETE FROM cat.t WHERE p` pushes the
+    // whole operation into the connector as metadata (SupportsDelete) —
+    // no Spark job, no rewrite-the-survivors scan. canDeleteWhere is
+    // the honesty gate: only exactly-evaluable predicates are accepted
+    // (a non-translatable predicate errors rather than half-deleting —
+    // pinned in Dsv2SourceSpec). The read-back runs through the SAME
+    // catalog identifier, proving the SQL name and the DataFrame-writer
+    // table are one object; the oracle applies the inverse predicate
+    // to the source rows.
+    "q_dsv2_delete" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 5 === 0)
+        .write.format("graftmem").option("table", "orders_del")
+        .mode("overwrite").save()
+      s.conf.set("spark.sql.catalog.graftmem_cat",
+        "graft.sources.GraftMemCatalog")
+      s.sql("""DELETE FROM graftmem_cat.orders_del
+               WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0""")
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+                 round(sum(CAST(o_totalprice AS DECIMAL(30,12))), 4) AS sum_price
+               FROM graftmem_cat.orders_del
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
     // DataSource V2 WRITE path (2a engine tier): push a deterministic
     // slice of orders through the `graftmem` connector's transactional
     // protocol — per-partition DataWriters, task commit messages, one
@@ -257,6 +285,14 @@ object SourceQueries {
         |  round(sum(((i * 2654435761) % 1000) / 10.0), 4) AS sum_val,
         |  min(i) AS min_id, max(i) AS max_id
         |FROM generate_series(20000, 79999) AS t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dsv2_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0
+        |  AND NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dsv2_agg_pushdown" ->

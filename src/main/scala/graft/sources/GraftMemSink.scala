@@ -95,13 +95,79 @@ object GraftMemStore {
 }
 
 class GraftMemTable(tableName: String, parts: Int)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftmem($tableName)"
   override def schema(): StructType =
     GraftMemStore.tables.get(tableName).map(_.schema).getOrElse(new StructType())
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  // ---- row-level DELETE (SupportsDelete): `DELETE FROM cat.t WHERE p`
+  // plans as a metadata operation pushed WHOLLY into the connector —
+  // no Spark job, no rewrite-the-survivors scan plan. canDeleteWhere is
+  // the honesty gate: only predicates the connector can evaluate
+  // exactly are accepted (else Spark falls back/errors rather than
+  // half-deleting); the delete itself is a compare-and-swap republish
+  // of the filtered snapshot, atomic exactly like a write commit.
+  import org.apache.spark.sql.sources._
+  private def supportedFilter(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: IsNull | _: IsNotNull | _: AlwaysTrue | _: AlwaysFalse => true
+    case And(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Or(l, r) => supportedFilter(l) && supportedFilter(r)
+    case Not(c) => supportedFilter(c)
+    case _ => false
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftMemStore.tables.contains(tableName) && filters.forall(supportedFilter)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Number) => java.lang.Long.compare(x, y.longValue())
+      case (x: Int, y: Number) => java.lang.Long.compare(x.toLong, y.longValue())
+      case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue())
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x: String, y: String) => x.compareTo(y)
+      case _ => throw new IllegalArgumentException(
+        s"graftmem delete: cannot compare $a with $b")
+    }
+    def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+      def v(attr: String): Any = row(schema.fieldIndex(attr))
+      f match {
+        case EqualTo(a, x) => v(a) != null && cmp(v(a), x) == 0
+        case GreaterThan(a, x) => v(a) != null && cmp(v(a), x) > 0
+        case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) >= 0
+        case LessThan(a, x) => v(a) != null && cmp(v(a), x) < 0
+        case LessThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) <= 0
+        case In(a, xs) => v(a) != null && xs.exists(x => cmp(v(a), x) == 0)
+        case IsNull(a) => v(a) == null
+        case IsNotNull(a) => v(a) != null
+        case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
+        case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
+        case Not(c) => !eval(c, schema, row)
+        case _: AlwaysTrue => true
+        case _: AlwaysFalse => false
+        case other => throw new IllegalStateException(
+          s"unreachable: canDeleteWhere admitted $other")
+      }
+    }
+    var done = false
+    while (!done) {
+      done = GraftMemStore.tables.get(tableName) match {
+        case None => throw new IllegalStateException(
+          s"graftmem table $tableName not committed")
+        case Some(prev) =>
+          val kept = prev.rows.filterNot(r =>
+            filters.forall(f => eval(f, prev.schema, r)))
+          GraftMemStore.tables.replace(tableName, prev,
+            GraftMemStore.Committed(prev.schema, kept))
+      }
+    }
+  }
 
   // ---- read path: range-sliced scan over the committed snapshot ----
   // The snapshot is captured ONCE here (at Scan construction) and its
@@ -188,6 +254,54 @@ class GraftMemTable(tableName: String, parts: Int)
         }
       }
     }
+}
+
+/**
+ * Minimal `TableCatalog` over the graftmem registry, so the SQL
+ * row-level surface resolves: set
+ * `spark.sql.catalog.<name> = graft.sources.GraftMemCatalog` and
+ * `DELETE FROM <name>.t WHERE …` / `SELECT … FROM <name>.t` work on
+ * tables committed through the DataFrame writer. Flat namespace (the
+ * registry is flat); alter/rename are unsupported by design.
+ */
+class GraftMemCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table => CatTable, TableChange}
+
+  private var catName = "graftmem_cat"
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catName = name
+  override def name(): String = catName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    GraftMemStore.tables.keys.map(Identifier.of(Array.empty, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftMemStore.tables.contains(ident.name)
+
+  override def loadTable(ident: Identifier): CatTable = {
+    if (!GraftMemStore.tables.contains(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catName, ident.name))
+    new GraftMemTable(ident.name, 4)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): CatTable = {
+    GraftMemStore.tables.putIfAbsent(ident.name,
+      GraftMemStore.Committed(schema, Array.empty))
+    new GraftMemTable(ident.name, 4)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): CatTable =
+    throw new UnsupportedOperationException("graftmem: ALTER not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    GraftMemStore.tables.remove(ident.name).isDefined
+
+  override def renameTable(old: Identifier, next: Identifier): Unit =
+    throw new UnsupportedOperationException("graftmem: RENAME not supported")
 }
 
 /** A planned slice of one committed snapshot: schema + the rows

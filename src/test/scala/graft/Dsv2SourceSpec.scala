@@ -178,6 +178,37 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(df.count() === 7)
   }
 
+  test("graftmem SQL catalog: DELETE pushes into the connector, exact rows") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    spark.range(100).select(col("id"), (col("id") % 10).cast("double").as("v"),
+        concat(lit("t"), (col("id") % 3).cast("string")).as("tag"))
+      .write.format("graftmem").option("table", "spec_del")
+      .mode("overwrite").save()
+    spark.sql("DELETE FROM gm_spec.spec_del WHERE tag = 't0' AND v < 5.0")
+    val back = spark.sql("SELECT * FROM gm_spec.spec_del")
+    // deleted: id % 3 == 0 && id % 10 < 5  → survivors exactly mirror
+    val expected = (0L until 100L)
+      .filterNot(id => id % 3 == 0 && (id % 10).toDouble < 5.0)
+    assert(back.count() === expected.size.toLong)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === expected)
+  }
+
+  test("graftmem DELETE refuses a predicate it cannot evaluate exactly") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    spark.range(10).select(col("id"), col("id").cast("double").as("v"),
+        lit("x").as("tag"))
+      .write.format("graftmem").option("table", "spec_del2")
+      .mode("overwrite").save()
+    // v * 2 > 5 is not v1-Filter-translatable → must error, NOT
+    // half-delete (canDeleteWhere honesty)
+    intercept[Exception] {
+      spark.sql("DELETE FROM gm_spec.spec_del2 WHERE v * 2 > 5.0")
+    }
+    assert(spark.sql("SELECT count(*) FROM gm_spec.spec_del2")
+      .head().getLong(0) === 10L, "a refused delete must change nothing")
+  }
+
   test("graftmem rejects a type-divergent append instead of re-labelling old rows") {
     spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
       .write.format("graftmem").option("table", "spec_ts").mode("overwrite").save()
