@@ -357,6 +357,34 @@ object SketchQueries {
             <= lit(0.5) * col("f2_exact")).as("within_half"))
     }),
 
+    // Time-decayed heavy hitters — the trending-now variant of
+    // q_heavy_hitters: each event contributes weight 2^(−age/half-life)
+    // so last week counts double next week, the standard ops-dashboard
+    // decay. Ages are bucketed to whole half-lives (integer k), and the
+    // weight is built as 1/(1<<k) — an EXACT binary double in both
+    // engines, avoiding pow()'s libm divergence (the same reason the
+    // DDSketch row uses bit-length instead of log). One scan → per-
+    // (type, k) bounded agg → weighted rollup; at 100 TB the decayed
+    // count is maintainable incrementally (multiply the running total
+    // by ½ each half-life, add the new window — the classic trick),
+    // which this bucketed form makes explicit.
+    "q_decayed_topk" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mx = ev.agg(max("ts").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .select(col("event_type"),
+          floor(datediff(col("mx").cast("date"), col("ts").cast("date")) / 7)
+            .cast("int").as("k"))
+        .groupBy("event_type", "k").agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          (col("n") / expr("shiftleft(1L, k)")).as("w"),
+          col("n"))
+        .groupBy("event_type")
+        .agg(round(sum("w"), 4).as("decayed_count"),
+          sum("n").as("raw_count"))
+        .orderBy(col("decayed_count").desc, col("event_type"))
+    }),
+
     // Cuckoo filter — the DELETABLE membership sketch (Fan et al.,
     // CoNEXT 2014), the capability Bloom fundamentally lacks: a
     // takedown pipeline maintaining a membership pre-filter
@@ -469,6 +497,21 @@ object SketchQueries {
    * deterministic boolean on fixed data.
    */
   val oracleSql: Map[String, String] = Map(
+    // dyadic weights (n / 2^k) are exact doubles, so the decayed sums
+    // are order-independent and hash-exact
+    "q_decayed_topk" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    (date_diff('day', ts::DATE, mx::DATE) // 7)::INT AS k,
+        |    count(*)::BIGINT AS n
+        |  FROM events, mx GROUP BY 1, 2)
+        |SELECT event_type,
+        |  round(sum(n::DOUBLE / (1::BIGINT << k)), 4) AS decayed_count,
+        |  sum(n)::BIGINT AS raw_count
+        |FROM b GROUP BY 1
+        |ORDER BY decayed_count DESC, event_type""".stripMargin,
+
     // lifecycle flags are deterministic on the fixed corpus: no false
     // negatives (theorem), fpp under the design bound, all 5 deletions
     // land (no surviving class-sharer), survivors untouched (theorem)

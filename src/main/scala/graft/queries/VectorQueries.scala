@@ -806,6 +806,34 @@ object VectorQueries {
     "q_knn_quantized" -> ((s, d) =>
       recallFlag(quantizedTop10(s, d), s, d, floor = 8, method = "int8")),
 
+    // Matryoshka (prefix-dimension) kNN — the MRL retrieval trick: if
+    // embeddings are trained so information concentrates in the leading
+    // dimensions, stage 1 can rank on the FIRST 16 of 64 dims (4× less
+    // to scan — the cheap filter, same role as the sign bits in
+    // q_knn_binary but keeping float geometry), then stage 2 reranks a
+    // top-32 shortlist with the full-dimension cosine. slice() is exact
+    // and both engines compute the same prefix cosine, so the output is
+    // hash-exact like the other two-stage rows; on this corpus the
+    // prefix carries 1/4 of the (isotropic) signal, so the shortlist is
+    // honest about needing rerank — the deployment dial is the prefix
+    // length, not the plan shape.
+    "q_knn_matryoshka" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, 16).as("head16"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("head16").as("qh"), col("embedding").as("qv"))
+      val shortlist = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          round(cosine_sim(col("head16"), col("qh")), 4).as("head_cos"))
+        .orderBy(col("head_cos").desc, col("vec_id")).limit(32)
+      shortlist
+        .select(col("vec_id"), col("head_cos"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+    }),
+
     // Binary-quantized ANN JOIN — q_knn_join's batch-retrieval shape on
     // q_knn_binary's 8-byte signatures: every query vector broadcasts
     // its sign words, stage 1 ranks candidates per query by XOR+POPCNT
@@ -1236,6 +1264,28 @@ object VectorQueries {
     "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, true AS recall_ok",
     "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, true AS recall_ok",
     "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, true AS recall_ok",
+
+    // prefix-cosine shortlist of 32 (rounded, id ties) then full-dim
+    // rerank — slice and cosine identical in both engines
+    "q_knn_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, embedding[1:16] AS head16
+        |  FROM embeddings),
+        |q AS (SELECT head16 AS qh, embedding AS qv FROM e WHERE vec_id = 0),
+        |shortlist AS (
+        |  SELECT e.vec_id, e.embedding, q.qv,
+        |    round(list_dot_product(e.head16::DOUBLE[], q.qh::DOUBLE[]) /
+        |      (sqrt(list_dot_product(e.head16::DOUBLE[], e.head16::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.qh::DOUBLE[], q.qh::DOUBLE[]))), 4)
+        |      AS head_cos
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY head_cos DESC, e.vec_id LIMIT 32)
+        |SELECT vec_id, head_cos,
+        |  round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
+        |FROM shortlist
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     // batch twin: same bit-identical signatures, per-query Hamming
     // top-8 then cosine top-3, both rankings tie-broken by id
