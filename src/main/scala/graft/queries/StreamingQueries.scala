@@ -23,6 +23,8 @@ object StreamingQueries {
     "q_stream_dedup_wm" -> ((s, d) =>
       StreamingPipelines.streamDedupWithinWatermark(s, d)),
     "q_stream_chained" -> ((s, d) => StreamingPipelines.streamChained(s, d)),
+    "q_stream_dim_refresh" -> ((s, d) =>
+      StreamingPipelines.streamDimRefresh(s, d)),
     "q_stream_bloom" -> ((s, d) => StreamingPipelines.bloomFilteredStream(s, d)),
     "q_stream_static_join" -> ((s, d) => StreamingPipelines.streamStaticJoin(s, d)),
     "q_stream_cms_state" -> ((s, d) => StreamingPipelines.cmsStatefulStream(s, d)),
@@ -105,6 +107,14 @@ object StreamingQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-batch dim refresh: each batch sees exactly the markers of
+    // previously-processed batches → 0+1+2 under ANY order; a cached
+    // static dim would read 0 (the staleness bug the pipeline rules out)
+    "q_stream_dim_refresh" ->
+      """SELECT 3::BIGINT AS n_batches, count(*) AS n_events,
+        |  3::BIGINT AS marks_seen, true AS refresh_ok
+        |FROM events""".stripMargin,
 
     // chained stateful (dedup → windowed count): daily uniques per type,
     // restricted to windows the 1h-delay watermark provably closed

@@ -769,6 +769,67 @@ object StreamingPipelines {
         .cast("double").as("sum_price"))
   }
 
+  /**
+   * Stream-static join with PER-BATCH dimension refresh — the classic
+   * Spark staleness trap made visible: a static DataFrame in a
+   * streaming query pins its file listing at plan time, so a dimension
+   * that changes mid-stream silently serves stale rows forever. The
+   * foreachBatch pattern fixes it: each micro-batch re-reads the
+   * dimension from storage (a FRESH spark.read inside the callback),
+   * joins, and — here — also appends its own marker row, so every batch
+   * observes exactly the markers of previously-processed batches. That
+   * makes the gate ORDER-INDEPENDENT and sharp: over 3 batches the
+   * observed-marker total is 0+1+2 = 3 under any processing order, and
+   * it would be 0 if the dimension were read once and cached (the bug
+   * this pipeline exists to rule out). Per-batch driver work is a
+   * bounded count + 1-row append — the lakehouse "slowly changing dim
+   * under a stream" shape.
+   */
+  def streamDimRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val io = "/tmp/graft_io/dim_refresh"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    // 3 single-file batches: events with event_id ≡ b (mod 3)
+    val ev = graft.Tables.events(spark, sfDir).select("event_id", "event_type")
+    (0 until 3).foreach { b =>
+      val tmp = s"$io/tmp_b$b"
+      ev.filter(pmod(col("event_id"), lit(3)) === b)
+        .coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/b$b.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // dim seeded with a sentinel so the first fresh read has a file
+    Seq(-1L).toDF("residue").write.parquet(s"$io/dim")
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/in/b*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val seen = spark.read.parquet(s"$io/dim")
+          .filter(col("residue") >= 0).count()
+        val res = batch.select(pmod(col("event_id"), lit(3)).as("r"))
+          .head().getLong(0)
+        acc.add((batch.count(), seen))
+        Seq(res).toDF("residue").write.mode("append").parquet(s"$io/dim")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq.toDF("n_events", "n_seen")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("n_events").as("n_events"),
+        sum("n_seen").as("marks_seen"),
+        (sum("n_seen") === 3L).as("refresh_ok"))
+  }
+
   /** foreachBatch sink: per-micro-batch side effect publishing batch
     * counts (DStream `foreachRDD` twin). */
   def foreachBatchCounts(spark: SparkSession, sfDir: String): DataFrame = {
