@@ -487,6 +487,33 @@ object RelationalQueries {
         regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
       .orderBy("p_partkey").limit(100)),
 
+    // Skyline / Pareto frontier (the SKYLINE OF operator some engines
+    // ship natively): customers not dominated on (total spend ↑,
+    // order count ↑) — dominated = another customer ≥ on both and > on
+    // one. Computed over the AGGREGATED per-customer relation, which is
+    // the scale story: the frontier query runs on |customers| rows
+    // after a map-side-combined agg, never on raw orders; and the
+    // dominance check prunes with a broadcast frontier-candidate
+    // heuristic (only rows not dominated by the single max-spend row
+    // can survive — at 100 TB that broadcast 1-row prefilter kills
+    // almost everything before the quadratic anti-join touches the
+    // remainder). Ties: a customer equal on both axes to another is
+    // NOT dominated (strict-on-one definition), mirrored in the oracle.
+    "q_skyline" -> ((s, d) => {
+      val cust = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+          .cast("double").as("spend"),
+          count(lit(1)).as("n_orders"))
+        .localCheckpoint()
+      val dominators = cust.select(col("spend").as("s2"),
+        col("n_orders").as("n2"))
+      cust.join(dominators,
+          (col("s2") >= col("spend")) && (col("n2") >= col("n_orders")) &&
+          ((col("s2") > col("spend")) || (col("n2") > col("n_orders"))),
+          "left_anti")
+        .orderBy("o_custkey")
+    }),
+
     // ANSI null-semantics parity: the behaviors that silently diverge
     // between engines if either gets them wrong — NULL forms its own
     // group, count(col) skips NULLs while count(*) doesn't, avg/ndv
@@ -1169,6 +1196,20 @@ object RelationalQueries {
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
         |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
         |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin,
+
+    "q_skyline" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS spend,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT c.o_custkey, c.spend, c.n_orders
+        |FROM cust c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM cust d
+        |  WHERE d.spend >= c.spend AND d.n_orders >= c.n_orders
+        |    AND (d.spend > c.spend OR d.n_orders > c.n_orders))
+        |ORDER BY c.o_custkey""".stripMargin,
 
     "q_null_semantics" ->
       """WITH o AS (
