@@ -505,9 +505,18 @@ object RelationalQueries {
           .cast("double").as("spend"),
           count(lit(1)).as("n_orders"))
         .localCheckpoint()
-      val dominators = cust.select(col("spend").as("s2"),
+      // broadcast 1-row prefilter: anything strictly dominated by the
+      // max-spend point is out before the quadratic join; transitivity
+      // makes the survivors a sufficient dominator set too
+      val dstar = cust.orderBy(col("spend").desc, col("n_orders").desc)
+        .limit(1).select(col("spend").as("ds"), col("n_orders").as("dn"))
+      val cand = cust.crossJoin(broadcast(dstar))
+        .filter(!((col("ds") >= col("spend")) && (col("dn") >= col("n_orders")) &&
+          ((col("ds") > col("spend")) || (col("dn") > col("n_orders")))))
+        .drop("ds", "dn").localCheckpoint()
+      val dominators = cand.select(col("spend").as("s2"),
         col("n_orders").as("n2"))
-      cust.join(dominators,
+      cand.join(dominators,
           (col("s2") >= col("spend")) && (col("n2") >= col("n_orders")) &&
           ((col("s2") > col("spend")) || (col("n2") > col("n_orders"))),
           "left_anti")
