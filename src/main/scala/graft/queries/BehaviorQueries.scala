@@ -43,6 +43,48 @@ object BehaviorQueries {
         .orderBy("user_id")
     }),
 
+    // --- item-item co-occurrence (the market-basket/recommender
+    // primitive): part pairs appearing in the same order, ranked by
+    // lift-free co-count with per-item totals for downstream
+    // similarity. The scalable shape is per-basket pair generation —
+    // a self-join WITHIN each order key, so work is Σ|basket|² with
+    // baskets bounded (≤7 lineitems here; a real pipeline caps or
+    // samples megabaskets first — the q_skew_diagnostics pre-pass),
+    // never an items×items matrix. Top-20 cut on (count desc, pair)
+    // keeps the output deterministic.
+    "q_itemitem_cooc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("ok"),
+        col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("n_cooc"))
+      val totals = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      pairs
+        .join(totals.select(col("pk").as("p1"), col("n").as("n1")), "p1")
+        .join(totals.select(col("pk").as("p2"), col("n").as("n2")), "p2")
+        .orderBy(col("n_cooc").desc, col("p1"), col("p2"))
+        .limit(20)
+        .select("p1", "p2", "n_cooc", "n1", "n2")
+    }),
+
+    // --- week-over-week growth (the ops-dashboard staple): weekly
+    // event counts per type with the previous week's count and the
+    // growth ratio — a bounded weekly agg then a lag window over
+    // ≤ |types|×|weeks| rows, never a window over raw events. Ratio
+    // guarded (ANSI divide-by-zero) and rounded identically.
+    "q_wow_growth" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("wow", when(col("prev_n") > 0,
+          round(col("n") / col("prev_n"), 4)))
+        .orderBy("event_type", "week")
+    }),
+
     // --- last-touch attribution: each purchase credits the user's most
     // recent PRIOR non-purchase event within a 7-day lookback, else
     // 'direct'. The scalable shape is the union-merge as-of
@@ -435,6 +477,32 @@ object BehaviorQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_itemitem_cooc" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_cooc
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |totals AS (SELECT pk, count(*) AS n FROM li GROUP BY 1)
+        |SELECT p1, p2, n_cooc, t1.n AS n1, t2.n AS n2
+        |FROM pairs JOIN totals t1 ON t1.pk = p1
+        |           JOIN totals t2 ON t2.pk = p2
+        |ORDER BY n_cooc DESC, p1, p2 LIMIT 20""".stripMargin,
+
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT date_trunc('week', ts)::DATE AS week, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT week, event_type, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+        |  CASE WHEN lag(n) OVER (PARTITION BY event_type ORDER BY week) > 0
+        |    THEN round(n::DOUBLE /
+        |      lag(n) OVER (PARTITION BY event_type ORDER BY week), 4)
+        |  END AS wow
+        |FROM weekly ORDER BY event_type, week""".stripMargin,
+
     "q_mode_per_group" ->
       """WITH counts AS (
         |  SELECT user_id, event_type, count(*) AS c
