@@ -832,7 +832,12 @@ object RelationalQueries {
         when(col("l_quantity") > 25, "bulk")
           .when(col("l_quantity") > 10, "mid")
           .otherwise("small").as("band"))
-      .orderBy("l_orderkey", "l_linenumber")),
+      // (l_orderkey, l_linenumber) is NOT unique in this synthetic
+      // lineitem (45832 distinct keys / 60000 rows at sf0.01) — a
+      // key-only ORDER BY leaves tied rows permutable run-to-run in
+      // DuckDB's parallel sort (observed as a transient hash fail), so
+      // the sort covers every output column
+      .orderBy("l_orderkey", "l_linenumber", "flag", "gq", "capped", "band")),
 
     // error-safe function family (2g): under ANSI mode (Spark 4 default)
     // bad arithmetic/casts THROW; try_* returns NULL instead — the
@@ -844,7 +849,12 @@ object RelationalQueries {
         r4(expr("try_divide(l_extendedprice, l_linenumber - 4)")).as("safe_ratio"),
         expr("try_cast(l_returnflag AS INT)").as("cast_null"),
         expr("try_cast(cast(l_orderkey AS STRING) AS INT)").as("cast_ok"))
-      .orderBy("l_orderkey", "l_linenumber")),
+      // non-unique key tie-break (see q_conditional_funcs): safe_ratio
+      // distinguishes the duplicate-key rows except when l_linenumber=4
+      // nulls it for both — then the rows are fully identical and the
+      // permutation is harmless; NULLS FIRST pinned on both engines
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        asc_nulls_first("safe_ratio"))),
 
     // --- subqueries (2d/2e): Catalyst decorrelates these into joins ------
     // correlated scalar subquery → RewriteCorrelatedScalarSubquery plans an
@@ -1397,7 +1407,7 @@ object RelationalQueries {
         |  CASE WHEN l_quantity > 25 THEN 'bulk'
         |       WHEN l_quantity > 10 THEN 'mid' ELSE 'small' END AS band
         |FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2, flag, gq, capped, band""".stripMargin,
 
     "q_try_funcs" ->
       """SELECT l_orderkey, l_linenumber,
@@ -1405,7 +1415,7 @@ object RelationalQueries {
         |  TRY_CAST(l_returnflag AS INT) AS cast_null,
         |  TRY_CAST(l_orderkey::VARCHAR AS INT) AS cast_ok
         |FROM lineitem WHERE l_orderkey < 100
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2, safe_ratio ASC NULLS FIRST""".stripMargin,
 
     "q_subquery_scalar" ->
       """SELECT c_custkey, round(c_acctbal, 4) AS bal
