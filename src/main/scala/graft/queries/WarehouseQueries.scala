@@ -683,6 +683,27 @@ object WarehouseQueries {
       """)
     }),
 
+    // --- SQL pipe syntax + named parameter markers (the other two
+    // Spark-4 SQL-surface entries next to q_sql_variables): the query
+    // is authored in |> pipeline form — each stage reads top-to-bottom
+    // the way the plan executes, the ergonomics SQL pipelines adopted —
+    // and the threshold arrives as a BOUND PARAMETER (:thr), the
+    // injection-safe templating path for literal values (IDENTIFIER()
+    // covers names). Same Catalyst plan as the classic form; the
+    // oracle is that classic form with the literal inlined.
+    "q_sql_pipe" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_pipe")
+      s.sql(
+        """FROM orders_pipe
+          ||> WHERE o_totalprice > :thr
+          ||> AGGREGATE count(*) AS n,
+          |     round(sum(CAST(o_totalprice AS DECIMAL(30,12))), 4) AS sum_price
+          |   GROUP BY o_orderstatus
+          ||> ORDER BY o_orderstatus""".stripMargin,
+        Map("thr" -> 150000.0))
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
     // --- custom UDAF over a window frame: the Welford/Chan typed
     // Aggregator (exact-merge variance) evaluated over a moving 10-row
     // frame, against the built-in var_samp on the same frame — the
@@ -1023,6 +1044,12 @@ object WarehouseQueries {
       """SELECT o_orderkey AS k, o_orderstatus AS status,
         |  round(o_totalprice, 2) AS price, o_orderkey AS xpath_k
         |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""".stripMargin,
+
+    "q_sql_pipe" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_variables" ->
       """WITH cut AS (SELECT avg(o_totalprice) AS c FROM orders)
