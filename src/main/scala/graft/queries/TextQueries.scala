@@ -826,6 +826,46 @@ object TextQueries {
       .withColumn("pred_en", (col("en_score") >= 0.05).cast("int"))
       .orderBy("doc_id").limit(300)),
 
+    // --- classifier evaluation (the eval primitive every trained
+    // filter needs): q_lang_id's stopword detector scored against the
+    // ground-truth labels over the FULL corpus — confusion counts and
+    // precision/recall/F1/accuracy in one bounded agg. F1 is computed
+    // from the raw counts (2tp/(2tp+fp+fn)), not from the separately
+    // rounded P and R, so rounding can't compound; divisions are
+    // ANSI-guarded. At 100 TB this is one scan + a 4-counter agg.
+    "q_classifier_eval" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode_outer(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang")
+        .agg(count(col("tok")).as("n"),
+          count(when(col("tok").isin(enStops.map(lit): _*), 1)).as("hits"))
+        .select((col("lang") === "en").cast("int").as("actual"),
+          (when(col("n") === 0, 0.0)
+            .otherwise(round(col("hits").cast("double") / col("n"), 4))
+            >= 0.05).cast("int").as("pred"))
+      scored.agg(
+          sum(when(col("actual") === 1 && col("pred") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("actual") === 0 && col("pred") === 1, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("actual") === 1 && col("pred") === 0, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("actual") === 0 && col("pred") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          when(col("tp") + col("fp") > 0,
+            round(col("tp") / (col("tp") + col("fp")), 4)).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            round(col("tp") / (col("tp") + col("fn")), 4)).as("recall"),
+          when(col("tp") * 2 + col("fp") + col("fn") > 0,
+            round(col("tp") * 2 / (col("tp") * 2 + col("fp") + col("fn")), 4))
+            .as("f1"),
+          round((col("tp") + col("tn"))
+            / (col("tp") + col("fp") + col("fn") + col("tn")), 4)
+            .as("accuracy"))
+    }),
+
     // --- quality scoring (length / punct / stopword / dedup ratios) -----
     "q_quality_score" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1576,6 +1616,34 @@ object TextQueries {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN bid ON d.doc_id = bid.id_d
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_classifier_eval" ->
+      """WITH scored AS (
+        |  SELECT (lang = 'en')::INT AS actual,
+        |    (round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks,
+        |        t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |        / len(toks)::DOUBLE END, 4) >= 0.05)::INT AS pred
+        |  FROM (SELECT lang,
+        |          list_filter(string_split(lower(text), ' '), t -> t <> '')
+        |            AS toks
+        |        FROM documents)),
+        |c AS (
+        |  SELECT
+        |    sum(CASE WHEN actual = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN actual = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN actual = 1 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |    sum(CASE WHEN actual = 0 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM scored)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(tp::DOUBLE / (tp + fp), 4) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(tp::DOUBLE / (tp + fn), 4) END AS recall,
+        |  CASE WHEN tp * 2 + fp + fn > 0
+        |    THEN round(tp * 2::DOUBLE / (tp * 2 + fp + fn), 4) END AS f1,
+        |  round((tp + tn)::DOUBLE / (tp + fp + fn + tn), 4) AS accuracy
+        |FROM c""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, lang, en_score, (en_score >= 0.05)::INT AS pred_en
