@@ -357,6 +357,38 @@ object SketchQueries {
             <= lit(0.5) * col("f2_exact")).as("within_half"))
     }),
 
+    // Approximate query processing (AQP) by deterministic sampling —
+    // the third approximation family next to sketches (CMS/HLL/KLL) and
+    // the recall-flagged ANN rows: a 10% Bernoulli sample selected by
+    // the house md5-digit gate (pure function of the key → the SAME
+    // sample on any cluster, any retry, and in the DuckDB oracle), the
+    // Horvitz-Thompson scale-up est = sample_sum / p, and the realized
+    // relative error vs the exact twin computed IN-PLAN. At 100 TB the
+    // sample is a pushdown-friendly scan predicate (1/10th the bytes);
+    // the gate checks the estimate lands within the ±5% band that
+    // n≈4600, CV≈0.55 implies (≈3.4σ) — deterministic on fixed data,
+    // honest about sampling's actual accuracy.
+    "q_aqp_estimate" -> ((s, d) => {
+      val gate = substring(concat(regexp_replace(
+          md5(concat(lit("aqp:"), col("o_orderkey").cast("string"))),
+          "[a-f]", ""), lit("0000")), 1, 4).cast("int") < 1000
+      val o = Tables.orders(s, d).select(col("o_totalprice"), gate.as("in_sample"))
+      o.agg(
+          count(lit(1)).as("n_total"),
+          sum(col("in_sample").cast("int")).as("n_sampled"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("exact_sum"),
+          round(sum(when(col("in_sample"),
+            col("o_totalprice")).cast("decimal(30,12)")) * 10, 4)
+            .cast("double").as("est_sum"))
+        .select(col("n_total"), col("n_sampled"),
+          col("exact_sum"), col("est_sum"),
+          round(abs(col("est_sum") - col("exact_sum")) / col("exact_sum"), 4)
+            .as("rel_err"),
+          (abs(col("est_sum") - col("exact_sum"))
+            <= col("exact_sum") * 0.05).as("within_5pct"))
+    }),
+
     // Time-decayed heavy hitters — the trending-now variant of
     // q_heavy_hitters: each event contributes weight 2^(−age/half-life)
     // so last week counts double next week, the standard ops-dashboard
@@ -497,6 +529,26 @@ object SketchQueries {
    * deterministic boolean on fixed data.
    */
   val oracleSql: Map[String, String] = Map(
+    // same md5-digit sample gate, scale-up, and realized error — fully
+    // deterministic, so even the error columns hash-match
+    "q_aqp_estimate" ->
+      """WITH o AS (
+        |  SELECT o_totalprice,
+        |    substr(regexp_replace(md5('aqp:' || o_orderkey::VARCHAR),
+        |      '[a-f]', '', 'g') || '0000', 1, 4)::INT < 1000 AS in_sample
+        |  FROM orders),
+        |a AS (
+        |  SELECT count(*) AS n_total,
+        |    sum(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        |    round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS exact_sum,
+        |    round(sum(CASE WHEN in_sample THEN o_totalprice END
+        |      ::DECIMAL(30,12)) * 10, 4)::DOUBLE AS est_sum
+        |  FROM o)
+        |SELECT n_total, n_sampled, exact_sum, est_sum,
+        |  round(abs(est_sum - exact_sum) / exact_sum, 4) AS rel_err,
+        |  abs(est_sum - exact_sum) <= exact_sum * 0.05 AS within_5pct
+        |FROM a""".stripMargin,
+
     // dyadic weights (n / 2^k) are exact doubles, so the decayed sums
     // are order-independent and hash-exact
     "q_decayed_topk" ->
