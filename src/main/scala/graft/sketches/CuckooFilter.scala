@@ -68,11 +68,30 @@ object CuckooTable {
     new CuckooTable(m, table, nItems, nDropped)
   }
 
+  // Per-thread memo of the last deserialized table, keyed by byte-array
+  // IDENTITY: the common probe shape is a foldable/broadcast sketch
+  // whose literal byte array is the SAME object for every row a task
+  // probes, so without this every row pays an O(m) ByteBuffer copy —
+  // the probe would be O(filter size) per row instead of O(1). Probes
+  // only read the cached table (delete goes through CuckooOps on a
+  // fresh deserialize), so sharing it across rows is safe; a different
+  // array instance simply misses and re-deserializes.
+  private val lastTable = new ThreadLocal[(Array[Byte], CuckooTable)]
+  private def tableFor(bytes: Array[Byte]): CuckooTable = {
+    val cached = lastTable.get()
+    if (cached != null && (cached._1 eq bytes)) cached._2
+    else {
+      val t = deserialize(bytes)
+      lastTable.set((bytes, t))
+      t
+    }
+  }
+
   /** Static probe entry points for generated code. */
   def containsBytesLong(sketch: Array[Byte], v: Long): Boolean =
-    deserialize(sketch).contains(itemHashLong(v))
+    tableFor(sketch).contains(itemHashLong(v))
   def containsBytesBinary(sketch: Array[Byte], v: Array[Byte]): Boolean =
-    deserialize(sketch).contains(itemHashBytes(v))
+    tableFor(sketch).contains(itemHashBytes(v))
 }
 
 final class CuckooTable(val m: Int, val table: Array[Byte],
@@ -198,10 +217,26 @@ case class CuckooBuildAgg(
   override def checkInputDataTypes(): TypeCheckResult = {
     if (!bucketsExpr.foldable) {
       TypeCheckResult.TypeCheckFailure("cuckoo_agg bucket count must be a constant")
-    } else child.dataType match {
-      case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
-      case dt => TypeCheckResult.TypeCheckFailure(
-        s"cuckoo_agg does not support input type ${dt.catalogString}")
+    } else {
+      // validate the VALUE at analysis time too: a null / non-positive /
+      // non-power-of-two m would otherwise sail through analysis and
+      // blow up later on executors (NPE in the Number cast or the
+      // CuckooTable require) — fail here with a clean message instead
+      val mv = bucketsExpr.eval()
+      val mOk = mv match {
+        case n: Number =>
+          val m = n.longValue()
+          m > 0 && m <= Int.MaxValue && (m & (m - 1)) == 0
+        case _ => false
+      }
+      if (!mOk) {
+        TypeCheckResult.TypeCheckFailure(
+          s"cuckoo_agg bucket count must be a positive power-of-two integer, got $mv")
+      } else child.dataType match {
+        case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+        case dt => TypeCheckResult.TypeCheckFailure(
+          s"cuckoo_agg does not support input type ${dt.catalogString}")
+      }
     }
   }
 

@@ -112,10 +112,35 @@ class GraftMemTable(tableName: String, parts: Int)
   // half-deleting); the delete itself is a compare-and-swap republish
   // of the filtered snapshot, atomic exactly like a write commit.
   import org.apache.spark.sql.sources._
+  // The honesty gate must also cover VALUES, not just filter shapes: a
+  // pushed literal of a type cmp() cannot order (date, timestamp,
+  // decimal vs a string column, …) must refuse pushdown here — Spark
+  // then falls back — rather than throw mid-delete after some rows are
+  // already judged.
+  private def comparableLiteral(attr: String, x: Any): Boolean = {
+    val fieldType = GraftMemStore.tables.get(tableName)
+      .flatMap(_.schema.fields.find(_.name == attr)).map(_.dataType)
+    (fieldType, x) match {
+      case (Some(LongType | IntegerType | DoubleType), _: java.lang.Long |
+            _: java.lang.Integer | _: java.lang.Double | _: java.lang.Short |
+            _: java.lang.Byte | _: java.lang.Float) => true
+      case (Some(BooleanType), _: java.lang.Boolean) => true
+      case (Some(StringType), _: String) => true
+      case _ => false
+    }
+  }
   private def supportedFilter(f: Filter): Boolean = f match {
-    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In |
-         _: IsNull | _: IsNotNull | _: AlwaysTrue | _: AlwaysFalse => true
+    case EqualTo(a, x) => comparableLiteral(a, x)
+    case GreaterThan(a, x) => comparableLiteral(a, x)
+    case GreaterThanOrEqual(a, x) => comparableLiteral(a, x)
+    case LessThan(a, x) => comparableLiteral(a, x)
+    case LessThanOrEqual(a, x) => comparableLiteral(a, x)
+    case In(a, xs) => xs.nonEmpty && xs.forall(x => comparableLiteral(a, x))
+    case IsNull(a) => GraftMemStore.tables.get(tableName)
+      .exists(_.schema.fieldNames.contains(a))
+    case IsNotNull(a) => GraftMemStore.tables.get(tableName)
+      .exists(_.schema.fieldNames.contains(a))
+    case _: AlwaysTrue | _: AlwaysFalse => true
     case And(l, r) => supportedFilter(l) && supportedFilter(r)
     case Or(l, r) => supportedFilter(l) && supportedFilter(r)
     case Not(c) => supportedFilter(c)
@@ -135,22 +160,38 @@ class GraftMemTable(tableName: String, parts: Int)
       case _ => throw new IllegalArgumentException(
         s"graftmem delete: cannot compare $a with $b")
     }
-    def eval(f: Filter, schema: StructType, row: Array[Any]): Boolean = {
+    // THREE-valued evaluation (None = SQL UNKNOWN): a comparison over a
+    // NULL cell is unknown, Not(unknown) stays unknown, and a row is
+    // deleted only on a definite TRUE — so `DELETE WHERE a != 5` (which
+    // Spark pushes as Not(EqualTo(a,5))) KEEPS rows where a IS NULL,
+    // matching ANSI semantics instead of deleting them.
+    def eval(f: Filter, schema: StructType, row: Array[Any]): Option[Boolean] = {
       def v(attr: String): Any = row(schema.fieldIndex(attr))
+      def nullableCmp(a: String, x: Any)(p: Int => Boolean): Option[Boolean] =
+        if (v(a) == null) None else Some(p(cmp(v(a), x)))
       f match {
-        case EqualTo(a, x) => v(a) != null && cmp(v(a), x) == 0
-        case GreaterThan(a, x) => v(a) != null && cmp(v(a), x) > 0
-        case GreaterThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) >= 0
-        case LessThan(a, x) => v(a) != null && cmp(v(a), x) < 0
-        case LessThanOrEqual(a, x) => v(a) != null && cmp(v(a), x) <= 0
-        case In(a, xs) => v(a) != null && xs.exists(x => cmp(v(a), x) == 0)
-        case IsNull(a) => v(a) == null
-        case IsNotNull(a) => v(a) != null
-        case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
-        case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
-        case Not(c) => !eval(c, schema, row)
-        case _: AlwaysTrue => true
-        case _: AlwaysFalse => false
+        case EqualTo(a, x) => nullableCmp(a, x)(_ == 0)
+        case GreaterThan(a, x) => nullableCmp(a, x)(_ > 0)
+        case GreaterThanOrEqual(a, x) => nullableCmp(a, x)(_ >= 0)
+        case LessThan(a, x) => nullableCmp(a, x)(_ < 0)
+        case LessThanOrEqual(a, x) => nullableCmp(a, x)(_ <= 0)
+        case In(a, xs) =>
+          if (v(a) == null) None else Some(xs.exists(x => cmp(v(a), x) == 0))
+        case IsNull(a) => Some(v(a) == null)
+        case IsNotNull(a) => Some(v(a) != null)
+        case And(l, r) => (eval(l, schema, row), eval(r, schema, row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+        case Or(l, r) => (eval(l, schema, row), eval(r, schema, row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+        case Not(c) => eval(c, schema, row).map(!_)
+        case _: AlwaysTrue => Some(true)
+        case _: AlwaysFalse => Some(false)
         case other => throw new IllegalStateException(
           s"unreachable: canDeleteWhere admitted $other")
       }
@@ -162,7 +203,7 @@ class GraftMemTable(tableName: String, parts: Int)
           s"graftmem table $tableName not committed")
         case Some(prev) =>
           val kept = prev.rows.filterNot(r =>
-            filters.forall(f => eval(f, prev.schema, r)))
+            filters.forall(f => eval(f, prev.schema, r).contains(true)))
           GraftMemStore.tables.replace(tableName, prev,
             GraftMemStore.Committed(prev.schema, kept))
       }

@@ -95,4 +95,22 @@ class CuckooSpec extends AnyFunSuite {
       assert(viaPlan(k) === t.contains(CuckooTable.itemHashLong(k)))
     }
   }
+
+  test("cuckoo_agg rejects bad bucket counts at ANALYSIS time, not on executors") {
+    import org.apache.spark.sql.graft.Shims
+    val df = spark.range(10)
+    // non-power-of-two, non-positive, null, non-numeric: all must fail
+    // during analysis with a clean message — not as a mid-job executor
+    // NPE/require after tasks have launched
+    def agg(bad: org.apache.spark.sql.Column) = Shims.column(
+      new graft.sketches.CuckooBuildAgg(
+        Shims.expression($"id"), Shims.expression(bad)).toAggregateExpression())
+    for (bad <- Seq(lit(1000), lit(0), lit(-4), lit(null), lit("x"))) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(agg(bad)).queryExecution.analyzed
+      }
+      assert(ex.getMessage.toLowerCase.contains("cuckoo"),
+        s"expected cuckoo_agg analysis error, got: ${ex.getMessage}")
+    }
+  }
 }

@@ -209,6 +209,43 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .head().getLong(0) === 10L, "a refused delete must change nothing")
   }
 
+  test("graftmem DELETE WHERE a != k keeps NULL rows (three-valued Not)") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    // a: 0,1,2 then NULL for ids 3..9
+    spark.range(10).select(
+        when(col("id") < 3, col("id")).as("a"), col("id").as("id"))
+      .write.format("graftmem").option("table", "spec_3vl")
+      .mode("overwrite").save()
+    spark.sql("DELETE FROM gm_spec.spec_3vl WHERE a != 1")
+    // ANSI: NULL != 1 is UNKNOWN → those rows must survive; only the
+    // definite-true rows (a=0, a=2) are deleted
+    val back = spark.sql("SELECT * FROM gm_spec.spec_3vl")
+    assert(back.count() === 8L,
+      "NULL rows must be kept under DELETE WHERE a != 1")
+    assert(back.where("a = 1").count() === 1L)
+    assert(back.where("a IS NULL").count() === 7L)
+  }
+
+  test("graftmem DELETE refuses an IN list containing NULL (pushdown honesty)") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    spark.range(6).select(col("id"),
+        concat(lit("t"), (col("id") % 3).cast("string")).as("tag"))
+      .write.format("graftmem").option("table", "spec_innull")
+      .mode("overwrite").save()
+    // tag IN ('t0', NULL) is never definitely-false for non-matching
+    // rows; our cmp() can't represent that, so canDeleteWhere must
+    // refuse and Spark must error rather than half-delete
+    try {
+      spark.sql(
+        "DELETE FROM gm_spec.spec_innull WHERE tag IN ('t0', CAST(NULL AS STRING))")
+      // if Spark simplified the NULL away pre-pushdown, the delete is
+      // exact anyway; either way no NULL-polluted IN reached cmp()
+    } catch { case _: Exception => () }
+    val n = spark.sql("SELECT count(*) FROM gm_spec.spec_innull").head().getLong(0)
+    assert(n === 6L || n === 4L,
+      s"expected either a refused delete (6) or an exact t0 delete (4), got $n")
+  }
+
   test("graftmem rejects a type-divergent append instead of re-labelling old rows") {
     spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
       .write.format("graftmem").option("table", "spec_ts").mode("overwrite").save()
