@@ -47,8 +47,32 @@ object Gen10x {
         col("l_orderkey") + c * 10000000L))
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // Embedding copies are SIGN-SCRAMBLED per copy (copy 0 = identity):
+    // a key-offset copy with dims as-is would plant 9 exact cos-1.0
+    // duplicates of EVERY vector — an artificial mega-cluster that (a)
+    // blows q_embed_neardup up to 45·n pairs and (b) swamps the r9
+    // planted-cluster recall gates, whose premise is the near-uniform
+    // geometry the shipped corpus actually has. Component-wise ±1 flips
+    // keyed by (copy, pos) preserve every norm exactly while making the
+    // copies near-orthogonal to their originals — 10× the rows, same
+    // geometry class as the source.
     val emb = Tables.embeddings(spark, src)
-    copies(emb, (d, c) => d.withColumn("vec_id", col("vec_id") + c * 1000000L))
+    def signFlip(c: Int): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val signs = (0 until 64).map { j =>
+        val h = XxHash64(Seq(Literal(c), Literal(j)), 77L).eval(null).asInstanceOf[Long]
+        if ((h & 1L) == 0L) 1.0f else -1.0f
+      }.toArray
+      // offset keyed well BELOW the planted id spaces (9000001+ dedup
+      // plants, 9200001+ ANN plants): c*1e6 put copy 9 exactly on top of
+      // the q_embed_neardup plant ids, and the bucket groupBy summed the
+      // colliding rows' sign bits into garbage buckets (0 candidate
+      // pairs at 10× — observed, diagnosed, fixed here)
+      emb.withColumn("vec_id", col("vec_id") + c * 10000L)
+        .withColumn("embedding",
+          zip_with(col("embedding"), lit(signs), (a, b) => a * b))
+    }
+    (Seq(emb) ++ (1 until 10).map(signFlip)).reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     Seq("customer", "nation", "region", "supplier", "part").foreach { t =>

@@ -36,6 +36,19 @@ object NearDupProbe {
         val got = df.select("vec_id").as[Long].collect().toSet
         println(s"  ann $nm recall@10 = ${(exact & got).size}")
       }
+      // planted-cluster recalls (the corpus the r9 gates run on)
+      val exactP = queries.VectorQueries.bruteTop10(spark, d, planted = true)
+        .as[Long].collect().toSet
+      println(s"  planted exact top-10 all-planted = ${exactP.forall(_ > 9200000L)}")
+      for ((nm, df) <- Seq(
+          "ivf" -> queries.VectorQueries.ivfTop10(spark, d, planted = true),
+          "lsh" -> queries.VectorQueries.lshTop10(spark, d, planted = true),
+          "pq" -> queries.VectorQueries.pqTop10(spark, d, planted = true),
+          "ivfpq" -> queries.VectorQueries.ivfpqTop10(spark, d, planted = true))) {
+        val got = df.select("vec_id").as[Long].collect().toSet
+        println(s"  ann $nm PLANTED recall@10 = ${(exactP & got).size} " +
+          s"(all-planted=${got.forall(_ > 9200000L)})")
+      }
       val mh = SparkEntry.queries("q_minhash_neardup")(spark, d)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       val ex = SparkEntry.queries("q_ngram_jaccard")(spark, d)

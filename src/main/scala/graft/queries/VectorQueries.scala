@@ -27,6 +27,48 @@ object VectorQueries {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
 
+  // --- Planted embedding cluster (VERDICT r9 #1) ----------------------
+  // The synthetic embeddings are near-uniform on the sphere (max
+  // background cosine to the query ≈ 0.37 at every shipped scale), so
+  // ANN recall floors pinned on the raw corpus were honest but
+  // near-vacuous (1–3/10): there was no cluster for an index to find.
+  // The planted batch applies the r8 planted-dedup recipe to the vector
+  // lane: 12 deterministic ε-perturbations of the query vector
+  // (per-component noise from the same seeded-xxhash formula as the LSH
+  // planes — reproducible on any cluster, no stored model), under their
+  // OWN coarse label so IVF-family indexes see a real geometric cell.
+  // At amp 0.02 the planted cosines sit ≈ 0.9957 ± spread, far above
+  // the 0.37 background ceiling, so the exact top-10 and any
+  // all-planted approximate top-10 are both drawn from the 12 plants —
+  // and then |approx ∩ exact| ≥ 10 + 10 − 12 = 8 by pigeonhole. A
+  // recall floor of 8 therefore certifies the index actually FOUND the
+  // cluster, not that the gate is unfalsifiable.
+  private[graft] val plantN = 12
+  private[graft] val plantAmp = 0.02
+  private[graft] def plantNoise(i: Int): Array[Double] =
+    (0 until 64).map(j => plantAmp * planeComponent(9000 + i, j)).toArray
+
+  /** Embedding corpus ∪ planted cluster: ids far above any real vec_id,
+    * label 999 (a fresh IVF cell), float-cast so plants flow through the
+    * same arrays as the scan. */
+  private[graft] def plantedEmb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spec = (1 to plantN)
+      .map(i => (9200000L + i, plantNoise(i))).toDF("vec_id", "noise")
+    val plants = spec
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        zip_with(col("qv"), col("noise"), (a, b) => a.cast("double") + b)
+          .cast("array<float>").as("embedding"),
+        lit(999).as("label"))
+    Tables.embeddings(s, d).unionByName(plants)
+  }
+
+  /** Corpus selector for the ANN family: the recall-gated paths run
+    * over the planted corpus; hash-exact queries stay on the raw scan. */
+  private def annCorpus(s: SparkSession, d: String, planted: Boolean): DataFrame =
+    if (planted) plantedEmb(s, d) else Tables.embeddings(s, d)
+
   /** Pinned one notch under the measured deterministic batch recall of
     * q_knn_join_lsh (NearDupProbe-style calibration: 15 possible hits —
     * 5 queries × top-3; measured 11 at sf0.001 and 14 at sf0.01; the
@@ -34,9 +76,11 @@ object VectorQueries {
     * cluster). */
   private val recallJoinFloor = 10
 
-  /** Exact cosine top-10 (the recall yardstick for the ANN family). */
-  private[graft] def bruteTop10(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+  /** Exact cosine top-10 (the recall yardstick for the ANN family),
+    * over the raw or planted corpus to match the approximate side. */
+  private[graft] def bruteTop10(s: SparkSession, d: String,
+      planted: Boolean = false): DataFrame = {
+    val emb = annCorpus(s, d, planted).filter(col("vec_id") =!= 0)
     emb.crossJoin(broadcast(queryVec(s, d)))
       .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("cs"))
       .orderBy(col("cs").desc, col("vec_id"))
@@ -46,12 +90,14 @@ object VectorQueries {
   /** Wrap an approximate top-10 as a recall-guarantee row:
     * |approx ∩ exact| ≥ floor. Both sides are ≤10-row relations, so the
     * check is a broadcast join — the verification cost is the brute-force
-    * scan, which at gate scale is the yardstick anyway. */
+    * scan, which at gate scale is the yardstick anyway. The floor is
+    * emitted as `min_hits` so the gate value is part of the contract. */
   private def recallFlag(approx: DataFrame, s: SparkSession, d: String,
-      floor: Int, method: String): DataFrame =
-    approx.select(col("vec_id")).join(bruteTop10(s, d), "vec_id")
+      floor: Int, method: String, planted: Boolean = false): DataFrame =
+    approx.select(col("vec_id")).join(bruteTop10(s, d, planted), "vec_id")
       .agg((count(lit(1)) >= floor).as("recall_ok"))
-      .select(lit(method).as("method"), lit(10).as("k"), col("recall_ok"))
+      .select(lit(method).as("method"), lit(10).as("k"),
+        lit(floor).as("min_hits"), col("recall_ok"))
 
   /** Deterministic hyperplane component: the same value the Column
     * formula `pmod(xxhash64(plane, pos), 1e6)/5e5 − 1` yields, evaluated
@@ -104,9 +150,10 @@ object VectorQueries {
     * nProbe centroids nearest the query, 3) brute-force inside those
     * cells only (multiprobe — the standard recall dial: nProbe=1 misses
     * neighbors just across a cell boundary). */
-  private[graft] def ivfTop10(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTop10(s: SparkSession, d: String,
+      planted: Boolean = false): DataFrame = {
     val nProbe = 2
-    val emb = Tables.embeddings(s, d)
+    val emb = annCorpus(s, d, planted)
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos").agg(avg("v").as("c"))
@@ -131,8 +178,9 @@ object VectorQueries {
     * Candidates = vectors sharing the query's bucket in ANY table, then
     * exact cosine on candidates only. At 100 TB: the bucket join is a
     * shuffle equi-join on (table, bucket); nothing is all-pairs. */
-  private[graft] def lshTop10(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+  private[graft] def lshTop10(s: SparkSession, d: String,
+      planted: Boolean = false): DataFrame = {
+    val emb = annCorpus(s, d, planted)
     val buckets = hyperplaneBuckets(emb, L = 12, P = 4)
     val qb = buckets.filter(col("vec_id") === 0)
       .select(col("t").as("qt"), col("bucket").as("qbucket"))
@@ -173,8 +221,9 @@ object VectorQueries {
 
   /** One row per (vector, subspace): the 8-dim subvector as DOUBLEs
     * (single Generate pass — no per-subspace corpus rescan). */
-  private[graft] def pqSubs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
+  private[graft] def pqSubs(s: SparkSession, d: String,
+      planted: Boolean = false): DataFrame =
+    annCorpus(s, d, planted).select(col("vec_id"),
         explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
           "transform(slice(embedding, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
@@ -207,17 +256,18 @@ object VectorQueries {
 
   /** PQ approximate top-10 by ADC cosine (the body of q_knn_pq; split
     * out so PqSpec can measure the raw recall). */
-  private[graft] def pqTop10(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pqTop10(s: SparkSession, d: String,
+      planted: Boolean = false): DataFrame = {
     // subvectors feed training, encoding, and the ADC table — checkpoint
     // once or each consumer re-runs the Generate pass (n×8 tiny rows)
-    val subs = pqSubs(s, d).localCheckpoint()
+    val subs = pqSubs(s, d, planted).localCheckpoint()
     val cb = pqCodebook(subs).localCheckpoint()
     val codes = subs.join(broadcast(cb), "sub")
       .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     val dtab = subs.filter(col("vec_id") === 0)
       .join(broadcast(cb), "sub")
       .select(col("sub"), col("cid"), vec_dot(col("sv"), col("cv")).as("qdot"))
-    val norms = Tables.embeddings(s, d)
+    val norms = annCorpus(s, d, planted)
       .select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("n2"))
     val qn = norms.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
     codes.filter(col("vec_id") =!= 0)
@@ -232,14 +282,11 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** Pinned one notch under the measured deterministic PQ recall@10
-    * (fixed seed vectors + decimal-exact training make the outcome
-    * reproducible on any cluster; measured in PqSpec at both gate
-    * scales). Like IVF (floor 2), PQ recall on this corpus is bounded by
-    * the data's lack of geometric cluster structure — the synthetic
-    * embeddings are near-uniform, the worst case for a 16-entry
-    * codebook. The gate documents the floor rather than flattering it. */
-  private val pqFloor = 2
+  /** PQ gate floor over the PLANTED corpus: 8 = the pigeonhole bound
+    * for an all-planted top-10 (see plantedEmb). Raw-corpus recall
+    * (bounded at 2 by the clusterless synthetic data — the worst case
+    * for a 16-entry codebook) stays measured in PqSpec/NearDupProbe. */
+  private val pqFloor = 8
 
   // --- IVF-PQ (IVFADC composition — Jégou/Douze/Schmid, TPAMI 2011) ----
   // Coarse cells × per-cell PQ codebooks over RESIDUALS × nProbe-bounded
@@ -315,8 +362,8 @@ object VectorQueries {
     * table; cosine ranks with the stored exact norms (the pqTop10
     * recipe). Split out so IvfPqSpec can measure raw recall. */
   private[graft] def ivfpqTop10(s: SparkSession, d: String,
-      nProbe: Int = ivfpqNProbe): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+      nProbe: Int = ivfpqNProbe, planted: Boolean = false): DataFrame = {
+    val emb = annCorpus(s, d, planted)
     // cells/rsubs/codebook feed training, encoding, AND the probe —
     // checkpoint once or each consumer re-runs the upstream chain
     val cells = ivfpqCells(emb).localCheckpoint()
@@ -363,13 +410,12 @@ object VectorQueries {
       .limit(10)
   }
 
-  /** Pinned one notch under the measured deterministic IVF-PQ recall@10
-    * (NearDupProbe: 2 at sf0.001, 3 at sf0.01; IvfPqSpec re-measures at
-    * the suite scale). Bounded by BOTH parent limits on this corpus:
-    * the nProbe/n_cells scan fraction (IVF floor 2) and the 16-entry
-    * codebook on clusterless synthetic data (PQ floor 2) — the honest
-    * compound floor, not a flattering one. */
-  private val ivfpqFloor = 1
+  /** IVF-PQ gate floor over the PLANTED corpus: 8 = the pigeonhole
+    * bound for an all-planted top-10 (see plantedEmb). The raw-corpus
+    * compound floor (1 — bounded by both the nProbe/n_cells scan
+    * fraction and the 16-entry codebook on clusterless data) stays
+    * measured in IvfPqSpec/NearDupProbe. */
+  private val ivfpqFloor = 8
 
   private val kmDims = 1 to 8
 
@@ -791,18 +837,25 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
-    // Floors are pinned one notch under the observed deterministic
-    // recalls (NearDupProbe, sf0.001/sf0.01): ivf 3/3, lsh 8/7, int8
-    // 10/10. IVF's recall on this corpus is bounded by the scan fraction
-    // (nProbe/n_cells) because the synthetic labels are NOT geometric
-    // clusters — pruning by cell only pays when the partitioner matches
-    // the geometry, which is exactly what the floor documents.
+    // Recall gates run over the PLANTED corpus (see plantedEmb): with
+    // 12 plants at cos ≈ 0.9957 vs a 0.37 background ceiling, a floor
+    // of 8 is the pigeonhole-guaranteed minimum whenever the index
+    // surfaces the whole cluster — the gate now FAILS if an index
+    // misses the one real cluster in the data, instead of documenting
+    // that clusterless data bounds recall at 1–3 (the r1–r8 state; raw
+    // recalls remain measured in NearDupProbe/PqSpec/IvfPqSpec for the
+    // honest no-structure story).
     "q_knn_ivf" -> ((s, d) =>
-      recallFlag(ivfTop10(s, d), s, d, floor = 2, method = "ivf")),
+      recallFlag(ivfTop10(s, d, planted = true), s, d, floor = 8,
+        method = "ivf", planted = true)),
 
     "q_knn_lsh" -> ((s, d) =>
-      recallFlag(lshTop10(s, d), s, d, floor = 6, method = "lsh")),
+      recallFlag(lshTop10(s, d, planted = true), s, d, floor = 8,
+        method = "lsh", planted = true)),
 
+    // int8 brute force scans everything — no cluster structure needed
+    // for its recall to be meaningful; stays on the raw corpus where
+    // its measured 10/10 already bites (floor 8)
     "q_knn_quantized" -> ((s, d) =>
       recallFlag(quantizedTop10(s, d), s, d, floor = 8, method = "int8")),
 
@@ -968,7 +1021,8 @@ object VectorQueries {
     // floor pinned (the q_knn_lsh technique; oracle pins the contract —
     // codebook hashes aren't SQL-expressible).
     "q_knn_pq" -> ((s, d) =>
-      recallFlag(pqTop10(s, d), s, d, floor = pqFloor, method = "pq_m8k16")),
+      recallFlag(pqTop10(s, d, planted = true), s, d, floor = pqFloor,
+        method = "pq_m8k16", planted = true)),
 
     // --- IVF-PQ ANN (2j scale path, VERDICT r8 #1): the composition of
     // q_knn_ivf's coarse cells and q_knn_pq's product quantization —
@@ -978,8 +1032,8 @@ object VectorQueries {
     // codebooks aren't SQL-expressible), floor pinned honestly under
     // the measured deterministic recall.
     "q_knn_ivfpq" -> ((s, d) =>
-      recallFlag(ivfpqTop10(s, d), s, d, floor = ivfpqFloor,
-        method = "ivfpq_np2_m8k16")),
+      recallFlag(ivfpqTop10(s, d, planted = true), s, d, floor = ivfpqFloor,
+        method = "ivfpq_np2_m8k16", planted = true)),
 
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1261,9 +1315,9 @@ object VectorQueries {
 
     // recall-guarantee rows: the boolean is computed in-plan against the
     // exact top-10; DuckDB pins the contract (same trick as hll_ok)
-    "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, true AS recall_ok",
-    "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, true AS recall_ok",
-    "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, true AS recall_ok",
+    "q_knn_ivf" -> "SELECT 'ivf' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_lsh" -> "SELECT 'lsh' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_quantized" -> "SELECT 'int8' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // prefix-cosine shortlist of 32 (rounded, id ties) then full-dim
     // rerank — slice and cosine identical in both engines
@@ -1352,8 +1406,8 @@ object VectorQueries {
         |     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
         |FROM shortlist
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
-    "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, true AS recall_ok",
-    "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, true AS recall_ok",
+    "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
     // ground truth (cheap in DuckDB at gate scale), so any blocking miss

@@ -17,16 +17,28 @@ class IvfPqSpec extends AnyFunSuite {
   private val sf = GraftSpark.sf
 
   test("ivfpq top-10 recall@10 vs brute force clears the pinned floor") {
-    val approx = VectorQueries.ivfpqTop10(spark, sf).select("vec_id")
-    val brute = VectorQueries.bruteTop10(spark, sf)
-    val recall = approx.join(brute, "vec_id").count()
-    info(s"ivfpq recall@10 = $recall/10 at $sf")
-    assert(recall >= 1, s"recall $recall under the pinned floor")
+    // gate corpus (planted cluster): floor 8 + the pigeonhole
+    // precondition that BOTH top-10s are all-planted (what upgrades the
+    // floor from a measurement to a guarantee)
+    val approx = VectorQueries.ivfpqTop10(spark, sf, planted = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = VectorQueries.bruteTop10(spark, sf, planted = true)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & brute).size
+    info(s"ivfpq PLANTED recall@10 = $recall/10 at $sf")
+    assert(approx.forall(_ > 9200000L), s"approx top-10 not all-planted: $approx")
+    assert(brute.forall(_ > 9200000L), s"exact top-10 not all-planted: $brute")
+    assert(recall >= 8, s"recall $recall under the pinned floor 8")
+    // raw corpus: the honest clusterless-data number stays measured
+    val rawRecall = VectorQueries.ivfpqTop10(spark, sf).select("vec_id")
+      .join(VectorQueries.bruteTop10(spark, sf), "vec_id").count()
+    info(s"ivfpq RAW recall@10 = $rawRecall/10 at $sf")
+    assert(rawRecall >= 1, s"raw recall $rawRecall collapsed below the documented 1")
   }
 
   test("ivfpq gate row is deterministic and true") {
     val rows = SparkEntry.queries("q_knn_ivfpq")(spark, sf).collect()
-    assert(rows.length == 1 && rows(0).getBoolean(2),
+    assert(rows.length == 1 && rows(0).getBoolean(3),
       s"recall_ok must hold: ${rows.toSeq}")
   }
 
@@ -34,18 +46,21 @@ class IvfPqSpec extends AnyFunSuite {
     // pruning correctness: every returned candidate must live in one of
     // the nProbe probed cells (the partition-prune property the 100 TB
     // probe cost model rests on) — checked by recomputing the probed
-    // cells from the same centroid relation the plan ranks
-    val emb = Tables.embeddings(spark, sf)
+    // cells from the same centroid relation the plan ranks; run over the
+    // gate corpus (planted cluster), whose label-999 cell should win
+    val emb = VectorQueries.plantedEmb(spark, sf)
     val cells = VectorQueries.ivfpqCells(emb)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     val ranked = cells.crossJoin(broadcast(q))
       .select(col("cell"), graft.functions.cosine_sim(col("centroid"), col("qv")).as("cs"))
       .orderBy(col("cs").desc, col("cell"))
       .collect().map(_.getInt(0)).toSeq
+    assert(ranked.head === 999,
+      s"the planted cell must rank first for the query, got $ranked")
     val cellOf = emb.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     for (np <- Seq(1, 2)) {
-      val ids = VectorQueries.ivfpqTop10(spark, sf, nProbe = np)
+      val ids = VectorQueries.ivfpqTop10(spark, sf, nProbe = np, planted = true)
         .select("vec_id").collect().map(_.getLong(0)).toSeq
       val allowed = ranked.take(np).toSet
       assert(ids.nonEmpty && ids.forall(id => allowed.contains(cellOf(id))),
@@ -55,7 +70,7 @@ class IvfPqSpec extends AnyFunSuite {
 
   test("per-cell assignment distances are tie-free against seed and refined codebooks") {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, sf)
+    val emb = VectorQueries.plantedEmb(spark, sf)
     val cells = VectorQueries.ivfpqCells(emb).localCheckpoint()
     val rsubs = VectorQueries.ivfpqResidualSubs(emb, cells).localCheckpoint()
     val w = Window.partitionBy("cell", "sub").orderBy("vec_id")
@@ -89,7 +104,9 @@ class IvfPqSpec extends AnyFunSuite {
     // ranked top-10. Mirrors the plan's arithmetic step for step
     // (HALF_UP decimal(20,10) per-dim sums, in-order dot products,
     // 4-decimal HALF_UP rounding before the rank).
-    val rows = Tables.embeddings(spark, sf)
+    // gate corpus: raw scan ∪ planted cluster, collected from the same
+    // relation the plan reads (float-cast plants bit-identical)
+    val rows = VectorQueries.plantedEmb(spark, sf)
       .select("vec_id", "label", "embedding").collect()
     val emb = rows.map(r => r.getLong(0) ->
       r.getSeq[Float](2).map(_.toDouble).toArray).toMap
@@ -154,7 +171,7 @@ class IvfPqSpec extends AnyFunSuite {
         (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
       }
     val expected = scored.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
-    val got = VectorQueries.ivfpqTop10(spark, sf).select("vec_id")
+    val got = VectorQueries.ivfpqTop10(spark, sf, planted = true).select("vec_id")
       .collect().map(_.getLong(0)).toSeq
     assert(got == expected,
       s"driver-side IVF-PQ differential mismatch:\n got=$got\n exp=$expected")

@@ -14,16 +14,29 @@ class PqSpec extends AnyFunSuite {
   private val sf = GraftSpark.sf
 
   test("pq top-10 recall@10 vs brute force clears the pinned floor") {
-    val approx = VectorQueries.pqTop10(spark, sf).select("vec_id")
-    val brute = VectorQueries.bruteTop10(spark, sf)
-    val recall = approx.join(brute, "vec_id").count()
-    info(s"pq recall@10 = $recall/10 at $sf")
-    assert(recall >= 2, s"recall $recall under the pinned floor")
+    // the gate corpus (planted cluster): floor 8 must hold, and the
+    // pigeonhole precondition — BOTH top-10s drawn entirely from the 12
+    // plants — must hold too, which is what makes 8 a guarantee rather
+    // than a measurement
+    val approx = VectorQueries.pqTop10(spark, sf, planted = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = VectorQueries.bruteTop10(spark, sf, planted = true)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & brute).size
+    info(s"pq PLANTED recall@10 = $recall/10 at $sf")
+    assert(approx.forall(_ > 9200000L), s"approx top-10 not all-planted: $approx")
+    assert(brute.forall(_ > 9200000L), s"exact top-10 not all-planted: $brute")
+    assert(recall >= 8, s"recall $recall under the pinned floor 8")
+    // raw corpus: the honest no-cluster-structure number stays measured
+    val rawApprox = VectorQueries.pqTop10(spark, sf).select("vec_id")
+    val rawRecall = rawApprox.join(VectorQueries.bruteTop10(spark, sf), "vec_id").count()
+    info(s"pq RAW recall@10 = $rawRecall/10 at $sf")
+    assert(rawRecall >= 2, s"raw recall $rawRecall collapsed below the documented 2")
   }
 
   test("pq gate row is deterministic and true") {
     val rows = SparkEntry.queries("q_knn_pq")(spark, sf).collect()
-    assert(rows.length == 1 && rows(0).getBoolean(2),
+    assert(rows.length == 1 && rows(0).getBoolean(3),
       s"recall_ok must hold: ${rows.toSeq}")
   }
 
@@ -35,7 +48,7 @@ class PqSpec extends AnyFunSuite {
     // post-Lloyd REFINED codebook (drives the production encode that
     // pqTop10 joins) — a tie in either would leave min_by free to pick an
     // arbitrary code and make the gate/differential plan-dependent
-    val subs = VectorQueries.pqSubs(spark, sf)
+    val subs = VectorQueries.pqSubs(spark, sf, planted = true)
     val seed = subs.filter(col("vec_id").between(1, 16))
       .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"), col("sv").as("cv"))
     val refined = VectorQueries.pqCodebook(subs)
@@ -63,7 +76,10 @@ class PqSpec extends AnyFunSuite {
     // Mirrors the plan's arithmetic step for step (per-dim HALF_UP
     // decimal(20,10) rounding before the centroid sum, in-order dot
     // products, 4-decimal HALF_UP rounding before the rank).
-    val emb = Tables.embeddings(spark, sf)
+    // the gate corpus: raw scan ∪ planted cluster, collected from the
+    // same relation the plan reads so the float-cast plants are
+    // bit-identical on both sides
+    val emb = VectorQueries.plantedEmb(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
     def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * 8, s * 8 + 8)
@@ -104,7 +120,7 @@ class PqSpec extends AnyFunSuite {
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
     val expected = scored.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
-    val got = VectorQueries.pqTop10(spark, sf).select("vec_id")
+    val got = VectorQueries.pqTop10(spark, sf, planted = true).select("vec_id")
       .collect().map(_.getLong(0)).toSeq
     assert(got == expected, s"driver-side PQ differential mismatch:\n got=$got\n exp=$expected")
   }
