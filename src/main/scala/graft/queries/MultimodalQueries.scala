@@ -184,16 +184,20 @@ object MultimodalQueries {
         max(octet_length(col("payload"))).as("max_bytes"))
       .orderBy("lang")),
 
-    // full decode pipeline: binary → per-partition batched stub decode →
-    // typed metadata → analytics (✦: the counts/bytes/contract-flag
-    // outputs are SQL-expressible; the stub's fake dimensions are checked
-    // against the decoder contract, not their hash values)
+    // full decode pipeline over REAL JDK codecs (VERDICT r9 #2): binary
+    // containers (PNG via javax.imageio, WAV via javax.sound.sampled, a
+    // length-prefixed PNG-frame stream for video) synthesized
+    // executor-side from media_id, decoded per-partition-batched, then
+    // per-kind analytics (✦: every decoded dimension / frame count /
+    // mean sample value is recomputed by the oracle from the generation
+    // formulas — a decode that stops reading real bytes breaks the hash)
     "q_media_decode" -> ((s, d) =>
       graft.multimodal.MediaDecode.decodeStats(s, Tables.documents(s, d))),
 
-    // frame-sampling shape: explode synthetic frame indices per media row,
-    // the plan shape of video frame extraction (✦: every-10th-frame
-    // sampling reduces to integer arithmetic on the payload size)
+    // frame sampling over the video containers: length-prefix SEEK past
+    // 9 of every 10 frames (no decode), real PNG decode of the sampled
+    // frames only (✦: sampled indices + per-frame fill values are
+    // formula-derived, so the oracle replays them exactly)
     "q_frame_sample" -> ((s, d) =>
       graft.multimodal.MediaDecode.frameSample(s, Tables.documents(s, d))))
 
@@ -221,22 +225,36 @@ object MultimodalQueries {
         |  true AS uniform_max_ok, true AS corpus_between_ok
         |FROM documents""".stripMargin,
 
+    // real-codec decode: the oracle replays the generation formulas the
+    // executors feed the codecs (two-band PNG mean = (top+bot)/2 because
+    // the height is even and PNG is lossless; WAV mean = the constant
+    // amplitude; video stats from the first 8×8 frame + container count)
     "q_media_decode" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
-        |  count(*) AS n,
-        |  sum(octet_length(encode(text)))::BIGINT AS total_bytes,
-        |  sum((octet_length(encode(text)) > 0)::BIGINT)::BIGINT AS n_ok,
-        |  true AS dims_ok
+        |  count(*) AS n, count(*) AS n_ok,
+        |  round(avg(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 48
+        |            WHEN 1 THEN 0 ELSE 8 END), 4) AS avg_w,
+        |  round(avg(CASE doc_id % 3 WHEN 0 THEN 16 + 2 * ((doc_id // 7) % 16)
+        |            WHEN 1 THEN 1 ELSE 8 END), 4) AS avg_h,
+        |  round(avg(CASE doc_id % 3 WHEN 0 THEN 1
+        |            WHEN 1 THEN 1000 + doc_id % 3000
+        |            ELSE 20 + doc_id % 50 END), 4) AS avg_units,
+        |  round(avg(CASE doc_id % 3
+        |            WHEN 0 THEN ((doc_id % 256) + (doc_id * 7 % 256)) / 2.0
+        |            WHEN 1 THEN 64 + doc_id % 128
+        |            ELSE doc_id % 256 END), 4) AS avg_px
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_frame_sample" ->
-      """SELECT doc_id AS media_id,
-        |  ((nf + 9) // 10)::BIGINT AS n_sampled,
-        |  (((nf - 1) // 10) * 10)::BIGINT AS last_frame
-        |FROM (SELECT doc_id, octet_length(encode(text)) // 10 AS nf
-        |      FROM documents)
-        |WHERE nf > 0 ORDER BY media_id""".stripMargin,
+      """WITH v AS (SELECT doc_id AS media_id, 20 + doc_id % 50 AS nf
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |s AS (SELECT media_id, unnest(generate_series(0, nf - 1, 10)) AS k
+        |      FROM v)
+        |SELECT media_id, count(*) AS n_sampled,
+        |  max(k)::BIGINT AS last_frame,
+        |  round(avg((media_id + k) % 256), 4) AS avg_px
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_binary_payloads" ->
       """SELECT lang, count(*) AS n,

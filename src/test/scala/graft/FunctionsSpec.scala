@@ -18,13 +18,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === Seq("hello", "world", "foo"))
   }
 
-  test("frameSample survives sub-10-byte payloads (sequence guard)") {
-    // payloads under 10 bytes give n_frames = 0; unguarded
-    // sequence(0, -1, 10) throws at runtime — the row must drop instead
-    val docs = Seq((1L, "tiny"), (2L, ""), (3L, "long enough text to have frames"))
+  test("frameSample: only video-kind docs, sampled counts match the container") {
+    // doc_ids 1,2,3,4,5: video kind = id % 3 == 2 → ids 2 and 5 only
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
       .toDF("doc_id", "text")
     val got = graft.multimodal.MediaDecode.frameSample(spark, docs).collect()
-    assert(got.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    // id 2: nf = 22 frames → sampled 0,10,20 = 3; id 5: nf = 25 → 3
+    assert(got.map(_.getLong(1)).toSeq === Seq(3L, 3L))
+    assert(got.map(_.getLong(2)).toSeq === Seq(20L, 20L))
   }
 
   test("shingles: 3-gram windows; short docs collapse to one shingle") {
