@@ -4,15 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{byte_entropy, hamming64, phash64}
+import graft.functions.{byte_entropy, cosine_sim, hamming64, minhash_signature,
+  phash64, shingles, sign_pack32, tokens}
 
 /**
  * Multimodal-column plumbing (SURVEY.md §2j): opaque `binary` payloads +
  * typed metadata, with decode/feature-extract as a per-partition batch
- * stage. The decode itself is STUBBED (no image/audio libs in this
- * container — see [[graft.multimodal.MediaDecode.decodeStub]]); the
+ * stage. As of round 9 the decode path runs REAL JDK codecs
+ * ([[graft.multimodal.MediaDecode]]: javax.imageio PNG,
+ * javax.sound.sampled WAV, a framed-PNG video container); the
  * Spark-side plumbing — binary column, schema, partition-batched typed
- * transform, post-decode analytics — is real and tested.
+ * transform, post-decode analytics — was real from round 1.
  */
 object MultimodalQueries {
 
@@ -97,6 +99,111 @@ object MultimodalQueries {
           col("n_media"),
           (col("n_blocked") === col("n_all")).as("blocking_complete"),
           col("planted_pair_found"), col("neg_rejected"))
+    }),
+
+    // --- cross-modal dedup fusion (VERDICT r9 #6): ONE verdict per
+    // candidate pair from THREE independent evidence channels the
+    // engine already computes — minhash-banded text Jaccard, sign-
+    // blocked embedding cosine, band-blocked perceptual payload hash —
+    // majority rule (≥ 2 of 3 votes). Every channel generates
+    // candidates BLOCKED (band / sign-bucket / hash-band equi-joins
+    // that grow with occupied keys, never all-pairs), exactly the three
+    // production pipelines' shapes. The multimodal corpus is the
+    // (documents ⋈ embeddings) id intersection with payload =
+    // utf-8(text); plants: two full duplicates (all three channels must
+    // vote) and a single-channel negative control (identical embedding,
+    // alien text/payload — exactly 1 vote, must be REJECTED, which is
+    // the point of fusion: one noisy channel cannot delete a document).
+    // Output = guarantee-flag row (channel hashes aren't SQL-
+    // expressible; the planted votes and rejection are).
+    "q_multimodal_dedup" -> ((s, d) => {
+      import s.implicits._
+      val textA = "planted multimodal duplicate item sharing text embedding " +
+        "and payload evidence across all three fusion channels"
+      val textB = "alien negative control content with zero gram overlap " +
+        "entirely unrelated words everywhere bananas umbrellas xylophones"
+      val v1 = Tables.embeddings(s, d).filter(col("vec_id") === 1)
+        .select(col("embedding").as("pe"))
+      val plants = Seq((9300001L, textA), (9300002L, textA), (9300003L, textB))
+        .toDF("id", "text")
+        .crossJoin(broadcast(v1))
+        .select(col("id"), col("text"), col("pe").as("embedding"))
+      val items = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+        .join(Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")),
+          "id")
+        .unionByName(plants)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .localCheckpoint() // three channel consumers, one materialization
+
+      // channel 1: text — minhash banding (4 bands × 4 coords) →
+      // exact-Jaccard verify on the bounded candidates (gram arrays
+      // joined back by id, not carried through the bucket shuffle)
+      val grams = items.select(col("id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("g"))
+        .withColumn("sig", minhash_signature(col("g"), 16))
+        .localCheckpoint()
+      val tbuckets = grams.select(col("id"), posexplode(array((0 until 4).map(b =>
+          hash(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*)).as(Seq("band", "bkey")))
+      def bucketPairs(buckets: DataFrame, key: Seq[String]): DataFrame =
+        buckets.groupBy(key.map(col): _*)
+          .agg(collect_list("id").as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      val ga = grams.select(col("id").as("id_a"), col("g").as("ga"))
+      val gb = grams.select(col("id").as("id_b"), col("g").as("gb"))
+      val textEv = bucketPairs(tbuckets, Seq("band", "bkey"))
+        .join(ga, "id_a").join(gb, "id_b")
+        .filter(size(array_intersect(col("ga"), col("gb"))) * lit(1.0) >=
+          lit(0.8) * size(array_union(col("ga"), col("gb"))))
+        .select(col("id_a"), col("id_b"), lit("text").as("channel"))
+
+      // channel 2: embedding — block on the full packed sign pattern
+      // (the cos≈1 near-dup regime; the general-θ dial is the L×P
+      // hyperplane machinery of q_embed_neardup), verify exact cosine
+      val signs = items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
+      val ea = items.select(col("id").as("id_a"), col("embedding").as("emb_a"))
+      val eb = items.select(col("id").as("id_b"), col("embedding").as("emb_b"))
+      val embedEv = bucketPairs(signs.select(col("id"), col("sg")), Seq("sg"))
+        .join(ea, "id_a").join(eb, "id_b")
+        .filter(cosine_sim(col("emb_a"), col("emb_b")) >= 0.9)
+        .select(col("id_a"), col("id_b"), lit("embed").as("channel"))
+
+      // channel 3: payload — the q_phash_dedup aHash band blocking
+      val phs = items.select(col("id"), phash64(col("payload")).as("ph"))
+        .localCheckpoint()
+      val pbuckets = phs.select(col("id"), posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bkey")))
+      val pa = phs.select(col("id").as("id_a"), col("ph").as("ph_a"))
+      val pb = phs.select(col("id").as("id_b"), col("ph").as("ph_b"))
+      val phashEv = bucketPairs(pbuckets, Seq("band", "bkey"))
+        .join(pa, "id_a").join(pb, "id_b")
+        .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
+        .select(col("id_a"), col("id_b"), lit("phash").as("channel"))
+
+      val votes = textEv.unionByName(embedEv).unionByName(phashEv)
+        .groupBy("id_a", "id_b")
+        .agg(count_distinct(col("channel")).as("v"),
+          max(col("channel") === "text").as("tv"),
+          max(col("channel") === "embed").as("ev"),
+          max(col("channel") === "phash").as("pv"))
+      val isPlanted = col("id_a") === 9300001L && col("id_b") === 9300002L
+      val isNeg = col("id_b") === 9300003L &&
+        col("id_a").isin(9300001L, 9300002L)
+      votes.agg(
+          coalesce(max(when(isPlanted, col("v"))), lit(0L)).as("planted_votes"),
+          coalesce(max(when(isPlanted, col("tv"))), lit(false)).as("text_vote"),
+          coalesce(max(when(isPlanted, col("ev"))), lit(false)).as("embed_vote"),
+          coalesce(max(when(isPlanted, col("pv"))), lit(false)).as("phash_vote"),
+          coalesce(max(when(isNeg, col("v"))), lit(0L)).as("neg_votes"))
+        .select(lit("fusion3").as("method"), col("planted_votes"),
+          col("text_vote"), col("embed_vote"), col("phash_vote"),
+          (col("planted_votes") >= 2).as("planted_found"),
+          col("neg_votes"),
+          (col("neg_votes") < 2).as("neg_rejected"))
     }),
 
     // --- byte-entropy media quality gate: Shannon bits/byte of every
@@ -224,6 +331,15 @@ object MultimodalQueries {
       """SELECT count(*) + 2 AS n_media, true AS const_zero_ok,
         |  true AS uniform_max_ok, true AS corpus_between_ok
         |FROM documents""".stripMargin,
+
+    // fusion guarantee-flag row: the planted duplicate pair must carry
+    // all three channel votes; the single-channel negative control must
+    // carry exactly one and be rejected by the majority rule
+    "q_multimodal_dedup" ->
+      """SELECT 'fusion3' AS method, 3::BIGINT AS planted_votes,
+        |  true AS text_vote, true AS embed_vote, true AS phash_vote,
+        |  true AS planted_found, 1::BIGINT AS neg_votes,
+        |  true AS neg_rejected""".stripMargin,
 
     // real-codec decode: the oracle replays the generation formulas the
     // executors feed the codecs (two-band PNG mean = (top+bot)/2 because

@@ -80,4 +80,23 @@ class PHashSpec extends AnyFunSuite {
     val r = SparkEntry.queries("q_media_entropy")(spark, sf).head()
     assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3), s"flags: $r")
   }
+
+  test("q_multimodal_dedup: planted pair carries all 3 channel votes, " +
+      "single-channel control rejected") {
+    val rows = SparkEntry.queries("q_multimodal_dedup")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getString(0) === "fusion3")
+    assert(r.getLong(1) === 3L, s"planted pair must carry 3 votes: $r")
+    assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+      s"every channel must vote for the full duplicate: $r")
+    assert(r.getBoolean(5), s"majority rule must accept the planted pair: $r")
+    // the negative control shares ONLY the embedding — exactly one vote,
+    // and the fusion must reject it (one noisy channel can't delete)
+    assert(r.getLong(6) === 1L, s"neg control must carry exactly 1 vote: $r")
+    assert(r.getBoolean(7), s"neg control must be rejected: $r")
+    // rerun determinism (blocked joins + majority rule are layout-free)
+    val again = SparkEntry.queries("q_multimodal_dedup")(spark, sf).collect()
+    assert(again.toSeq.toString === rows.toSeq.toString)
+  }
 }
