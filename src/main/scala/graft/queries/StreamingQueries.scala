@@ -44,9 +44,14 @@ object StreamingQueries {
     "q_stream_foreach_batch" -> ((s, d) => StreamingPipelines.foreachBatchCounts(s, d)),
     "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)),
     "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)),
-    "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)))
+    "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)),
+    "q_stream_ivf_ingest" -> ((s, d) => StreamingPipelines.streamIvfIngest(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // the streamed fold-in converges to the batch twin exactly
+    // (frozen quantizer + additive per-cell counts are batch-order-
+    // independent) → shares q_ivf_incremental's derived oracle
+    "q_stream_ivf_ingest" -> VectorQueries.ivfIncrementalOracle,
     // streaming CDC apply converges to the same end state as the batch
     // MERGE (LWW-by-seq is batching-independent) → shares q_cdc_merge's
     // derived oracle

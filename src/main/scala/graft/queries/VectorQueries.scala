@@ -419,6 +419,30 @@ object VectorQueries {
 
   private val kmDims = 1 to 8
 
+  // --- incremental-IVF lane helpers (shared by q_ivf_incremental and
+  // the streaming ingest twin in StreamingPipelines) ------------------
+
+  /** (vec_id, label, x1..x8) projection for the incremental-IVF lane. */
+  private[graft] def ivfIncrEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id") +: col("label") +:
+        kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+
+  /** Frozen coarse quantizer: per-label DECIMAL-exact centroids of the
+    * base corpus (exact so the streamed and batch assignments argmin
+    * against bit-identical centroids under any partitioning). */
+  private[graft] def ivfIncrCentroids(base: DataFrame): DataFrame =
+    base.groupBy(col("label").as("cid")).agg(
+      count(lit(1)).as("cn"),
+      kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
+        / count(lit(1))).as(s"c$i")): _*)
+
+  /** Argmin assignment into the frozen cells (broadcast, hash agg). */
+  private[graft] def ivfIncrAssign(df: DataFrame, cent: DataFrame): DataFrame = df
+    .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
+    .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
+    .agg(min_by(col("cid"), kmDist).as("asg"))
+
   /** Left-assoc squared-distance chain over the first 8 dims — written
     * identically in the DuckDB oracle so the IEEE result is identical. */
   private def kmDist = kmDims
@@ -651,22 +675,13 @@ object VectorQueries {
     // the base assignment here exists so the oracle can rebuild the
     // same lists. Per-cell accounting shows where the delta landed.
     "q_ivf_incremental" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d).select(
-        col("vec_id") +: col("label") +:
-          kmDims.map(i => element_at(col("embedding"), i).cast("double").as(s"x$i")): _*)
+      val emb = ivfIncrEmb(s, d)
       val base = emb.filter(col("vec_id") % 10 =!= 3)
       val delta = emb.filter(col("vec_id") % 10 === 3)
-      val cent = base.groupBy(col("label").as("cid")).agg(
-        count(lit(1)).as("cn"),
-        kmDims.map(i => (sum(col(s"x$i").cast("decimal(20,10)")).cast("double")
-          / count(lit(1))).as(s"c$i")): _*)
-      def assign(df: DataFrame) = df
-        .crossJoin(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)))
-        .groupBy(col("vec_id") +: kmDims.map(i => col(s"x$i")): _*)
-        .agg(min_by(col("cid"), kmDist).as("asg"))
-      val baseLists = assign(base)
+      val cent = ivfIncrCentroids(base)
+      val baseLists = ivfIncrAssign(base, cent)
         .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nb"))
-      val deltaLists = assign(delta)
+      val deltaLists = ivfIncrAssign(delta, cent)
         .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nd"))
       baseLists.join(deltaLists, Seq("cid"), "full_outer")
         .select(col("cid"),
@@ -1096,7 +1111,7 @@ object VectorQueries {
        |GROUP BY 1, 2 ORDER BY repx.cid""".stripMargin
   }
 
-  private def ivfIncrementalOracle: String = {
+  private[graft] def ivfIncrementalOracle: String = {
     val xs = kmDims.map(i => s"embedding[$i]::DOUBLE AS x$i").mkString(", ")
     val cs = kmDims.map(i =>
       s"sum(x$i::DECIMAL(20,10))::DOUBLE / count(*) AS c$i").mkString(", ")

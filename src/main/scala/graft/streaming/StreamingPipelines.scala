@@ -832,6 +832,83 @@ object StreamingPipelines {
 
   /** foreachBatch sink: per-micro-batch side effect publishing batch
     * counts (DStream `foreachRDD` twin). */
+  /**
+   * Streaming ANN index maintenance (VERDICT r9 #5): the composition of
+   * q_ivf_incremental's frozen-quantizer fold-in with the
+   * streamCdcApply versioned-state pattern. The coarse quantizer (per-
+   * label DECIMAL-exact centroids of the BASE corpus) is trained once
+   * and frozen; the delta vectors arrive as a 3-batch file stream
+   * (maxFilesPerTrigger=1) and each micro-batch argmins its vectors
+   * into the frozen cells (|batch| × k broadcast distances — the only
+   * per-batch work, which is the entire economics of incremental index
+   * maintenance) and merges the per-cell counts into a versioned index
+   * snapshot (write-new-version + pointer swap, the manifest mechanic).
+   * Per-cell counts are additive, so the final accounting is
+   * batch-order-independent and must equal the batch twin
+   * q_ivf_incremental EXACTLY — which is the oracle.
+   */
+  def streamIvfIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.VectorQueries
+    val io = "/tmp/graft_io/stream_ivf"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val emb = VectorQueries.ivfIncrEmb(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 10 =!= 3)
+    val delta = emb.filter(col("vec_id") % 10 === 3)
+    // frozen quantizer: one bounded relation for the whole stream
+    val cent = VectorQueries.ivfIncrCentroids(base).localCheckpoint()
+    // v0 index: the deployed base inverted-list accounting
+    VectorQueries.ivfIncrAssign(base, cent)
+      .groupBy(col("asg").as("cid"))
+      .agg(count(lit(1)).as("n_base"))
+      .withColumn("n_delta", lit(0L))
+      .write.parquet(s"$io/v0")
+    // the delta as 3 single-file arrival batches
+    def oneFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$io/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/arrivals/$name.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/arrivals"))
+    (0 until 3).foreach(b => oneFile(
+      // integer decade (col / 10 alone is DOUBLE division in Spark)
+      delta.filter(pmod((col("vec_id") / 10).cast("long"), lit(3)) === b), s"b$b"))
+    val schema = StructType(
+      StructField("vec_id", LongType) +: StructField("label", IntegerType) +:
+        (1 to 8).map(i => StructField(s"x$i", DoubleType)))
+    var cur = s"$io/v0"
+    var ver = 0
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/arrivals/b*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val assigned = VectorQueries.ivfIncrAssign(batch, cent)
+          .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nd"))
+        val merged = spark.read.parquet(cur)
+          .join(assigned, Seq("cid"), "full_outer")
+          .select(col("cid"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            (coalesce(col("n_delta"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+              .as("n_delta"))
+        ver += 1
+        val next = s"$io/v$ver"
+        merged.write.parquet(next)
+        cur = next // pointer swap AFTER the full write: readers of the
+        ()         // previous version never see a torn snapshot
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(cur)
+      .select(col("cid"), col("n_base"), col("n_delta"),
+        (col("n_base") + col("n_delta")).as("n_total"))
+      .orderBy("cid")
+  }
+
   def foreachBatchCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
     val q = eventStream(spark, sfDir)
