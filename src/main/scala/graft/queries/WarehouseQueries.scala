@@ -481,6 +481,68 @@ object WarehouseQueries {
         .orderBy("stat")
     }),
 
+    // --- CBO join reorder (VERDICT r9 #4): q_analyze_stats computes the
+    // statistics a cost-based optimizer feeds on — this query WIRES them
+    // in. Three catalog tables get ANALYZE TABLE … FOR COLUMNS
+    // (row counts + per-column NDV/min/max into the metastore), then the
+    // SAME chain query lineitem ⋈ orders ⋈ customer(filtered) is planned
+    // twice in isolated sessions: stats+CBO OFF keeps the syntactic
+    // left-deep (L⋈O)⋈C; stats+CBO ON lets the join-reorder rule see
+    // that the filtered customer side collapses orders first and picks
+    // L⋈(O⋈C). The leaf-scan ORDER of the two optimized plans is
+    // compared driver-side (bounded — plan text only) and emitted as a
+    // contract flag; the RESULT is produced under the CBO session and
+    // must be identical either way (reordering is semantics-preserving),
+    // which the oracle checks the classic way. At 100 TB this is the
+    // difference between shuffling the fact twice and once.
+    "q_cbo_reorder" -> ((s, d) => {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t"), true)
+      }
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").saveAsTable("cbo_li")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").saveAsTable("cbo_ord")
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").saveAsTable("cbo_cust")
+      s.sql("ANALYZE TABLE cbo_li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+      s.sql("ANALYZE TABLE cbo_ord COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+      s.sql("ANALYZE TABLE cbo_cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+      val sql =
+        """SELECT c_mktsegment,
+          |  count(*) AS n_rows,
+          |  round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+          |    AS DECIMAL(30,12))), 4) AS revenue
+          |FROM cbo_li JOIN cbo_ord ON l_orderkey = o_orderkey
+          |  JOIN cbo_cust ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY c_mktsegment""".stripMargin
+      def leafOrder(sess: SparkSession): Seq[String] = {
+        val plan = sess.sql(sql).queryExecution.optimizedPlan.toString
+        Seq("cbo_li", "cbo_ord", "cbo_cust")
+          .map(t => t -> plan.indexOf(s"spark_catalog.default.$t"))
+          .sortBy(_._2).map(_._1)
+      }
+      val sOff = s.newSession()
+      sOff.conf.set("spark.sql.cbo.enabled", "false")
+      val sOn = s.newSession()
+      sOn.conf.set("spark.sql.cbo.enabled", "true")
+      sOn.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafOrder(sOn) != leafOrder(sOff)
+      // result bound to the CBO session (conf isolation — the returned
+      // DF replans at execution time under ITS session's conf)
+      sOn.sql(sql)
+        .select(col("c_mktsegment"), col("n_rows"),
+          col("revenue").cast("double").as("revenue"),
+          lit(reordered).as("cbo_reordered"))
+        .orderBy("c_mktsegment")
+    }),
+
     // --- join-key skew diagnostics: the planning pass that DECIDES
     // salting (q_salted_join is the cure; this is the diagnosis). One
     // per-key hash agg, then only bounded re-aggregates over the key
@@ -923,6 +985,19 @@ object WarehouseQueries {
         |  (max(p8) - min(p8) + 1) * (max(s8) - min(s8) + 1) AS bbox_area
         |FROM h WHERE s = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CBO reorder is semantics-preserving: the result is the plain
+    // 3-table join either way; the reorder itself is pinned as a flag
+    // (plan shapes aren't SQL) and differentially in CboReorderSpec
+    "q_cbo_reorder" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue,
+        |  true AS cbo_reordered
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_analyze_stats" ->
       """WITH w AS (
