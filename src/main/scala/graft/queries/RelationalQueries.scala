@@ -652,6 +652,64 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q1 (pricing summary report — the canonical single-scan
+    // columnar aggregate): one pushed-down date filter, one hash agg
+    // over 2 low-cardinality keys with 8 parallel aggregates, zero
+    // joins. Map-side combine collapses the scan to ~|groups| rows per
+    // partition before the one tiny shuffle — at 100 TB the cost IS the
+    // scan, which is the benchmark's point. Decimal-exact sums (the
+    // q_tpch_q3 rule) so the distributed sum order can't leak into the
+    // 4-decimal gate; averages divide the exact decimal sum (cast back
+    // to double) by the group count — identical arithmetic in DuckDB.
+    "q_tpch_q1" -> ((s, d) => {
+      def dsum(c: Column) =
+        round(sum(c.cast("decimal(30,12)")), 4).cast("double")
+      def davg(c: Column) =
+        round(sum(c.cast("decimal(30,12)")).cast("double") / count(lit(1)), 4)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= date_sub(lit("1998-12-01").cast("date"), 90))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q18 (large-volume customers): the grouped-HAVING semi join.
+    // The heavy-purchaser keys come from a map-side-combined per-order
+    // agg whose HAVING output is small — it BROADCASTS into orders
+    // (semi), so the fact is never shuffled to find the qualifying
+    // orders; the final per-order re-aggregation then touches only the
+    // qualifying rows. ORDER BY gets the o_orderkey tie-break (synthetic
+    // totalprices can collide; the oracle-determinism rule).
+    "q_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(round(sum(col("l_quantity").cast("decimal(30,12)")), 4)
+          .cast("double").as("sumq"))
+        .filter(col("sumq") > 300.0)
+        .select(col("l_orderkey").as("bigkey"))
+      val ord = Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("bigkey"), "left_semi")
+      ord.join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(round(sum(col("l_quantity").cast("decimal(30,12)")), 4)
+          .cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -1309,6 +1367,39 @@ object RelationalQueries {
         |  AND l_shipdate > DATE '1997-03-15'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE AS sum_qty,
+        |  round(sum(l_extendedprice::DECIMAL(30,12)), 4)::DOUBLE
+        |    AS sum_base_price,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS sum_disc_price,
+        |  round(sum((l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))
+        |    ::DECIMAL(30,12)), 4)::DOUBLE AS sum_charge,
+        |  round(sum(l_quantity::DECIMAL(30,12))::DOUBLE / count(*), 4)
+        |    AS avg_qty,
+        |  round(sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / count(*), 4)
+        |    AS avg_price,
+        |  round(sum(l_discount::DECIMAL(30,12))::DOUBLE / count(*), 4)
+        |    AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 90 DAY
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE > 300.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
