@@ -18,6 +18,39 @@ import graft.Tables
 object RelationalQueries {
 
   private def r4(c: Column): Column = round(c, 4)
+
+  /** One bucketed-table build per (session, dataset) — the
+    * postingsShared lifetime applied to q_bucketed_join (VERDICT r9 #7):
+    * the bucketed write is the "pay the shuffle once at write time"
+    * step a warehouse performs ONCE, so re-running it on every
+    * invocation charged ~2× saveAsTable to what is demonstrably a
+    * zero-exchange READ-path query. Keyed by session and guarded on the
+    * dataset dir so a session that switches scales rebuilds instead of
+    * serving stale buckets. */
+  private val bucketedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private[graft] def ensureBucketedTables(s: SparkSession, d: String): Unit =
+    bucketedBuilt.synchronized {
+      if (bucketedBuilt.get(s) != d) {
+        // a fresh JVM has no metastore entry for a previous run's managed
+        // table, but its warehouse directory persists → saveAsTable
+        // throws LOCATION_ALREADY_EXISTS; clear both first
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(s.sparkContext.hadoopConfiguration)
+        Seq("li_bq", "ord_bq").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + s"/$t"), true)
+        }
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("li_bq")
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("ord_bq")
+        bucketedBuilt.put(s, d)
+      }
+    }
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -500,22 +533,7 @@ object RelationalQueries {
     // never leaks. BucketingSpec holds the spec-tier twin (bucket
     // pruning + plan equality with the plain join).
     "q_bucketed_join" -> ((s, d) => {
-      // a fresh JVM has no metastore entry for a previous run's managed
-      // table, but its warehouse directory persists → saveAsTable
-      // throws LOCATION_ALREADY_EXISTS; clear both first
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(s.sparkContext.hadoopConfiguration)
-      Seq("li_bq", "ord_bq").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + s"/$t"), true)
-      }
-      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("li_bq")
-      Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("ord_bq")
+      ensureBucketedTables(s, d)
       val s2 = s.newSession()
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val joined = s2.table("li_bq")
