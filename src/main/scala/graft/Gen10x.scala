@@ -3,16 +3,23 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev tool: regenerate the 10× validation set at /tmp/sf1 — ten
-  * per-token-tagged (gram-disjoint) copies of sf0.1 documents plus ten
-  * key-offset copies of events/orders/lineitem/embeddings, dims as-is.
+/** Dev tool: regenerate the N× validation sets — per-token-tagged
+  * (gram-disjoint) copies of sf0.1 documents plus key-offset copies of
+  * events/orders/lineitem and sign-scrambled copies of embeddings.
   * Gram-disjoint copies are the honest scale-out test for the posting-
   * join family (see BASELINE.md: prefix-sharing copies instead measure
-  * the hot-key failure mode, not scale-out). */
+  * the hot-key failure mode, not scale-out).
+  *
+  * Usage: `runMain graft.Gen10x [outDir] [copies]` — defaults
+  * `/tmp/sf1 10` (the 10× set); `runMain graft.Gen10x /tmp/sf10 100`
+  * builds the 100× set for the two-orders-of-magnitude superlinearity
+  * check (a 2-point 10× fit can hide an n² term a 3rd point exposes).
+  */
 object Gen10x {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val out = "/tmp/sf1"
+    val out = if (args.length > 0) args(0) else "/tmp/sf1"
+    val n = if (args.length > 1) args(1).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +27,7 @@ object Gen10x {
     spark.sparkContext.setLogLevel("WARN")
 
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until 10).map(c => f(df, c)).reduce(_ unionAll _)
+      (0 until n).map(c => f(df, c)).reduce(_ unionAll _)
 
     val docs = Tables.documents(spark, src)
     copies(docs, (d, c) => d.select(
@@ -48,13 +55,13 @@ object Gen10x {
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // Embedding copies are SIGN-SCRAMBLED per copy (copy 0 = identity):
-    // a key-offset copy with dims as-is would plant 9 exact cos-1.0
+    // a key-offset copy with dims as-is would plant n−1 exact cos-1.0
     // duplicates of EVERY vector — an artificial mega-cluster that (a)
-    // blows q_embed_neardup up to 45·n pairs and (b) swamps the r9
+    // blows q_embed_neardup up to O(n²) pairs and (b) swamps the r9
     // planted-cluster recall gates, whose premise is the near-uniform
     // geometry the shipped corpus actually has. Component-wise ±1 flips
     // keyed by (copy, pos) preserve every norm exactly while making the
-    // copies near-orthogonal to their originals — 10× the rows, same
+    // copies near-orthogonal to their originals — n× the rows, same
     // geometry class as the source.
     val emb = Tables.embeddings(spark, src)
     def signFlip(c: Int): DataFrame = {
@@ -67,18 +74,19 @@ object Gen10x {
       // plants, 9200001+ ANN plants): c*1e6 put copy 9 exactly on top of
       // the q_embed_neardup plant ids, and the bucket groupBy summed the
       // colliding rows' sign bits into garbage buckets (0 candidate
-      // pairs at 10× — observed, diagnosed, fixed here)
+      // pairs at 10× — observed, diagnosed, fixed here). c*10000 keeps
+      // even the 100× set (max id ~1e6) clear of 9000001+.
       emb.withColumn("vec_id", col("vec_id") + c * 10000L)
         .withColumn("embedding",
           zip_with(col("embedding"), lit(signs), (a, b) => a * b))
     }
-    (Seq(emb) ++ (1 until 10).map(signFlip)).reduce(_ unionAll _)
+    (Seq(emb) ++ (1 until n).map(signFlip)).reduce(_ unionAll _)
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     Seq("customer", "nation", "region", "supplier", "part").foreach { t =>
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println("[gen10x] done")
+    println(s"[gen10x] done: $out ($n copies)")
     spark.stop()
   }
 }

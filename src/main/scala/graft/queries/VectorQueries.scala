@@ -788,7 +788,16 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
       val isQ = col("vec_id") % 100 === 7
-      val buckets = hyperplaneBuckets(emb, L = 12, P = 4)
+      // P sized from the corpus (the documented LSH scale dial):
+      // P ≈ log2(n/64) keeps expected bucket occupancy ~constant, so the
+      // (t, bucket) candidate join stays linear-ish in n. At every
+      // shipped gate scale n = 500 → P = 4, the calibrated setting the
+      // floor was pinned under — the r9 100× audit exposed that a FIXED
+      // P = 4 over 50k vectors barely blocks (collision ≈ 54%/pair →
+      // a quadratic candidate set, 153 s at 100×).
+      val n = emb.count()
+      val p = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      val buckets = hyperplaneBuckets(emb, L = 12, P = p)
       val qb = buckets.filter(isQ)
         .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
       val cb = buckets.filter(!isQ)
@@ -806,9 +815,18 @@ object VectorQueries {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3).select("q_id", "n_id")
       val approx3 = top3(cand)
+      // BOUNDED witness audit (the q_phash_dedup design): the brute
+      // yardstick cross-joins queries × corpus, so auditing every query
+      // is itself quadratic at scale — a deterministic ≤50-query sample
+      // bounds it at constant cost. At the gate scales (5 queries) the
+      // step is 1, every query is audited, and the pinned 10/15 floor
+      // keeps its exact round-1 meaning.
+      val nQ = math.max(1L, (n + 92) / 100) // ids ≡ 7 (mod 100)
+      val auditStep = math.max(1L, (nQ + 49) / 50)
+      val audited = ((col("q_id") - 7) / 100).cast("long") % auditStep === 0
       val brute3 = top3(emb.filter(!isQ).select(col("vec_id").as("n_id"))
-        .crossJoin(qvs.select("q_id")))
-      val hits = approx3.join(brute3, Seq("q_id", "n_id"))
+        .crossJoin(qvs.filter(audited).select("q_id")))
+      val hits = approx3.filter(audited).join(brute3, Seq("q_id", "n_id"))
         .agg(count(lit(1)).as("n_hits"))
       qvs.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
         .select(lit("lsh_join").as("method"), col("n_queries"), lit(3).as("k"),
