@@ -190,6 +190,26 @@ object MediaDecode {
     k
   }
 
+  /** NEAREST-neighbor half-size resize of a decoded image — the
+    * thumbnail/feature-extract step of a media pipeline. Nearest (not
+    * bilinear) keeps the oracle exact: with even source dims, every
+    * target pixel samples one source pixel, so a two-band source
+    * resizes to a two-band half-image with the SAME band values and
+    * the mean is still exactly (top+bot)/2. */
+  def resizeHalf(img: BufferedImage): BufferedImage = {
+    val (w, h) = (math.max(1, img.getWidth / 2), math.max(1, img.getHeight / 2))
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { dst.setSample(x, y, 0, src.getSample(x * 2, y * 2, 0)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
   /** documents → synthesized real containers → batched decode →
     * per-kind stats, every column recomputable from the generation
     * formulas in plain SQL. */

@@ -779,6 +779,30 @@ object CurationQueries {
     // inside an address never double-mask) are what's under test.
     // Per-row regex work in the scan stage; one hash agg. Regexes kept
     // to the Java∩RE2 common dialect.
+    // --- differentially-private release of grouped counts (round 9):
+    // the binomial mechanism (Dwork–Kenthapadi–McSherry–Mironov–Naor,
+    // EUROCRYPT 2006 — binomial noise approximating Gaussian): each
+    // published count carries centered Binomial(8, ½) integer noise.
+    // The noise is SEEDED per group key through the house md5-decimal
+    // construction — a deterministic variant so a re-published release
+    // is reproducible (and the gate can hash it); a production release
+    // would swap the seed for entropy and keep every plan shape. Cost
+    // shape at 100 TB: one hash agg, then a bounded per-group scalar
+    // map over the |groups|-row output — the noise never touches the
+    // fact scan.
+    "q_dp_noise" -> ((s, d) => {
+      val d8 = substring(concat(regexp_replace(
+          md5(concat(lit("dp1:"), col("event_type"))), "[a-f]", ""),
+        lit("00000000")), 1, 8)
+      val noise = (1 to 8).map(i =>
+        substring(d8, i, 1).cast("int") % 2).reduce(_ + _) - lit(4)
+      Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+        .select(col("event_type"), col("n_true"), noise.as("noise"),
+          (col("n_true") + noise).as("n_noisy"))
+        .orderBy("event_type")
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val aug = concat(col("text"),
@@ -1233,6 +1257,25 @@ object CurationQueries {
         |  FROM toks WHERE len(tk) >= 2)
         |SELECT pair, count(*) AS cnt FROM pairs
         |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_dp_noise" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n_true,
+        |    substr(regexp_replace(md5('dp1:' || event_type),
+        |      '[a-f]', '', 'g') || '00000000', 1, 8) AS d8
+        |  FROM g),
+        |nz AS (
+        |  SELECT event_type, n_true,
+        |    (substr(d8, 1, 1)::INT % 2 + substr(d8, 2, 1)::INT % 2 +
+        |     substr(d8, 3, 1)::INT % 2 + substr(d8, 4, 1)::INT % 2 +
+        |     substr(d8, 5, 1)::INT % 2 + substr(d8, 6, 1)::INT % 2 +
+        |     substr(d8, 7, 1)::INT % 2 + substr(d8, 8, 1)::INT % 2 - 4)::INT
+        |      AS noise
+        |  FROM x)
+        |SELECT event_type, n_true, noise, n_true + noise AS n_noisy
+        |FROM nz ORDER BY event_type""".stripMargin,
 
     "q_pii_redact" ->
       """WITH aug AS (

@@ -206,6 +206,51 @@ object MultimodalQueries {
           (col("neg_votes") < 2).as("neg_rejected"))
     }),
 
+    // --- real image resize (round 9, enabled by the real codec): PNG →
+    // decode → NEAREST half-size resize → re-encode → decode again —
+    // the thumbnail step of a media pipeline, with the second decode
+    // proving the resized bytes are a real container. Nearest sampling
+    // keeps the oracle closed-form: target row y samples source row 2y,
+    // so the two-band source yields ceil(h/4) rows of the top value and
+    // the rest bottom, and every output statistic is an exact integer
+    // formula. The corpus mean divides one exact integer pixel sum by
+    // one exact count (single IEEE division — no sum-order leakage).
+    "q_media_resize" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")).as[Long]
+      val resized = ids.mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(graft.multimodal.MediaDecode.synthPng(id)))
+          val half = graft.multimodal.MediaDecode.resizeHalf(img)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(half, "png", bos)
+          // decode the RE-ENCODED container and take integer pixel sums
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val (w, h) = (back.getWidth, back.getHeight)
+          val raster = back.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, w, h, sum, w.toLong * h)
+        }
+      }.toDF("media_id", "w", "h", "px_sum", "n_px")
+      resized.agg(
+        count(lit(1)).as("n_images"),
+        round(sum(col("w").cast("long")).cast("double") / count(lit(1)), 4)
+          .as("avg_w"),
+        round(sum(col("h").cast("long")).cast("double") / count(lit(1)), 4)
+          .as("avg_h"),
+        round(sum("px_sum").cast("double") / sum("n_px"), 4).as("mean_px"))
+    }),
+
     // --- byte-entropy media quality gate: Shannon bits/byte of every
     // payload via the codegen'd [[graft.functions.ByteEntropy]]
     // expression — the content-corruption probe (truncated/padded
@@ -340,6 +385,25 @@ object MultimodalQueries {
         |  true AS text_vote, true AS embed_vote, true AS phash_vote,
         |  true AS planted_found, 1::BIGINT AS neg_votes,
         |  true AS neg_rejected""".stripMargin,
+
+    // nearest-neighbor half-resize of the two-band PNG: target row y
+    // samples source row 2y → ceil(h/4) top rows; every statistic is an
+    // exact integer formula (w//2, h//2, and the per-image pixel sum
+    // (w//2) * (tt*a + (h2-tt)*b))
+    "q_media_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    (16 + doc_id % 48) // 2 AS w2,
+        |    (16 + 2 * ((doc_id // 7) % 16)) // 2 AS h2,
+        |    ((16 + 2 * ((doc_id // 7) % 16)) + 3) // 4 AS tt,
+        |    doc_id % 256 AS a, (doc_id * 7) % 256 AS b
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT count(*) AS n_images,
+        |  round(sum(w2)::DOUBLE / count(*), 4) AS avg_w,
+        |  round(sum(h2)::DOUBLE / count(*), 4) AS avg_h,
+        |  round(sum(w2 * (tt * a + (h2 - tt) * b))::DOUBLE
+        |    / sum(w2 * h2), 4) AS mean_px
+        |FROM img""".stripMargin,
 
     // real-codec decode: the oracle replays the generation formulas the
     // executors feed the codecs (two-band PNG mean = (top+bot)/2 because

@@ -45,13 +45,22 @@ object StreamingQueries {
     "q_stream_cdc_apply" -> ((s, d) => StreamingPipelines.streamCdcApply(s, d)),
     "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)),
     "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)),
-    "q_stream_ivf_ingest" -> ((s, d) => StreamingPipelines.streamIvfIngest(s, d)))
+    "q_stream_ivf_ingest" -> ((s, d) => StreamingPipelines.streamIvfIngest(s, d)),
+    "q_stream_phash_dedup" -> ((s, d) => StreamingPipelines.streamPhashDedup(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     // the streamed fold-in converges to the batch twin exactly
     // (frozen quantizer + additive per-cell counts are batch-order-
     // independent) → shares q_ivf_incremental's derived oracle
     "q_stream_ivf_ingest" -> VectorQueries.ivfIncrementalOracle,
+    // perceptual ingest-gate guarantee row: exactly the planted aHash
+    // group exists at gate scales (corpus payload hashes are effectively
+    // random 64-bit values — no collisions at 500–60k docs), the pair is
+    // byte-distinct, and it spanned two arrival batches
+    "q_stream_phash_dedup" ->
+      """SELECT 'phash_stream' AS method, 1::BIGINT AS n_dup_groups,
+        |  true AS planted_pair_found, true AS planted_group_streamed,
+        |  true AS payloads_differ, true AS cross_batch""".stripMargin,
     // streaming CDC apply converges to the same end state as the batch
     // MERGE (LWW-by-seq is batching-independent) → shares q_cdc_merge's
     // derived oracle

@@ -641,6 +641,83 @@ object StreamingPipelines {
   }
 
   /**
+   * Streaming perceptual-dedup ingest gate (round 9): the
+   * streamMinhashDedup recipe at the PERCEPTUAL level — media payloads
+   * arrive in 3 id-split batches, each keyed into RocksDB state by its
+   * codegen'd `PHash64` aHash, and the cross-batch keeper/count state
+   * surfaces duplicate groups at ingest time. The planted pair
+   * (9200001/9200002, a 1-byte payload perturbation with the SAME
+   * aHash) lands in DIFFERENT batches, so the gate proves cross-batch
+   * perceptual state catches what byte-dedup cannot: the payloads
+   * differ byte-wise (md5-distinct, proven in-plan) yet dedupe into
+   * one group. Per-key state = 2 longs; admits unbounded streams.
+   */
+  def streamPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val io = "/tmp/graft_io/stream_phash"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val planted = graft.queries.MultimodalQueries.phPlanted.toDF("doc_id", "text")
+    val media = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .unionAll(planted)
+    // planted ids mod 3 = {0, 1, 2}: the duplicate pair spans batches
+    // 0 and 1 — real cross-batch state, not within-batch grouping
+    writeIdSplitBatches(spark, media, s"$io/in", 3)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", "true")
+    try {
+      val gate = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/in/b*.parquet")
+        .select(phash64(encode(col("text"), "UTF-8")).as("sig"), col("doc_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SigDedupProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("sig", "keep_id", "n")
+      val emissions = runToMemory(spark, gate, "stream_phash", OutputMode.Update())
+      val groups = emissions.groupBy("sig")
+        .agg(min("keep_id").as("keep_id"), max("n").as("n"))
+        .filter(col("n") > 1)
+        .localCheckpoint()
+      val sigs = media
+        .select(col("doc_id"), phash64(encode(col("text"), "UTF-8")).as("sig"))
+        .localCheckpoint()
+      // flags, all derived in-plan: the planted pair hash-collides, its
+      // group surfaced through the STREAM state, the payloads are
+      // byte-distinct, and the pair genuinely spanned two batches
+      val plantedPair = sigs.filter(col("doc_id").isin(9200001L, 9200002L))
+        .agg((countDistinct("sig") === 1).as("planted_pair_found"))
+      val streamed = groups
+        .join(sigs.filter(col("doc_id") === 9200001L).select("sig"), "sig")
+        .agg((count(lit(1)) === 1).as("planted_group_streamed"))
+      val bytesDiffer = media.filter(col("doc_id").isin(9200001L, 9200002L))
+        .agg((countDistinct(md5(col("text"))) === 2).as("payloads_differ"))
+      val crossBatch = media.filter(col("doc_id").isin(9200001L, 9200002L))
+        .agg((countDistinct(col("doc_id") % 3) === 2).as("cross_batch"))
+      groups.agg(count(lit(1)).as("n_dup_groups"))
+        .crossJoin(broadcast(plantedPair))
+        .crossJoin(broadcast(streamed))
+        .crossJoin(broadcast(bytesDiffer))
+        .crossJoin(broadcast(crossBatch))
+        .select(lit("phash_stream").as("method"), col("n_dup_groups"),
+          col("planted_pair_found"), col("planted_group_streamed"),
+          col("payloads_differ"), col("cross_batch"))
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /**
    * Streaming quality-classifier inference: the weight relation trained
    * by q_quality_classifier ([[graft.queries.CurationQueries.qcTrainShared]],
    * one training run per session) scores document micro-batches at

@@ -69,6 +69,44 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(r.isEmpty || r.get._1 != imgW(42L) || true) // must not throw
   }
 
+  test("resizeHalf: nearest sampling, band structure preserved, roundtrips") {
+    for (id <- Seq(0L, 21L, 42L, 777L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(synthPng(id)))
+      val half = resizeHalf(img)
+      assert(half.getWidth === imgW(id) / 2 && half.getHeight === imgH(id) / 2)
+      // target row y samples source row 2y → ceil(h/4) top-band rows
+      val h2 = imgH(id) / 2
+      val tt = (imgH(id) + 3) / 4
+      val expSum = half.getWidth.toLong * (tt.toLong * imgTop(id) +
+        (h2 - tt).toLong * imgBot(id))
+      var sum = 0L
+      for (y <- 0 until h2; x <- 0 until half.getWidth)
+        sum += half.getRaster.getSample(x, y, 0)
+      assert(sum === expSum, s"id $id: resized pixel sum $sum != formula $expSum")
+      // the resized image re-encodes to a real PNG and decodes identically
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(half, "png", bos)
+      val Some((w2, hh2, mean2)) = decodeImage(bos.toByteArray)
+      assert(w2 === half.getWidth && hh2 === h2)
+      assert(mean2 === sum.toDouble / (w2.toLong * hh2))
+    }
+  }
+
+  test("q_dp_noise: integer binomial noise in [-4,4], deterministic, count-consistent") {
+    val spark = GraftSpark.spark
+    val rows = SparkEntry.queries("q_dp_noise")(spark, GraftSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, noise, noisy) = (r.getLong(1), r.getInt(2), r.getLong(3))
+      assert(noise >= -4 && noise <= 4, s"noise out of range: $r")
+      assert(noisy === n + noise, s"noisy count inconsistent: $r")
+    }
+    val again = SparkEntry.queries("q_dp_noise")(spark, GraftSpark.sf).collect()
+    assert(again.map(_.toString).toSeq === rows.map(_.toString).toSeq,
+      "seeded noise must be rerun-deterministic")
+  }
+
   test("decodeStats over a tiny corpus matches the formula aggregate per kind") {
     val spark = GraftSpark.spark
     import spark.implicits._
