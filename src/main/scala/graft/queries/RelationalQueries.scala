@@ -507,6 +507,24 @@ object RelationalQueries {
     }),
 
     // --- scalar function families (2g) ------------------------------------
+    // Spark 4 COLLATION surface (round 9): string comparison semantics
+    // as a TYPE property, not a lower() rewrite — a mixed-case relation
+    // is counted distinct and equality-filtered under UTF8_LCASE, where
+    // 'X' = 'x' holds natively (and the collation-aware hash keeps the
+    // agg a hash agg). The oracle models the same semantics with
+    // lower(); single-row output so no case-variant representative can
+    // leak a partition-order dependence.
+    "q_collation" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("p"))
+      val mixed = o.select(lower(col("p")).as("p"))
+        .unionAll(o.select(upper(col("p")).as("p")))
+      mixed.agg(
+        countDistinct(col("p")).as("n_binary"),
+        countDistinct(collate(col("p"), "UTF8_LCASE")).as("n_lcase"),
+        count(when(collate(col("p"), "UTF8_LCASE") === lit("1-urgent"), 1))
+          .as("n_urgent_ci"))
+    }),
+
     "q_string_funcs" -> ((s, d) => Tables.part(s, d)
       .select(
         col("p_partkey"),
@@ -1327,6 +1345,16 @@ object RelationalQueries {
         |  INTERSECT
         |  SELECT user_id FROM events WHERE event_type = 'purchase'
         |) ORDER BY user_id""".stripMargin,
+
+    "q_collation" ->
+      """WITH m AS (
+        |  SELECT lower(o_orderpriority) AS p FROM orders
+        |  UNION ALL
+        |  SELECT upper(o_orderpriority) FROM orders)
+        |SELECT count(DISTINCT p) AS n_binary,
+        |  count(DISTINCT lower(p)) AS n_lcase,
+        |  count(*) FILTER (WHERE lower(p) = '1-urgent') AS n_urgent_ci
+        |FROM m""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,

@@ -543,6 +543,26 @@ object WarehouseQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // --- equi-width histogram (round 9): the other CBO statistic
+    // family q_analyze_stats doesn't cover — 20 fixed-width buckets of
+    // o_totalprice with per-bucket count and observed bounds. Bounds
+    // come from a 1-row broadcast agg; the bucket id is pure arithmetic
+    // on the scan (no sort, no window), so the histogram costs one scan
+    // + one bounded agg at any corpus size — the ANALYZE…HISTOGRAM
+    // plan shape.
+    "q_histogram" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_totalprice").as("v"))
+      val bounds = o.agg(min("v").as("lo"), max("v").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(lit(19), floor((col("v") - col("lo"))
+            / ((col("hi") - col("lo")) / 20.0)).cast("int")).as("bucket"),
+          col("v"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min("v"), 4).as("lo_v"), round(max("v"), 4).as("hi_v"))
+        .orderBy("bucket")
+    }),
+
     // --- join-key skew diagnostics: the planning pass that DECIDES
     // salting (q_salted_join is the cure; this is the diagnosis). One
     // per-key hash agg, then only bounded re-aggregates over the key
@@ -764,6 +784,33 @@ object WarehouseQueries {
           ||> ORDER BY o_orderstatus""".stripMargin,
         Map("thr" -> 150000.0))
         .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
+    // --- SQL-DEFINED functions (round 9): Spark 4's declarative
+    // function surface — a scalar SQL UDF (CREATE TEMPORARY FUNCTION …
+    // RETURN expr) and a SQL TABLE function (RETURNS TABLE … RETURN
+    // SELECT) — the zero-closure way for users to extend the engine:
+    // the body is Catalyst expressions/plans, so it inlines into the
+    // caller's plan and stays inside whole-stage codegen (unlike a JVM
+    // closure UDF, which the engine-wide PlanShapeSpec lint bans). The
+    // oracle inlines the same bodies by hand.
+    "q_sql_udf" -> ((s, d) => {
+      val s2 = s.newSession() // temp functions are session-scoped
+      Tables.orders(s2, d).createOrReplaceTempView("orders_udf")
+      s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+               |  price DOUBLE, pri STRING) RETURNS DOUBLE
+               |RETURN CASE WHEN pri = '1-URGENT' THEN price * 0.9
+               |            ELSE price END""".stripMargin)
+      // the table-function parameter binds in WHERE (a LIMIT must stay
+      // foldable — parameter references are rejected there by design)
+      s2.sql("""CREATE OR REPLACE TEMPORARY FUNCTION orders_of(
+               |  pri STRING) RETURNS TABLE (o_orderkey BIGINT, dp DOUBLE)
+               |RETURN SELECT o_orderkey,
+               |  round(disc_price(o_totalprice, o_orderpriority), 4) AS dp
+               |FROM orders_udf WHERE o_orderpriority = pri
+               |ORDER BY o_orderkey LIMIT 25""".stripMargin)
+      s2.sql("""SELECT o_orderkey, dp FROM orders_of('1-URGENT')
+               |ORDER BY o_orderkey""".stripMargin)
     }),
 
     // --- custom UDAF over a window frame: the Welford/Chan typed
@@ -1119,6 +1166,23 @@ object WarehouseQueries {
       """SELECT o_orderkey AS k, o_orderstatus AS status,
         |  round(o_totalprice, 2) AS price, o_orderkey AS xpath_k
         |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY k""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders)
+        |SELECT least(19, floor((o_totalprice - lo) / ((hi - lo) / 20.0)))::INT
+        |    AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 4) AS lo_v,
+        |  round(max(o_totalprice), 4) AS hi_v
+        |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the SQL UDF bodies inlined by hand
+    "q_sql_udf" ->
+      """SELECT o_orderkey,
+        |  round(o_totalprice * 0.9, 4) AS dp
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey LIMIT 25""".stripMargin,
 
     "q_sql_pipe" ->
       """SELECT o_orderstatus, count(*) AS n,
