@@ -69,6 +69,92 @@ object VectorQueries {
   private def annCorpus(s: SparkSession, d: String, planted: Boolean): DataFrame =
     if (planted) plantedEmb(s, d) else Tables.embeddings(s, d)
 
+  /**
+   * Graph-traversal ANN (round 9): the SPANN/DiskANN-family shape —
+   * a kNN GRAPH built from LSH-blocked candidate pairs (per-node top-4
+   * by exact cosine, symmetrized), entered at a handful of coarse-cell
+   * seeds, then BEAM-SEARCHED: T rounds of frontier-edge expansion with
+   * exact-cosine re-ranking, tracking the visited set. Per round the
+   * work is |frontier| × degree edge lookups (an equi-join on the
+   * source id) — the probe reads a VANISHING fraction of the corpus,
+   * which is the entire graph-ANN economics at 100 TB (the graph build
+   * is the indexing cost, amortized like IVF training). The entry is
+   * deliberately SMALLER than the answer set (4 seeds for a top-10),
+   * so the recall gate can only pass if edge traversal actually
+   * discovers the rest of the planted cluster — GraphAnnSpec pins that
+   * the entry alone stays under the floor.
+   */
+  /** One kNN-graph build per (session, dataset) — the graph is the
+    * INDEX (built once, amortized over every probe, the kmRunShared
+    * lifetime); the per-query cost is the beam search only. */
+  private val graphCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def knnGraphShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graphCache.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = plantedEmb(s, d).localCheckpoint()
+      val n = emb.count()
+      val p = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      val buckets = hyperplaneBuckets(emb, L = 12, P = p)
+      // candidate pairs within buckets → exact cosine → top-4 out-edges
+      // per node, symmetrized (kNN graphs are directed; NSW reachability
+      // wants both directions)
+      val cand = buckets.groupBy("t", "bucket")
+        .agg(collect_list("vec_id").as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(col("ids")).as("src"), col("ids"))
+        .select(col("src"), explode(col("ids")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val ea = emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
+      val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
+      val scored = cand.join(ea, "src").join(eb, "dst")
+        .select(col("src"), col("dst"),
+          round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs"))
+      val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+      val out4 = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4).select("src", "dst")
+      val edges = out4
+        .unionByName(out4.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      (emb, edges)
+    })
+
+  private[graft] def graphTop10(s: SparkSession, d: String,
+      rounds: Int = 3): DataFrame = {
+    val (emb, edges) = knnGraphShared(s, d)
+    // entry: the 4 lowest-id members of the query's best coarse cell —
+    // fewer than k, so traversal must do the rest
+    val cells = ivfpqCells(emb)
+    val bestCell = cells.crossJoin(broadcast(queryVec(s, d)))
+      .select(col("cell"), cosine_sim(col("centroid"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cell")).limit(1)
+      .select(col("cell").as("best_cell"))
+    var visited = emb.join(broadcast(bestCell), col("label") === col("best_cell"))
+      .orderBy("vec_id").limit(4).select(col("vec_id")).localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to rounds) {
+      val expanded = frontier.join(edges, frontier("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id")).distinct()
+      val fresh = expanded.join(visited, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(fresh).localCheckpoint()
+      // beam: keep the 8 query-nearest of the new candidates as the
+      // next frontier (greedy best-first, batched per round)
+      frontier = fresh.join(emb, "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), cosine_sim(col("embedding"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(8)
+        .select("vec_id").localCheckpoint()
+    }
+    visited.filter(col("vec_id") =!= 0).join(emb, "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Pinned one notch under the measured deterministic batch recall of
     * q_knn_join_lsh (NearDupProbe-style calibration: 15 possible hits —
     * 5 queries × top-3; measured 11 at sf0.001 and 14 at sf0.01; the
@@ -1068,6 +1154,15 @@ object VectorQueries {
       recallFlag(ivfpqTop10(s, d, planted = true), s, d, floor = ivfpqFloor,
         method = "ivfpq_np2_m8k16", planted = true)),
 
+    // --- graph-traversal ANN (round 9): cluster-seeded beam search
+    // over an LSH-built kNN graph (see graphTop10) — the gate only
+    // passes if edge traversal discovers the planted cluster beyond
+    // the 4-seed entry (entry-only recall pinned < floor in
+    // GraphAnnSpec).
+    "q_knn_graph" -> ((s, d) =>
+      recallFlag(graphTop10(s, d), s, d, floor = 8,
+        method = "nsw_beam_t3", planted = true)),
+
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
@@ -1440,6 +1535,7 @@ object VectorQueries {
         |FROM shortlist
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_graph" -> "SELECT 'nsw_beam_t3' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
