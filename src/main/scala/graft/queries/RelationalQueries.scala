@@ -719,6 +719,19 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q6 (forecasting revenue change): the pure pushdown
+    // benchmark — three range predicates and one product-sum, no
+    // grouping keys, no joins. Every predicate reaches the parquet scan
+    // (PushedFilters), the aggregate is a 1-row partial+final, and the
+    // whole query is one codegen stage over the pruned columns.
+    "q_tpch_q6" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(30,12)")), 4).cast("double").as("revenue"))),
+
     // TPC-H Q18 (large-volume customers): the grouped-HAVING semi join.
     // The heavy-purchaser keys come from a map-side-combined per-order
     // agg whose HAVING output is small — it BROADCASTS into orders
@@ -1433,6 +1446,15 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= DATE '1998-12-01' - INTERVAL 90 DAY
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(30,12)),
+        |  4)::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (
