@@ -249,6 +249,46 @@ object SourceQueries {
         .withColumn("sum_price", col("sum_price").cast("double"))
     }),
 
+    // DSv2 row-level UPDATE + MERGE (round 9, engine tier): the
+    // SupportsRowLevelOperations group-based rewrite — Spark plans
+    // ReplaceData (scan the affected group, compute updated + copied
+    // rows, write back), the connector commits the replacement as an
+    // atomic snapshot swap, and Spark itself evaluates the SET/ON
+    // expressions with full semantics (no connector Filter translation
+    // limits). UPDATE discounts one status band, then MERGE applies a
+    // changeset with update/delete/insert clauses in one command; the
+    // oracle replays both mutations relationally.
+    "q_dsv2_update" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 7 === 0)
+        .write.format("graftmem").option("table", "orders_upd")
+        .mode("overwrite").save()
+      s.conf.set("spark.sql.catalog.graftmem_cat",
+        "graft.sources.GraftMemCatalog")
+      s.sql("""UPDATE graftmem_cat.orders_upd
+               SET o_totalprice = o_totalprice * 0.9
+               WHERE o_orderstatus = 'F'""")
+      // %14==0 keys exist in the table (⊂ %7==0 → update/delete
+      // clauses); %14==1 keys cannot (14k+1 ≢ 0 mod 7 → insert clause)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 14 === 0 || col("o_orderkey") % 14 === 1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 5.0).as("new_price"))
+        .createOrReplaceTempView("orders_chg")
+      s.sql("""MERGE INTO graftmem_cat.orders_upd t
+               USING orders_chg c ON t.o_orderkey = c.o_orderkey
+               WHEN MATCHED AND t.o_orderstatus = 'O' THEN DELETE
+               WHEN MATCHED THEN UPDATE SET o_totalprice = c.new_price
+               WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+                 o_totalprice) VALUES (c.o_orderkey, 'M', c.new_price)""")
+      s.sql("""SELECT o_orderstatus, count(*) AS n,
+                 round(sum(CAST(o_totalprice AS DECIMAL(30,12))), 4) AS sum_price
+               FROM graftmem_cat.orders_upd
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+        .withColumn("sum_price", col("sum_price").cast("double"))
+    }),
+
     // DataSource V2 WRITE path (2a engine tier): push a deterministic
     // slice of orders through the `graftmem` connector's transactional
     // protocol — per-partition DataWriters, task commit messages, one
@@ -286,6 +326,32 @@ object SourceQueries {
         |  min(i) AS min_id, max(i) AS max_id
         |FROM generate_series(20000, 79999) AS t(i)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // relational replay of UPDATE-then-MERGE: discount 'F' rows, then
+    // left-join the changeset (matched 'O' → dropped, other matched →
+    // new_price, unmatched table rows keep the discounted price) and
+    // union the inserts
+    "q_dsv2_update" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.9
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |chg AS (
+        |  SELECT o_orderkey, o_totalprice + 5.0 AS new_price FROM orders
+        |  WHERE o_orderkey % 14 = 0 OR o_orderkey % 14 = 1),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus,
+        |    CASE WHEN c.o_orderkey IS NOT NULL THEN c.new_price
+        |         ELSE b.price END AS price
+        |  FROM base b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+        |  WHERE NOT (c.o_orderkey IS NOT NULL AND b.o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT c.o_orderkey, 'M', c.new_price FROM chg c
+        |  WHERE c.o_orderkey NOT IN (SELECT o_orderkey FROM base))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(price::DECIMAL(30,12)), 4)::DOUBLE AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dsv2_delete" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -96,13 +96,73 @@ object GraftMemStore {
 
 class GraftMemTable(tableName: String, parts: Int)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // ---- row-level UPDATE / MERGE (and DELETE fallback): the GROUP-based
+  // rewrite protocol. Spark rewrites the command into ReplaceData —
+  // scan the affected groups, compute the replacement rows (updated +
+  // untouched), write them back, and the connector must atomically
+  // replace the scanned groups' content. This table's group granularity
+  // is the WHOLE TABLE (no file substructure), so the write-back is a
+  // truncating commit — the same atomic snapshot swap as overwrite.
+  // Division of labor with SupportsDelete above: a DELETE whose
+  // predicate passes canDeleteWhere takes the METADATA-ONLY fast path
+  // (no Spark job); anything else — arbitrary predicates, UPDATE,
+  // MERGE — flows through this rewrite, where Spark itself evaluates
+  // the condition with full expression semantics.
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command():
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        GraftMemTable.this.newScanBuilder(options)
+      // whole-table group ⇒ the replacement set is the full new content:
+      // commit as a truncating snapshot swap. The incoming write schema
+      // carries ENGINE METADATA columns (`__row_operation`) alongside
+      // the row columns, so the writer projects the committed columns
+      // BY NAME — storing positionally would shift every value one slot
+      // (observed: operation codes where ids should be).
+      override def newWriteBuilder(lwi: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val committed = GraftMemStore.tables(tableName).schema
+            override def createBatchWriterFactory(
+                pi: PhysicalWriteInfo): DataWriterFactory =
+              MemProjWriterFactory(committed)
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              val batch = messages.flatMap(_.asInstanceOf[MemCommit].rows)
+              GraftMemStore.tables.put(tableName,
+                GraftMemStore.Committed(committed, batch))
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          }
+          }
+        }
+    }
   override def name(): String = s"graftmem($tableName)"
   override def schema(): StructType =
     GraftMemStore.tables.get(tableName).map(_.schema).getOrElse(new StructType())
-  override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    // ACCEPT_ANY_SCHEMA only BEFORE the first commit (the table adopts
+    // the incoming write schema). Once a schema is committed, writes
+    // resolve against it normally — which also unblocks the row-level
+    // UPDATE/MERGE rewrites: with ACCEPT_ANY_SCHEMA the analyzer skips
+    // assignment alignment, `aligned` never holds, and RewriteUpdateTable
+    // silently never fires (the command then dies at the planner with
+    // UNSUPPORTED_FEATURE.TABLE_OPERATION — observed, diagnosed here).
+    val caps =
+      if (GraftMemStore.tables.contains(tableName)) base
+      else base + TableCapability.ACCEPT_ANY_SCHEMA
+    caps.asJava
+  }
 
   // ---- row-level DELETE (SupportsDelete): `DELETE FROM cat.t WHERE p`
   // plans as a metadata operation pushed WHOLLY into the connector —
@@ -352,6 +412,45 @@ case class MemSlice(schema: StructType, rows: Array[Array[Any]])
     extends InputPartition
 
 case class MemCommit(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+/** Row-level-rewrite writer: buffers only the committed columns. The
+  * physical rows of a group-based ReplaceData carry LEADING engine
+  * metadata (`__row_operation`) that `LogicalWriteInfo.schema()` does
+  * NOT report (observed: schema said 3 columns, rows carried 4, and a
+  * positional read stored operation codes where ids should be) — so
+  * the writer skips `row.numFields - committed.length` leading slots.
+  * The Dsv2SourceSpec UPDATE/MERGE value assertions break loudly if a
+  * Spark upgrade ever moves the metadata elsewhere. */
+case class MemProjWriterFactory(committed: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(row: InternalRow): Unit = {
+        val off = row.numFields - committed.length
+        val out = new Array[Any](committed.length)
+        var i = 0
+        while (i < committed.length) {
+          val j = off + i
+          out(i) =
+            if (row.isNullAt(j)) null
+            else committed(i).dataType match {
+              case LongType => row.getLong(j)
+              case IntegerType => row.getInt(j)
+              case DoubleType => row.getDouble(j)
+              case BooleanType => row.getBoolean(j)
+              case StringType => row.getUTF8String(j).toString
+              case t => throw new IllegalArgumentException(
+                s"graftmem does not support ${t.catalogString}")
+            }
+          i += 1
+        }
+        buf += out
+      }
+      override def commit(): WriterCommitMessage = MemCommit(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
 
 case class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =

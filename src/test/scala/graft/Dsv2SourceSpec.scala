@@ -91,7 +91,11 @@ class Dsv2SourceSpec extends AnyFunSuite {
   test("graftmem append mode accumulates instead of replacing") {
     spark.range(5).select(col("id"), lit(1.0).as("v"), lit("x").as("tag"))
       .write.format("graftmem").option("table", "spec_ap").mode("overwrite").save()
-    spark.range(3).select(col("id") + 100, lit(2.0).as("v"), lit("y").as("tag"))
+    // post-commit, writes resolve BY NAME against the committed schema
+    // (ACCEPT_ANY_SCHEMA applies only to the adopting first write), so
+    // computed columns need their committed alias
+    spark.range(3).select((col("id") + 100).as("id"), lit(2.0).as("v"),
+        lit("y").as("tag"))
       .write.format("graftmem").option("table", "spec_ap").mode("append").save()
     val back = spark.read.format("graftmem").option("table", "spec_ap").load()
     assert(back.count() == 8)
@@ -125,8 +129,8 @@ class Dsv2SourceSpec extends AnyFunSuite {
     // loses one of them; the compare-and-swap loop must keep both
     val jobs = (1 to 2).map { i =>
       Future {
-        spark.range(100).select(col("id") + i * 1000, lit(i.toDouble).as("v"),
-            lit(s"t$i").as("tag"))
+        spark.range(100).select((col("id") + i * 1000).as("id"),
+            lit(i.toDouble).as("v"), lit(s"t$i").as("tag"))
           .write.format("graftmem").option("table", "spec_cc")
           .mode("append").save()
       }
@@ -194,19 +198,23 @@ class Dsv2SourceSpec extends AnyFunSuite {
       === expected)
   }
 
-  test("graftmem DELETE refuses a predicate it cannot evaluate exactly") {
+  test("graftmem DELETE: untranslatable predicate takes the row-level path, exactly") {
     spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
     spark.range(10).select(col("id"), col("id").cast("double").as("v"),
         lit("x").as("tag"))
       .write.format("graftmem").option("table", "spec_del2")
       .mode("overwrite").save()
-    // v * 2 > 5 is not v1-Filter-translatable → must error, NOT
-    // half-delete (canDeleteWhere honesty)
-    intercept[Exception] {
-      spark.sql("DELETE FROM gm_spec.spec_del2 WHERE v * 2 > 5.0")
-    }
-    assert(spark.sql("SELECT count(*) FROM gm_spec.spec_del2")
-      .head().getLong(0) === 10L, "a refused delete must change nothing")
+    // v * 2 > 5 is not v1-Filter-translatable, so the metadata-only
+    // fast path refuses it — but with SupportsRowLevelOperations the
+    // command now flows through the group-based ReplaceData rewrite,
+    // where SPARK evaluates the full expression: the delete must be
+    // EXACT (rows 0..2 survive: 0,2,4 ≤ 5), never an error and never
+    // a half-delete
+    spark.sql("DELETE FROM gm_spec.spec_del2 WHERE v * 2 > 5.0")
+    val back = spark.sql("SELECT id FROM gm_spec.spec_del2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(back === Seq(0L, 1L, 2L),
+      s"row-level delete must apply the exact expression semantics: $back")
   }
 
   test("graftmem DELETE WHERE a != k keeps NULL rows (three-valued Not)") {
@@ -244,6 +252,41 @@ class Dsv2SourceSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM gm_spec.spec_innull").head().getLong(0)
     assert(n === 6L || n === 4L,
       s"expected either a refused delete (6) or an exact t0 delete (4), got $n")
+  }
+
+  test("graftmem row-level UPDATE rewrites exactly and atomically") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    spark.range(10).select(col("id"), (col("id") * 10).cast("double").as("v"),
+        concat(lit("t"), (col("id") % 2).cast("string")).as("tag"))
+      .write.format("graftmem").option("table", "spec_upd")
+      .mode("overwrite").save()
+    spark.sql("UPDATE gm_spec.spec_upd SET v = v + 0.5 WHERE tag = 't0'")
+    val got = spark.sql("SELECT id, v FROM gm_spec.spec_upd")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0L until 10L).foreach { id =>
+      val exp = if (id % 2 == 0) id * 10 + 0.5 else id * 10.0
+      assert(got(id) === exp, s"id $id: ${got(id)} != $exp")
+    }
+  }
+
+  test("graftmem MERGE INTO applies update+insert+delete clauses in one command") {
+    spark.conf.set("spark.sql.catalog.gm_spec", "graft.sources.GraftMemCatalog")
+    spark.range(6).select(col("id"), (col("id") * 1.0).as("v"))
+      .write.format("graftmem").option("table", "spec_merge")
+      .mode("overwrite").save()
+    spark.range(4, 9).select(col("id"), (col("id") * 100.0).as("v"))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      """MERGE INTO gm_spec.spec_merge t USING merge_src s ON t.id = s.id
+        |WHEN MATCHED AND t.id = 5 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got = spark.sql("SELECT id, v FROM gm_spec.spec_merge")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 0..3 untouched; 4 updated to 400; 5 deleted; 6..8 inserted
+    val exp = (0L to 3L).map(i => i -> i * 1.0).toMap ++
+      Map(4L -> 400.0) ++ (6L to 8L).map(i => i -> i * 100.0).toMap
+    assert(got === exp, s"merge result $got != $exp")
   }
 
   test("graftmem rejects a type-divergent append instead of re-labelling old rows") {
