@@ -732,6 +732,52 @@ object RelationalQueries {
       .agg(round(sum((col("l_extendedprice") * col("l_discount"))
         .cast("decimal(30,12)")), 4).cast("double").as("revenue"))),
 
+    // TPC-H Q10 (returned-item reporting): fact filtered on the return
+    // flag and quarter, customer + nation ride broadcasts, one grouped
+    // agg, top-20 by revenue (TakeOrderedAndProject — never a global
+    // sort). c_custkey tie-break pins the LIMIT boundary.
+    "q_tpch_q10" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("date") &&
+          col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(sum(col("rev").cast("decimal(30,12)")), 4)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    // TPC-H Q14 (promotion effect): two-table join + conditional share
+    // — the promo revenue fraction over one month. One shuffle join
+    // (part broadcasts), two decimal-exact sums, ONE division at the
+    // end (no per-row ratios to drift).
+    "q_tpch_q14" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("date") &&
+          col("l_shipdate") < lit("1996-10-01").cast("date"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type").startsWith("ECONOMY"), col("rev"))
+              .otherwise(0.0).cast("decimal(30,12)")).cast("double") /
+            sum(col("rev").cast("decimal(30,12)")).cast("double"), 4)
+            .as("economy_share_pct"))
+    }),
+
     // TPC-H Q18 (large-volume customers): the grouped-HAVING semi join.
     // The heavy-purchaser keys come from a map-side-combined per-order
     // agg whose HAVING output is small — it BROADCASTS into orders
@@ -1455,6 +1501,31 @@ object RelationalQueries {
         |  AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1996-10-01'
+        |  AND o_orderdate < DATE '1997-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type LIKE 'ECONOMY%'
+        |      THEN l_extendedprice * (1.0 - l_discount)
+        |      ELSE 0.0 END::DECIMAL(30,12))::DOUBLE /
+        |  sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12))::DOUBLE,
+        |  4) AS economy_share_pct
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= DATE '1996-09-01'
+        |  AND l_shipdate < DATE '1996-10-01'""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (
