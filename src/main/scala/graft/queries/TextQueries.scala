@@ -348,6 +348,76 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // --- stupid-backoff trigram LM (round 9; Brants et al., EMNLP 2007
+    // "Large Language Models in Machine Translation" — the web-scale LM
+    // that skips normalization): score(w3|w1w2) = f(w1w2w3)/f(w1w2),
+    // backing off to 0.4·f(w2w3)/f(w2), then 0.4²·f(w3)/N. All three
+    // count relations are distributed on their gram keys (the model is
+    // never broadcast — same policy as q_lm_score); scoring = one
+    // trigram pass with three LEFT joins + coalesced CASE. Per-tier hit
+    // counts ride along as exact integers, so the gate pins the backoff
+    // LADDER itself, not just the blended score.
+    "q_lm_backoff" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val tg = toks
+        .select(col("doc_id"), pos_ngrams(col("tk"), 3).as(Seq("pos", "g3")))
+        .select(col("doc_id"), col("g3"),
+          substring_index(col("g3"), " ", 2).as("ctx12"),
+          substring_index(col("g3"), " ", -2).as("g23"),
+          substring_index(substring_index(col("g3"), " ", 2), " ", -1).as("w2"),
+          substring_index(col("g3"), " ", -1).as("w3"))
+      // counts come from the TRAIN split only (doc_id % 5 ≠ 0): counts
+      // over the full corpus would contain every scored trigram and the
+      // backoff ladder could never fire — the held-out split is what
+      // makes unseen trigrams genuinely unseen. (A scored w3 absent
+      // from train entirely falls to the unigram tier with c1 null —
+      // floored at 1 like the classic OOV count.)
+      val train = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      val bgAll = train
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(pos_ngrams(col("tk"), 2).as(Seq("pos", "g2")))
+      val ugAll = train
+        .select(explode(tokens(col("text"))).as("w"))
+      val c3 = train
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(pos_ngrams(col("tk"), 3).as(Seq("pos", "g3")))
+        .groupBy("g3").agg(count(lit(1)).as("c3"))
+      val c2 = bgAll.groupBy("g2").agg(count(lit(1)).as("c2"))
+      val c1 = ugAll.groupBy("w").agg(count(lit(1)).as("c1"))
+      val nTot = ugAll.agg(count(lit(1)).as("n_tok"))
+      val scoredRows = tg.filter(col("doc_id") % 5 === 0)
+        .join(c3, Seq("g3"), "left")
+        .join(c2.select(col("g2").as("ctx12"), col("c2").as("cctx")),
+          Seq("ctx12"), "left")
+        .join(c2.select(col("g2").as("g23"), col("c2").as("cbi")),
+          Seq("g23"), "left")
+        .join(c1.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+        .join(c1.select(col("w").as("w3"), col("c1").as("cw3")), Seq("w3"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"),
+          when(col("c3").isNotNull,
+            log(col("c3").cast("double") / col("cctx")))
+          .when(col("cbi").isNotNull,
+            log(lit(0.4) * col("cbi") / col("cw2")))
+          .otherwise(log(lit(0.16) * coalesce(col("cw3"), lit(1L))
+            / col("n_tok"))).as("lp"),
+          when(col("c3").isNotNull, 1L).otherwise(0L).as("hit3"),
+          when(col("c3").isNull && col("cbi").isNotNull, 1L)
+            .otherwise(0L).as("hit2"),
+          when(col("c3").isNull && col("cbi").isNull, 1L)
+            .otherwise(0L).as("hit1"))
+      scoredRows.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          sum("hit3").as("n_tri_hits"),
+          sum("hit2").as("n_bi_backoffs"),
+          sum("hit1").as("n_uni_backoffs"),
+          round(avg("lp"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // --- CCNet head/middle/tail pruning: every doc scored by the
     // corpus-trained bigram LM (the q_lm_score pipeline, unsampled),
     // then split per language into perplexity TERTILES — the bucket
@@ -1297,6 +1367,55 @@ object TextQueries {
         |  round(regr_intercept(ln(cnt), ln(rank)), 4) AS zipf_intercept,
         |  round(regr_r2(ln(cnt), ln(rank)), 4) AS zipf_r2
         |FROM top""".stripMargin,
+    "q_lm_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |t3 AS (
+        |  SELECT doc_id,
+        |    unnest([{'g3': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2],
+        |             'c12': tk[i] || ' ' || tk[i+1],
+        |             'g23': tk[i+1] || ' ' || tk[i+2],
+        |             'w2': tk[i+1], 'w3': tk[i+2]}
+        |      FOR i IN range(1, len(tk) - 1)]) AS s
+        |  FROM toks),
+        |tg AS (SELECT doc_id, s.g3 AS g3, s.c12 AS ctx12, s.g23 AS g23,
+        |         s.w2 AS w2, s.w3 AS w3 FROM t3),
+        |train3 AS (SELECT g3, count(*) AS c3 FROM tg
+        |           WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |b2 AS (SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |         FOR i IN range(1, len(tk))]) AS g2
+        |       FROM toks WHERE doc_id % 5 <> 0),
+        |train2 AS (SELECT g2, count(*) AS c2 FROM b2 GROUP BY 1),
+        |u1 AS (SELECT unnest(tk) AS w FROM toks WHERE doc_id % 5 <> 0),
+        |train1 AS (SELECT w, count(*) AS c1 FROM u1 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tok FROM u1),
+        |sc AS (
+        |  SELECT tg.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN ln(c3.c3::DOUBLE / cc.c2)
+        |         WHEN cb.c2 IS NOT NULL THEN ln(0.4 * cb.c2 / cw2.c1)
+        |         ELSE ln(0.16 * coalesce(cw3.c1, 1) / n.n_tok) END AS lp,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS hit3,
+        |    CASE WHEN c3.c3 IS NULL AND cb.c2 IS NOT NULL
+        |         THEN 1 ELSE 0 END AS hit2,
+        |    CASE WHEN c3.c3 IS NULL AND cb.c2 IS NULL
+        |         THEN 1 ELSE 0 END AS hit1
+        |  FROM tg
+        |  LEFT JOIN train3 c3 USING (g3)
+        |  LEFT JOIN train2 cc ON tg.ctx12 = cc.g2
+        |  LEFT JOIN train2 cb ON tg.g23 = cb.g2
+        |  LEFT JOIN train1 cw2 ON tg.w2 = cw2.w
+        |  LEFT JOIN train1 cw3 ON tg.w3 = cw3.w
+        |  CROSS JOIN n
+        |  WHERE tg.doc_id % 5 = 0)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  sum(hit3)::BIGINT AS n_tri_hits,
+        |  sum(hit2)::BIGINT AS n_bi_backoffs,
+        |  sum(hit1)::BIGINT AS n_uni_backoffs,
+        |  round(avg(lp), 4) AS avg_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,
