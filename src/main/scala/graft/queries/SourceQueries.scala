@@ -249,6 +249,34 @@ object SourceQueries {
         .withColumn("sum_price", col("sum_price").cast("double"))
     }),
 
+    // Storage-partitioned join (round 9, engine tier): two `graftpart`
+    // scans report KeyGroupedPartitioning over identity(cat) with
+    // per-partition HasPartitionKey rows, and with v2 bucketing enabled
+    // Spark matches partitions BY KEY VALUE — the equi-join and the
+    // downstream per-cat aggregate plan with ZERO exchange on either
+    // side (proven in-plan, the q_bucketed_join technique). This is the
+    // DSv2 mechanism Iceberg/Delta use to join co-partitioned 100 TB
+    // tables without shuffling either; broadcast is disabled so the
+    // join can't dodge the demonstration.
+    "q_spj_join" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = s2.read.format("graftpart").option("rows", 7000).load()
+      val b = s2.read.format("graftpart").option("rows", 700)
+        .option("salt", 70000).load()
+        .select(col("id").as("id_b"), col("val").as("val_b"), col("cat"))
+      val joined = a.join(b, "cat")
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"),
+          round(sum((col("val") + col("val_b")).cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_vv"))
+        .orderBy("cat")
+      val plan = joined.queryExecution.executedPlan.toString
+      val zeroExchange = !plan.contains("Exchange hashpartitioning")
+      joined.withColumn("zero_exchange", lit(zeroExchange))
+    }),
+
     // DSv2 row-level UPDATE + MERGE (round 9, engine tier): the
     // SupportsRowLevelOperations group-based rewrite — Spark plans
     // ReplaceData (scan the affected group, compute updated + copied
@@ -325,6 +353,22 @@ object SourceQueries {
         |  round(sum(((i * 2654435761) % 1000) / 10.0), 4) AS sum_val,
         |  min(i) AS min_id, max(i) AS max_id
         |FROM generate_series(20000, 79999) AS t(i)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_spj_join" ->
+      """WITH a AS (
+        |  SELECT i AS id, ((i * 2654435761) % 1000) / 10.0 AS val,
+        |    'c' || (i % 7) AS cat
+        |  FROM generate_series(0, 6999) t(i)),
+        |b AS (
+        |  SELECT i + 70000 AS id,
+        |    (((i + 70000) * 2654435761) % 1000) / 10.0 AS val_b,
+        |    'c' || (i % 7) AS cat
+        |  FROM generate_series(0, 699) t(i))
+        |SELECT cat, count(*) AS n,
+        |  round(sum((val + val_b)::DECIMAL(30,12)), 4)::DOUBLE AS sum_vv,
+        |  true AS zero_exchange
+        |FROM a JOIN b USING (cat)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // relational replay of UPDATE-then-MERGE: discount 'F' rows, then
