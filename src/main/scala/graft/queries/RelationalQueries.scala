@@ -805,6 +805,166 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q4 (order priority checking), adapted: the synthetic lineitem
+    // has no commit/receipt dates, so the EXISTS predicate is "some line
+    // shipped more than 30 days after the order date" — same plan shape
+    // (quarter-filtered orders ⋉ EXISTS-correlated lineitem → tiny
+    // grouped count). The semi join carries the non-equi ship-lag
+    // predicate INSIDE the join condition, so each order is emitted at
+    // most once without a distinct; the filtered order side is the small
+    // build side and lineitem is never aggregated.
+    "q_tpch_q4" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("date") &&
+          col("o_orderdate") < lit("1996-10-01").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q7 (volume shipping), adapted: the synthetic nation space is
+    // 25 uniform NATION_k rows, so a single nation pair is empty at gate
+    // scale — the pair predicate lifts one level to REGIONS (ASIA⇄EUROPE),
+    // preserving the query's shape exactly: two independent dimension
+    // chains (supplier→nation→region, customer→nation→region) reduced to
+    // broadcast maps BEFORE the facts join, the disjunctive pair filter,
+    // and the (supp_region, cust_region, year) rollup. The only big
+    // shuffle is lineitem⋈orders; both region chains ride broadcasts.
+    "q_tpch_q7" -> ((s, d) => {
+      def regionOf(nat: DataFrame, reg: DataFrame) = nat
+        .join(broadcast(reg.filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("r_name"))
+      val suppReg = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(regionOf(Tables.nation(s, d), Tables.region(s, d))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("r_name").as("supp_region"))
+      val custReg = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(regionOf(Tables.nation(s, d), Tables.region(s, d))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("r_name").as("cust_region"))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(broadcast(custReg), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "cust_region")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") <= lit("1997-12-31").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(broadcast(suppReg), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
+          (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
+        .groupBy(col("supp_region"), col("cust_region"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("rev").cast("decimal(30,12)")), 4)
+          .cast("double").as("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the two-level
+    // aggregate — a LEFT OUTER join whose extra predicate lives in the
+    // join condition (so order-less customers survive with count 0; the
+    // priority filter substitutes for the comment NOT LIKE, which the
+    // synthetic orders lack), a per-customer count, then a tiny
+    // histogram over the counts. First shuffle is keyed on c_custkey,
+    // second input is |customers| rows collapsing to ~20 groups —
+    // map-side combine makes the histogram free.
+    "q_tpch_q13" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, d).select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 (top supplier): the argmax-over-an-aggregate pattern —
+    // per-supplier quarter revenue, its 1-row max broadcast back as an
+    // equality filter (ties all surface, per spec), supplier names ride
+    // a broadcast. The revenue relation is localCheckpointed because TWO
+    // consumers (the max and the final filter) would otherwise each
+    // re-run the fact scan+agg.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,12)")), 4).cast("double").as("total_revenue"))
+        .localCheckpoint()
+      val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.join(broadcast(top), col("total_revenue") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated-average
+    // decorrelated into a per-part aggregate join. The threshold compare
+    // is DIVISION-FREE — `l_quantity < 0.2·avg(qty)` is algebraically
+    // `5·l_quantity·cnt < sum(qty)` (cnt > 0) with the sum decimal-exact,
+    // so no engine's double-average rounding can flip a row at the
+    // boundary. Brand-filtered parts broadcast twice (once to scope the
+    // per-part stats, once for the probe) — the per-part agg only ever
+    // aggregates lines of the ~|brand| parts, not the whole fact.
+    "q_tpch_q17" -> ((s, d) => {
+      val brandParts = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#13").select("p_partkey")
+      // two consumers (stats + probe) — materialize the small brand
+      // subset once instead of scanning the fact twice
+      val liBrand = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .localCheckpoint()
+      val stats = liBrand.groupBy(col("l_partkey").as("sp_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,12)")).as("sumq"),
+          count(lit(1)).as("cnt"))
+      liBrand.join(broadcast(stats), col("l_partkey") === col("sp_partkey"))
+        .filter(col("l_quantity") * lit(5.0) * col("cnt") <
+          col("sumq").cast("double"))
+        .agg(round((sum(col("l_extendedprice").cast("decimal(30,12)"))
+          .cast("double") / lit(7.0)).cast("decimal(30,12)"), 4)
+          .cast("double").as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity), adapted: the synthetic
+    // customer has no phone, and every customer has SOME order, so the
+    // cntrycode IN-list becomes the nation key and "no orders" becomes
+    // "no orders in the trailing year" (dormant accounts). Shape is the
+    // spec's: a 1-row global average over positive balances broadcast as
+    // the threshold (compared division-free: bal·cnt > sum, both sides
+    // bit-identical across engines), an ANTI join against the
+    // date-filtered orders, and a per-nation count/sum rollup.
+    "q_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val thr = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(30,12)")).cast("double")
+          .as("sum_pos"), count(lit(1)).as("cnt_pos"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-08-01").cast("date"))
+        .select("o_custkey")
+      cust.join(broadcast(thr))
+        .filter(col("c_acctbal") * col("cnt_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(30,12)")), 4)
+            .cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -1550,6 +1710,89 @@ object RelationalQueries {
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= DATE '1996-07-01'
+        |  AND o_orderdate < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+        |    OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+        |  AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum((l_extendedprice * (1.0 - l_discount))
+        |      ::DECIMAL(30,12)), 4)::DOUBLE AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, rev
+        |WHERE s_suppkey = l_suppkey
+        |  AND total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // division-free threshold: qty < 0.2*avg  ⇔  5*qty*cnt < sum (exact)
+    "q_tpch_q17" ->
+      """WITH libr AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')),
+        |stats AS (
+        |  SELECT l_partkey AS sp_partkey,
+        |    sum(l_quantity::DECIMAL(30,12)) AS sumq, count(*) AS cnt
+        |  FROM libr GROUP BY 1)
+        |SELECT round((sum(l_extendedprice::DECIMAL(30,12))::DOUBLE / 7.0)
+        |  ::DECIMAL(30,12), 4)::DOUBLE AS avg_yearly
+        |FROM libr, stats
+        |WHERE l_partkey = sp_partkey
+        |  AND l_quantity * 5.0 * cnt < sumq::DOUBLE""".stripMargin,
+
+    // division-free threshold: bal > avg(pos)  ⇔  bal*cnt > sum (exact)
+    "q_tpch_q22" ->
+      """WITH thr AS (
+        |  SELECT sum(c_acctbal::DECIMAL(30,12))::DOUBLE AS sum_pos,
+        |    count(*) AS cnt_pos
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal::DECIMAL(30,12)), 4)::DOUBLE AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal * cnt_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = customer.c_custkey
+        |      AND o.o_orderdate >= DATE '2000-08-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // ground truth by construction: components rebuilt from the fields
     // the URL was synthesized from, not re-parsed
