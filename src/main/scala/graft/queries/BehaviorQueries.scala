@@ -376,6 +376,37 @@ object BehaviorQueries {
     // grain plus the grand total in ONE pass (Expand + hash agg —
     // Catalyst plans ROLLUP as a single scan with a 4-way Expand, not
     // four scans). The drill-down cube every revenue dashboard reads.
+    // --- EWMA smoothing (exponential moving average, the time-series
+    // denoising primitive behind anomaly baselines and metric
+    // dashboards). The recursive y_k = α·x_k + (1−α)·y_{k−1} is
+    // UNROLLED to its 16-term truncated closed form so it plans as one
+    // per-user window with 16 codegen'd lag() columns — no recursion,
+    // no per-row state, one shuffle on user_id and a sort within the
+    // partition (the 100 TB plan: sessions never cross executors).
+    // α = 1/2 makes every weight 2^-(j+1) — an EXACT dyadic double
+    // whose decimal literal both engines parse to the same bits, and
+    // the left-associated sum order matches the oracle term-for-term,
+    // so the arithmetic is bit-identical before the round(4).
+    // Truncation tail ≤ 2^-16 of the oldest mass, below the rounding.
+    "q_ewma_smooth" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ewma = (0 until 16)
+        .map(j => coalesce(lag(col("value"), j).over(w), lit(0.0)) *
+          lit(math.pow(0.5, j + 1)))
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        // decimal-cast before the round: the 2-decimal inputs land sums
+        // exactly on 4th-decimal halves, where the two engines' DOUBLE
+        // round algorithms disagree — the 12-digit decimal detour is the
+        // house determinism rule
+        .withColumn("ewma",
+          round(ewma.cast("decimal(30,12)"), 4).cast("double"))
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_time_rollup" -> ((s, d) => {
       Tables.orders(s, d)
         .select(year(col("o_orderdate")).as("y"),
@@ -611,6 +642,19 @@ object BehaviorQueries {
         |SELECT event_type, sum(n)::BIGINT AS n_events,
         |  round(sum((n - expected) * (n - expected) / expected), 6) AS chi2_part
         |FROM exp_ GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same 16 exact-dyadic weight literals, same left-assoc term order
+    // → bit-identical doubles before the round
+    "q_ewma_smooth" -> {
+      val terms = (0 until 16).map(j =>
+        s"coalesce(lag(value, $j) OVER w, 0.0) * ${math.pow(0.5, j + 1)}")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id,
+         |  round(($terms)::DECIMAL(30,12), 4)::DOUBLE AS ewma
+         |FROM events WHERE user_id < 20
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
 
     "q_time_rollup" ->
       """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q,

@@ -573,6 +573,58 @@ object RelationalQueries {
     // one. Computed over the AGGREGATED per-customer relation, which is
     // the scale story: the frontier query runs on |customers| rows
     // after a map-side-combined agg, never on raw orders; and the
+    // Fuzzy (edit-distance) join — the entity-resolution primitive a
+    // curation pipeline runs to reconcile noisy keys (vendor names, doc
+    // ids with OCR typos). Entities are 12-hex-char md5 tags derivable
+    // identically in both engines; the planted batch (r8 recipe) gives
+    // the gate teeth: custkey%7==3 probes carry ONE substitution (must
+    // match, ED=1), custkey%7==5 probes carry substitutions in BOTH
+    // halves (equal-length ED is exactly 2 — a single edit on equal
+    // lengths must be a substitution fixing one position — so they are
+    // negative controls the verify predicate must reject). Blocking is
+    // the PassJoin pigeonhole: a single edit on equal-length strings
+    // touches one half, so the OTHER half survives intact — candidates
+    // = pairs sharing either positional half, via two equi-joins on
+    // 6-hex block keys (diverse keys, never all-pairs); exact
+    // levenshtein verifies candidates only. At 100 TB: two shuffle
+    // equi-joins on short hex keys + per-candidate O(len²) verify —
+    // verify cost bounded by block collisions, not |A|×|B|. The DuckDB
+    // oracle brute-forces all pairs, so a blocking channel that MISSES
+    // a real pair hash-fails, not just slows down.
+    "q_fuzzy_join" -> ((s, d) => {
+      val canon = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          substring(md5(concat(lit("ent:"), col("c_custkey"))), 1, 12)
+            .as("cname"))
+        .localCheckpoint() // consumed by probes + two block channels
+      // hex alphabet never contains 'x', so every substitution is a
+      // real change and planted distances are exact by construction
+      val typo1 = canon.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey").as("probe_key"),
+          expr("concat(substr(cname, 1, cast(c_custkey % 12 as int)), 'x', " +
+            "substr(cname, cast(c_custkey % 12 as int) + 2))").as("pname"))
+      val typo2 = canon.filter(col("c_custkey") % 7 === 5)
+        .select(col("c_custkey").as("probe_key"),
+          expr("concat(substr(cname, 1, cast(c_custkey % 6 as int)), 'x', " +
+            "substr(cname, cast(c_custkey % 6 as int) + 2, 5), 'x', " +
+            "substr(cname, cast(c_custkey % 6 as int) + 8))").as("pname"))
+      val probes = typo1.unionAll(typo2).localCheckpoint()
+      def blocks(df: DataFrame, name: String, id: String) = df.select(
+          col(id), explode(array(
+            struct(lit(1).as("half"), substring(col(name), 1, 6).as("bk")),
+            struct(lit(2).as("half"), substring(col(name), 7, 6).as("bk"))))
+            .as("b"))
+        .select(col(id), col("b.half"), col("b.bk"))
+      val cands = blocks(probes, "pname", "probe_key")
+        .join(blocks(canon, "cname", "c_custkey"), Seq("half", "bk"))
+        .select("probe_key", "c_custkey").distinct()
+      cands.join(probes, "probe_key").join(canon, "c_custkey")
+        .withColumn("dist", levenshtein(col("pname"), col("cname")))
+        .filter(col("dist") <= 1)
+        .select("probe_key", "c_custkey", "pname", "cname", "dist")
+        .orderBy("probe_key", "c_custkey")
+    }),
+
     // dominance check prunes with a broadcast frontier-candidate
     // heuristic (only rows not dominated by the single max-spend row
     // can survive — at 100 TB that broadcast 1-row prefilter kills
@@ -1589,6 +1641,30 @@ object RelationalQueries {
         |  true AS zero_exchange_join
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // brute-force ground truth: ALL probe×canon pairs at ED<=1 — a
+    // Spark blocking channel that misses a real pair hash-fails here
+    "q_fuzzy_join" ->
+      """WITH canon AS (
+        |  SELECT c_custkey,
+        |    substr(md5('ent:' || c_custkey), 1, 12) AS cname
+        |  FROM customer),
+        |probes AS (
+        |  SELECT c_custkey AS probe_key,
+        |    concat(substr(cname, 1, (c_custkey % 12)::INT), 'x',
+        |      substr(cname, (c_custkey % 12)::INT + 2)) AS pname
+        |  FROM canon WHERE c_custkey % 7 = 3
+        |  UNION ALL
+        |  SELECT c_custkey AS probe_key,
+        |    concat(substr(cname, 1, (c_custkey % 6)::INT), 'x',
+        |      substr(cname, (c_custkey % 6)::INT + 2, 5), 'x',
+        |      substr(cname, (c_custkey % 6)::INT + 8)) AS pname
+        |  FROM canon WHERE c_custkey % 7 = 5)
+        |SELECT probe_key, c_custkey, pname, cname,
+        |  levenshtein(pname, cname)::INT AS dist
+        |FROM probes, canon
+        |WHERE levenshtein(pname, cname) <= 1
+        |ORDER BY probe_key, c_custkey""".stripMargin,
 
     "q_skyline" ->
       """WITH cust AS (

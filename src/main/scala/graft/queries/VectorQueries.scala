@@ -23,6 +23,12 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** The fixed query vector: embedding of vec_id 0 (1-row broadcast). */
+  /** NDCG rank discounts 1/log2(r+1), r = 1..10 — evaluated ONCE here
+    * and embedded as the SAME double literals in both the plan and the
+    * oracle SQL, so no engine's libm log enters the comparison. */
+  private[graft] val ndcgDiscounts: Seq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
   private def queryVec(s: SparkSession, d: String) =
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
@@ -1006,6 +1012,51 @@ object VectorQueries {
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
     }),
 
+    // Retrieval-quality evaluation: NDCG@10 of the matryoshka two-stage
+    // retrieval against the exact ranking — the metric a retrieval
+    // pipeline gates index changes on, computed IN-PLAN (graded gains =
+    // rounded exact cosines, so the metric is hash-exact, not a flag).
+    // Rank discounts 1/log2(r+1) are a 10-entry LITERAL table shared
+    // verbatim with the oracle (no engine libm log in the plan), and
+    // both DCG sums accumulate decimal-exact products, so the only
+    // doubles are bit-identical literals and one final division. Both
+    // ranked lists are ≤10 rows — the single-partition windows are on
+    // constant-size relations; the corpus-sized work is the same
+    // shortlist scan + brute yardstick every recall gate already pays.
+    "q_retrieval_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val disc = ndcgDiscounts
+      def dcgOf(ranked: DataFrame, alias: String) = ranked
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("gain").desc, col("vec_id"))))
+        .withColumn("disc", element_at(array(disc.map(lit): _*), col("rn")))
+        .agg(sum((col("gain") * col("disc")).cast("decimal(30,12)"))
+          .cast("double").as(alias))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          slice(col("embedding"), 1, 16).as("head16"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("head16").as("qh"), col("embedding").as("qv"))
+      val shortlist = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qv"),
+          round(cosine_sim(col("head16"), col("qh")), 4).as("head_cos"))
+        .orderBy(col("head_cos").desc, col("vec_id")).limit(32)
+      val approx = shortlist
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("gain"))
+        .orderBy(col("gain").desc, col("vec_id")).limit(10)
+      val ideal = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine_sim(col("embedding"), col("qv")), 4).as("gain"))
+        .orderBy(col("gain").desc, col("vec_id")).limit(10)
+      dcgOf(approx, "dcg").crossJoin(dcgOf(ideal, "idcg"))
+        .select(lit("matryoshka").as("method"), lit(10).as("k"),
+          round(col("dcg"), 4).as("dcg"), round(col("idcg"), 4).as("idcg"),
+          round(col("dcg") / col("idcg"), 4).as("ndcg"))
+    }),
+
     // Binary-quantized ANN JOIN — q_knn_join's batch-retrieval shape on
     // q_knn_binary's 8-byte signatures: every query vector broadcasts
     // its sign words, stage 1 ranks candidates per query by XOR+POPCNT
@@ -1468,6 +1519,47 @@ object VectorQueries {
         |     sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS cos_sim
         |FROM shortlist
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same rounded-gain rankings, same 10 discount literals, same
+    // decimal-exact DCG sums — value-checked, not a flag
+    "q_retrieval_ndcg" -> {
+      val discList = ndcgDiscounts.mkString("[", ", ", "]")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS head16
+         |  FROM embeddings),
+         |q AS (SELECT head16 AS qh, embedding AS qv FROM e WHERE vec_id = 0),
+         |shortlist AS (
+         |  SELECT e.vec_id, e.embedding, q.qv,
+         |    round(list_dot_product(e.head16::DOUBLE[], q.qh::DOUBLE[]) /
+         |      (sqrt(list_dot_product(e.head16::DOUBLE[], e.head16::DOUBLE[])) *
+         |       sqrt(list_dot_product(q.qh::DOUBLE[], q.qh::DOUBLE[]))), 4)
+         |      AS head_cos
+         |  FROM e, q WHERE e.vec_id <> 0
+         |  ORDER BY head_cos DESC, e.vec_id LIMIT 32),
+         |approx AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[]) /
+         |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 4) AS gain
+         |  FROM shortlist ORDER BY gain DESC, vec_id LIMIT 10),
+         |ideal AS (
+         |  SELECT e.vec_id,
+         |    round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+         |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+         |       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 4) AS gain
+         |  FROM e, q WHERE e.vec_id <> 0 ORDER BY gain DESC, e.vec_id LIMIT 10),
+         |ar AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, vec_id) AS rn
+         |  FROM approx),
+         |ir AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, vec_id) AS rn
+         |  FROM ideal),
+         |d AS (SELECT sum((gain * ($discList::DOUBLE[])[rn])::DECIMAL(30,12))
+         |  ::DOUBLE AS dcg FROM ar),
+         |i AS (SELECT sum((gain * ($discList::DOUBLE[])[rn])::DECIMAL(30,12))
+         |  ::DOUBLE AS idcg FROM ir)
+         |SELECT 'matryoshka' AS method, 10 AS k, round(dcg, 4) AS dcg,
+         |  round(idcg, 4) AS idcg, round(dcg / idcg, 4) AS ndcg
+         |FROM d, i""".stripMargin
+    },
 
     // batch twin: same bit-identical signatures, per-query Hamming
     // top-8 then cosine top-3, both rankings tie-broken by id

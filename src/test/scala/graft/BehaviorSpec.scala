@@ -211,4 +211,36 @@ class BehaviorSpec extends AnyFunSuite {
     val expected = events.groupBy(_._1).values.map(_.size.toLong - 1L).sum
     assert(rows.map(_._3).sum === expected)
   }
+
+  test("q_ewma_smooth matches the driver closed form and tracks the recursion") {
+    val rows = Tables.events(spark, sf).filter(col("user_id") < 20)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val weights = (0 until 16).map(j => math.pow(0.5, j + 1))
+    def round4(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expect = rows.groupBy(_._1).flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3.getTime, e._3.getNanos, e._2))
+      ordered.indices.map { k =>
+        // same term order as the plan's left-assoc reduce
+        val trunc = (0 until 16)
+          .map(j => (if (k - j >= 0) ordered(k - j)._4 else 0.0) * weights(j))
+          .reduce(_ + _)
+        // untruncated recursion for the tail bound
+        val rec = (0 to k).foldLeft(0.0)((acc, i) => acc * 0.5 + ordered(i)._4 * 0.5)
+        (ordered(k)._2, round4(trunc), rec)
+      }
+    }
+    val got = queries.BehaviorQueries.queries("q_ewma_smooth")(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.size === rows.length)
+    val maxV = rows.map(_._4.abs).max
+    expect.foreach { case (eid, trunc, rec) =>
+      assert(got(eid) === trunc, s"event $eid: closed form mismatch")
+      // truncation discards at most 2^-16 of the oldest mass
+      assert(math.abs(trunc - rec) <= maxV / 65536.0 + 5e-5, s"event $eid tail")
+    }
+  }
 }
