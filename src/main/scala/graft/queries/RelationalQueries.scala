@@ -1017,6 +1017,153 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q8 (national market share), adapted to the synthetic
+    // dimensions: the market is the EUROPE customer region, the measured
+    // "nation" is supplier nation NATION_3. The shape is the spec's —
+    // the conditional-share pattern (one grouped pass computing BOTH the
+    // nation-filtered and total revenue sums, one division at the end),
+    // with the customer-region chain and the supplier-nation map riding
+    // broadcasts; the one big shuffle is lineitem⋈orders.
+    "q_tpch_q8" -> ((s, d) => {
+      val eurCust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"), "left_semi")
+          .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") <= lit("1997-12-31").cast("date"))
+        .join(broadcast(eurCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val suppNat = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+          round(
+            sum(when(col("supp_nation") === "NATION_3", col("rev"))
+              .otherwise(0.0).cast("decimal(30,12)")).cast("double") /
+            sum(col("rev").cast("decimal(30,12)")).cast("double"), 4)
+            .as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product-type profit), adapted: the synthetic schema has
+    // no partsupp, so supply cost proxies as p_retailprice·l_quantity/10
+    // — the PLAN is the benchmark's (part-name LIKE filter pruning the
+    // probe side, part + supplier-nation broadcasts, lineitem⋈orders the
+    // one fact shuffle, per-(nation, year) profit rollup). The per-row
+    // profit expression is identical in both engines; sums are
+    // decimal-exact.
+    "q_tpch_q9" -> ((s, d) => {
+      val pt = Tables.part(s, d).filter(col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+      val suppNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            col("p_retailprice") * col("l_quantity") * lit(0.1))
+          .cast("decimal(30,12)")), 4).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 (shipping-mode priority), adapted: the synthetic
+    // lineitem has no shipmode/commit/receipt dates — the mode bucket is
+    // l_linestatus and "late" is shipped >60 days after the order date.
+    // The shape is the spec's: one fact join, a year filter, and the
+    // high/low-priority CASE counts per bucket (map-side combined to 2
+    // rows).
+    "q_tpch_q12" -> ((s, d) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") <= lit("1996-12-31").cast("date"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate",
+            "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_count"),
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("low_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    // three-clause OR across both join sides — the point is that the
+    // clauses each reference part AND lineitem columns, so the predicate
+    // evaluates inside the broadcast hash join (never a cartesian), and
+    // the partkey equi-key still drives the join. Clauses adapted to the
+    // columns the synthetic part carries (brand/size/quantity; no
+    // container/shipmode).
+    "q_tpch_q19" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      li.join(broadcast(Tables.part(s, d)
+            .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,12)")), 4).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    // shipped >60 days after the order date (no commit/receipt dates).
+    // The double correlated EXISTS / NOT EXISTS decorrelates into ONE
+    // per-order aggregate — n_supps ≥ 2 ⇔ "some other supplier touched
+    // the order" and n_late_supps = 1 ⇔ "no OTHER supplier was late"
+    // (the late line's own supplier is necessarily the one) — joined
+    // back to the late lines. At 100 TB that is two passes over the
+    // order-keyed fact instead of two per-row subquery probes.
+    "q_tpch_q21" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+            .as("late"))
+        .localCheckpoint() // two consumers: per-order agg + late-line probe
+      val perOrder = li.groupBy(col("l_orderkey").as("agg_okey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supps"))
+      li.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("agg_okey"))
+        .filter(col("n_supps") >= 2 && col("n_late_supps") === 1)
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -1641,6 +1788,84 @@ object RelationalQueries {
         |  true AS zero_exchange_join
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(
+        |    sum(CASE WHEN n1.n_name = 'NATION_3'
+        |        THEN l_extendedprice * (1.0 - l_discount)
+        |        ELSE 0.0 END::DECIMAL(30,12))::DOUBLE /
+        |    sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12))
+        |      ::DOUBLE, 4) AS mkt_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |  AND r2.r_name = 'EUROPE'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // supply cost proxied as p_retailprice*l_quantity*0.1 (no partsupp
+    // in the synthetic schema); per-row expression identical both sides
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum((l_extendedprice * (1.0 - l_discount) -
+        |    p_retailprice * l_quantity * 0.1)::DECIMAL(30,12)), 4)::DOUBLE
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS high_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END)::BIGINT AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 20)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 30)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    // the spec's correlated EXISTS / NOT EXISTS form verbatim — the
+    // Spark side's per-order decorrelation must agree with it
+    "q_tpch_q21" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     // brute-force ground truth: ALL probe×canon pairs at ED<=1 — a
     // Spark blocking channel that misses a real pair hash-fails here
