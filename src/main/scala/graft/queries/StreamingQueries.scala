@@ -46,9 +46,23 @@ object StreamingQueries {
     "q_stream_minhash_dedup" -> ((s, d) => StreamingPipelines.streamMinhashDedup(s, d)),
     "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)),
     "q_stream_ivf_ingest" -> ((s, d) => StreamingPipelines.streamIvfIngest(s, d)),
-    "q_stream_phash_dedup" -> ((s, d) => StreamingPipelines.streamPhashDedup(s, d)))
+    "q_stream_phash_dedup" -> ((s, d) => StreamingPipelines.streamPhashDedup(s, d)),
+    "q_stream_ewma" -> ((s, d) => StreamingPipelines.streamEwma(s, d)))
 
   val oracleSql: Map[String, String] = Map(
+    // the untruncated recursion, replayed as an ordered list fold —
+    // list_reduce with a prepended 0 seed runs the IDENTICAL IEEE
+    // sequence (acc*0.5 + x*0.5 in (ts, event_id) order) the stream's
+    // cross-batch state folds, so the final value is hash-exact
+    "q_stream_ewma" ->
+      """SELECT user_id,
+        |  round((list_reduce(
+        |    list_prepend(0.0, list(value ORDER BY ts, event_id)),
+        |    (acc, x) -> acc * 0.5 + x * 0.5))::DECIMAL(30,12), 4)::DOUBLE
+        |    AS ewma_final,
+        |  count(*) AS n
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the streamed fold-in converges to the batch twin exactly
     // (frozen quantizer + additive per-cell counts are batch-order-
     // independent) → shares q_ivf_incremental's derived oracle

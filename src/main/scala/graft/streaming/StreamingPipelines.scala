@@ -986,6 +986,85 @@ object StreamingPipelines {
       .orderBy("cid")
   }
 
+  /**
+   * Streaming EWMA (the recursive y ← y/2 + x/2 per user) — the batch
+   * q_ewma_smooth's truncated unrolling is exact only to 2⁻¹⁶; the
+   * STREAM form carries the untruncated recursion as 16 bytes of keyed
+   * state, which is the natural home for a recursive statistic. Events
+   * arrive in 3 micro-batches split along the global (ts, event_id)
+   * fold order (rank-range split, so cross-batch arrival order IS fold
+   * order; within a batch the processor sorts its group slice), and the
+   * per-user (acc, n) state folds each batch on top of the last — the
+   * emitted final equals a single driver fold over the whole ordered
+   * history, which is exactly the DuckDB list_reduce oracle. Every
+   * double op is the same IEEE sequence in stream, oracle, and spec, so
+   * the value is hash-exact, not approximate. State: one (double, long)
+   * per user, batch-count-independent.
+   */
+  def streamEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val io = "/tmp/graft_io/stream_ewma"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val src = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    // rank-range batch split along the EXACT fold order (ts_us,
+    // event_id): equal-ts rows may straddle a boundary, but the split
+    // follows the same total order the fold uses, so cross-batch
+    // processing order equals fold order by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ts_us"), col("event_id"))
+    val ranked = src.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .withColumn("b", ((col("rn") - 1) * 3 / col("cnt")).cast("int"))
+    (0 until 3).foreach { b =>
+      val tmp = s"$io/tmp_b$b"
+      ranked.filter(col("b") === b)
+        .select("user_id", "event_id", "ts_us", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in_b$b.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val updateFn = (userId: Long, rows: Iterator[(Long, Long, Long, Double)],
+        state: GroupState[(Double, Long)]) => {
+      val (acc0, n0) = if (state.exists) state.get else (0.0, 0L)
+      // the group's slice of this batch, restored to fold order
+      val ordered = rows.toArray.sortBy(r => (r._3, r._2))
+      val acc = ordered.foldLeft(acc0)((a, r) => a * 0.5 + r._4 * 0.5)
+      val n = n0 + ordered.length
+      state.update((acc, n))
+      (userId, acc, n)
+    }
+    val perBatch = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/in_b*.parquet")
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+      .toDF("user_id", "acc", "n")
+    val emissions = runToMemory(spark, perBatch, "stream_ewma", OutputMode.Update())
+    // final state per user = the emission with the largest fold count
+    val latest = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n").desc)
+    emissions.withColumn("rk", row_number().over(latest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"),
+        round(col("acc").cast("decimal(30,12)"), 4).cast("double")
+          .as("ewma_final"),
+        col("n"))
+      .orderBy("user_id")
+  }
+
   def foreachBatchCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
     val q = eventStream(spark, sfDir)
