@@ -246,6 +246,59 @@ object WarehouseQueries {
           col("untouched_preserved"), col("rows_preserved"))
     }),
 
+    // --- deletion vectors (merge-on-read position deletes): the delete
+    // mechanism every modern table format (Iceberg v2 / Delta DV) uses
+    // when rewriting data files is too expensive — the delete writes a
+    // tiny KEY SIDECAR, base files stay byte-identical (proven in-plan
+    // from the _metadata (path, size) inventory before vs after), and
+    // the READ path merges: scan ⋈ broadcast-anti the sidecar. At
+    // 100 TB: a takedown touches KB of sidecar instead of rewriting TB
+    // of base; the anti join is broadcast because deletion vectors are
+    // small by design (q_compaction is the eventual rewrite that folds
+    // them in, q_vacuum the cleanup — this row is the read-path merge).
+    "q_deletion_vectors" -> ((s, d) => {
+      val base = "/tmp/graft_io/delvec"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.parquet(s"$base/data")
+      // pre-delete file inventory, snapshotted eagerly (a lazy plan
+      // would read the post-delete directory)
+      val before = s.read.parquet(s"$base/data")
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.file_size").as("sz"))
+        .distinct().localCheckpoint()
+      // the DELETE: takedown keys land in a sidecar — no base rewrite
+      s.read.parquet(s"$base/data")
+        .filter(col("o_orderkey") % 1000 === 7)
+        .select(col("o_orderkey").as("del_key"))
+        .write.parquet(s"$base/deletes")
+      val after = s.read.parquet(s"$base/data")
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.file_size").as("sz"))
+        .distinct()
+      val filesOk = before.select(col("fp"), col("sz"), lit(1).as("b"))
+        .join(after.select(col("fp"), col("sz"), lit(1).as("a")),
+          Seq("fp", "sz"), "full_outer")
+        .agg(min(col("a").isNotNull && col("b").isNotNull)
+          .as("base_untouched"))
+      val dv = s.read.parquet(s"$base/deletes")
+      val live = s.read.parquet(s"$base/data")
+        .join(broadcast(dv), col("o_orderkey") === col("del_key"), "left_anti")
+      live.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_live"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_price"))
+        .crossJoin(broadcast(dv.agg(count(lit(1)).as("n_deleted"))))
+        .crossJoin(broadcast(filesOk))
+        .select(col("o_orderpriority"), col("n_live"), col("sum_price"),
+          col("n_deleted"), col("base_untouched"))
+        .orderBy("o_orderpriority")
+    }),
+
     // --- skew-salted join: ~every 4th fact row shares ONE hot key (0);
     // the fix is mechanical and TARGETED — fact rows on a hot key get
     // salt = hash(row identity) mod 16, all other rows salt 0; the dim
@@ -904,6 +957,19 @@ object WarehouseQueries {
          |  true AS rows_preserved
          |FROM rows_""".stripMargin
     },
+
+    // merge-on-read semantics replayed relationally; base_untouched is
+    // the in-plan byte-identity verdict (guarantee-flag house pattern)
+    "q_deletion_vectors" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderkey % 1000 <> 7) AS n_live,
+        |  round(sum(o_totalprice::DECIMAL(30,12))
+        |    FILTER (WHERE o_orderkey % 1000 <> 7), 4)::DOUBLE AS sum_price,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 1000 = 7)
+        |    AS n_deleted,
+        |  true AS base_untouched
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_salted_join" ->
       """WITH fact AS (

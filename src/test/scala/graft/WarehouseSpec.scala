@@ -220,6 +220,36 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q_deletion_vectors: base untouched, sidecar tiny, deletes merged at read") {
+    val rows = run("q_deletion_vectors").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), "base files changed — the delete rewrote data")
+    }
+    // the economics that justify the mechanism: the sidecar is a
+    // fraction of the base bytes (here <5%; at 100 TB it's ~0.0001%)
+    def bytesUnder(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(p)
+      fs.listStatus(path).filter(_.isFile).map(_.getLen).sum
+    }
+    val baseSz = bytesUnder("/tmp/graft_io/delvec/data")
+    val dvSz = bytesUnder("/tmp/graft_io/delvec/deletes")
+    assert(dvSz * 20 < baseSz, s"sidecar $dvSz not small vs base $baseSz")
+    // merge-on-read, not rewrite: the BASE still physically holds every
+    // deleted row, and the sidecar covers exactly that set
+    val nDeleted = rows.head.getLong(3)
+    val stillInBase = spark.read.parquet("/tmp/graft_io/delvec/data")
+      .filter(col("o_orderkey") % 1000 === 7).count()
+    assert(stillInBase === nDeleted,
+      "deleted rows missing from base — a rewrite happened")
+    assert(spark.read.parquet("/tmp/graft_io/delvec/deletes").count() === nDeleted)
+    val nLive = rows.map(_.getLong(1)).sum
+    val total = Tables.orders(spark, sf).count()
+    assert(nLive + nDeleted === total, "live + deleted != base rows")
+  }
+
   test("q_xml_funcs roundtrip preserves key/status/price exactly") {
     val got = run("q_xml_funcs").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
