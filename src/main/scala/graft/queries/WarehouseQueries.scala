@@ -246,6 +246,53 @@ object WarehouseQueries {
           col("untouched_preserved"), col("rows_preserved"))
     }),
 
+    // --- manifest (zone-map) file pruning: the file-level min/max
+    // skipping every table format does ABOVE directory partitioning —
+    // data is range-laid-out on the sort key at write time, a MANIFEST
+    // table records each file's (path, min, max) from one footer-cheap
+    // `_metadata` pass, and a range query consults the manifest FIRST,
+    // then scans ONLY the overlapping files (explicit path list). At
+    // 100 TB the manifest is MB-sized and driver/broadcast-resident;
+    // the scan touches the 2–3 overlapping files out of thousands. The
+    // result provably equals the full-scan filter (the oracle), and the
+    // pruning verdict (files_scanned < files_total) rides in-plan.
+    "q_manifest_prune" -> ((s, d) => {
+      val base = "/tmp/graft_io/manifest"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // range layout: repartitionByRange clusters each file on the sort
+      // key — the write-time investment zone maps monetize at read time
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.parquet(s"$base/data")
+      val manifest = s.read.parquet(s"$base/data")
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+        .localCheckpoint()
+      val (qLo, qHi) = ("1999-06-01", "1999-08-31")
+      val keep = manifest
+        .filter(col("hi") >= lit(qLo).cast("date") &&
+          col("lo") <= lit(qHi).cast("date"))
+        .select("fp").collect().map(_.getString(0))
+      val nTotal = manifest.count()
+      // scan ONLY the overlapping files; the residual filter still
+      // applies (zone maps prune files, not rows)
+      val pruned = s.read.parquet(keep: _*)
+        .filter(col("o_orderdate") >= lit(qLo).cast("date") &&
+          col("o_orderdate") <= lit(qHi).cast("date"))
+      // exact scanned/total counts depend on the range sampler's
+      // boundaries (scale-dependent), so the CONTRACT row carries the
+      // boolean pruning verdict; ManifestPruneSpec pins the tight bound
+      pruned.groupBy(month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+            .cast("double").as("revenue"))
+        .withColumn("pruned", lit(keep.length < nTotal && keep.nonEmpty))
+        .orderBy("m")
+    }),
+
     // --- deletion vectors (merge-on-read position deletes): the delete
     // mechanism every modern table format (Iceberg v2 / Delta DV) uses
     // when rewriting data files is too expensive — the delete writes a
@@ -957,6 +1004,17 @@ object WarehouseQueries {
          |  true AS rows_preserved
          |FROM rows_""".stripMargin
     },
+
+    // the pruned scan must equal the plain full-scan filter; `pruned`
+    // is the in-plan verdict that files were actually skipped
+    "q_manifest_prune" ->
+      """SELECT month(o_orderdate) AS m, count(*) AS n_orders,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS revenue,
+        |  true AS pruned
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1999-06-01'
+        |  AND o_orderdate <= DATE '1999-08-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // merge-on-read semantics replayed relationally; base_untouched is
     // the in-plan byte-identity verdict (guarantee-flag house pattern)
