@@ -1336,6 +1336,57 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // linear interpolation over calendar gaps (2f) — the resampling
+    // step between gap-fill-with-zero (q_gap_fill) and carry-forward
+    // (q_locf): missing days take the line between the surrounding
+    // observations. Four IGNORE-NULLS window scans on the series key
+    // (prev/next value and anchor day), then one arithmetic expression
+    // written IDENTICALLY in both engines (left-assoc, ANSI-guarded
+    // division, decimal-rounded) — shuffle-parallel per series, the
+    // spine is |types|×|days|, never event-sized.
+    "q_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      // the synthetic events are DENSE (every day observed at every gate
+      // scale), which would leave the interpolation branch vacuous — so
+      // observations are deterministically sparsified to every 3rd
+      // calendar day (both engines apply the same filter) and the
+      // operator genuinely reconstructs the ~2/3 missing days
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(r4(sum(col("value").cast("decimal(30,12)"))).cast("double").as("v"))
+        .filter(dayofmonth(col("day")) % 3 === 1)
+      val bounds = ev.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      val days = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+      val wPrev = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsDay = when(col("v").isNotNull, col("day"))
+      val interp = spine
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(wNext))
+      interp
+        .withColumn("value_interp",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull &&
+                datediff(col("nd"), col("pd")) > 0,
+              round((col("pv") + (col("nv") - col("pv")) *
+                datediff(col("day"), col("pd")) /
+                datediff(col("nd"), col("pd"))).cast("decimal(30,12)"), 4)
+                .cast("double")))
+        .filter(col("value_interp").isNotNull)
+        .select(col("event_type"), col("day"), col("value_interp"),
+          col("v").isNotNull.as("observed"))
+        .orderBy("event_type", "day")
+    }),
+
     // forward fill / LOCF (2f): last non-null observation carried forward
     // over the dense calendar — `last(col, ignoreNulls)` over an
     // unbounded-preceding frame, shuffle-parallel on the series key
@@ -2201,6 +2252,49 @@ object RelationalQueries {
         |FROM types t CROSS JOIN days d
         |LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
         |ORDER BY 1, 2""".stripMargin,
+
+    // identical arithmetic expression (left-assoc, guarded division,
+    // decimal-rounded); IGNORE NULLS window scans mirror the plan's
+    "q_interpolate" ->
+      """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+        |days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |         FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT * FROM (
+        |            SELECT event_type, ts::DATE AS day,
+        |              round(sum(CAST(value AS DECIMAL(30,12))), 4)::DOUBLE AS v
+        |            FROM events GROUP BY 1, 2)
+        |          WHERE date_part('day', day) % 3 = 1),
+        |spine AS (
+        |  SELECT t.event_type, d.day, x.v,
+        |    last_value(x.v IGNORE NULLS) OVER w_prev AS pv,
+        |    last_value(CASE WHEN x.v IS NOT NULL THEN d.day END IGNORE NULLS)
+        |      OVER w_prev AS pd,
+        |    first_value(x.v IGNORE NULLS) OVER w_next AS nv,
+        |    first_value(CASE WHEN x.v IS NOT NULL THEN d.day END IGNORE NULLS)
+        |      OVER w_next AS nd
+        |  FROM types t CROSS JOIN days d
+        |  LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
+        |  WINDOW
+        |    w_prev AS (PARTITION BY t.event_type ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING),
+        |    w_next AS (PARTITION BY t.event_type ORDER BY d.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         AND date_diff('day', pd, nd) > 0
+        |       THEN round(CAST(pv + (nv - pv) *
+        |         date_diff('day', pd, day) / date_diff('day', pd, nd)
+        |         AS DECIMAL(30,12)), 4)::DOUBLE
+        |  END AS value_interp,
+        |  v IS NOT NULL AS observed
+        |FROM spine
+        |WHERE (CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         AND date_diff('day', pd, nd) > 0
+        |       THEN 1.0 END) IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_locf" ->
       """WITH bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
