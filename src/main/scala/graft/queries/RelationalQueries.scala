@@ -618,9 +618,13 @@ object RelationalQueries {
       val cands = blocks(probes, "pname", "probe_key")
         .join(blocks(canon, "cname", "c_custkey"), Seq("half", "bk"))
         .select("probe_key", "c_custkey").distinct()
+      // banded verify: the threshold form abandons a row's DP after the
+      // band k=1 is exceeded — O(k·len) per candidate instead of O(len²),
+      // the variant that matters when the verify list is large. It
+      // returns -1 above the band, hence the [0, 1] filter (not <= 1).
       cands.join(probes, "probe_key").join(canon, "c_custkey")
-        .withColumn("dist", levenshtein(col("pname"), col("cname")))
-        .filter(col("dist") <= 1)
+        .withColumn("dist", levenshtein(col("pname"), col("cname"), 1))
+        .filter(col("dist").between(0, 1))
         .select("probe_key", "c_custkey", "pname", "cname", "dist")
         .orderBy("probe_key", "c_custkey")
     }),

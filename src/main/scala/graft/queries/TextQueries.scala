@@ -42,6 +42,21 @@ object TextQueries {
     (9000004L, "planted duplicate corpus row beta"),
     (9000005L, "planted duplicate corpus row beta"))
 
+  /** Planted DRIFT CHAIN for the BFS gate (q_bfs_distance): 8 sliding
+    * 60-token windows over a synthetic token stream, stepping 4 tokens —
+    * consecutive docs share 54 of 66 distinct 3-grams (J = 0.818 ≥ 0.8,
+    * an edge), two apart share 50 of 74 (J = 0.676 < 0.8, no edge), so
+    * the planted subgraph is a pure 7-hop PATH: the organic corpus graph
+    * has diameter ≤1 at gate scales, which left the BFS near-vacuous.
+    * Negative ids make the chain head the global min node (the
+    * deterministic seed) and the `qchainz` token prefix keeps the chain
+    * gram-disjoint from the corpus — the brute-force oracle would
+    * hash-fail if that assumption ever broke. */
+  private[graft] val plantedChainDocs: Seq[(Long, String)] =
+    (0 until 8).map { k =>
+      (-108L + k, (4 * k until 4 * k + 60).map(i => s"qchainz$i").mkString(" "))
+    }
+
   /** Differ in case and run-of-spaces only → same normalized token
     * sequence, so they fingerprint-collide by design (and only with
     * each other). */
@@ -1251,6 +1266,51 @@ object TextQueries {
         .agg(count(lit(1)).as("n_members"), max("node").as("max_member"))
         .orderBy("cluster_id")),
 
+    // --- BFS hop distances over the near-dup pair graph, from the
+    // smallest node id (deterministic seed): the reachability question a
+    // takedown/contagion audit asks — "everything within k hops of this
+    // document". Level-synchronous frontier expansion (the distributed
+    // BFS): each round is ONE equi-join frontier⋈edges + an anti-join
+    // against the visited set, so round h touches only hop-h edges; the
+    // cap (6) bounds the audit radius, and min-distance is by
+    // construction (a node joins the visited set at its FIRST layer).
+    // The oracle replays it as a bounded recursive CTE with min(dist).
+    "q_bfs_distance" -> ((s, d) => {
+      import s.implicits._
+      // union graph = shared corpus pair graph ∪ the planted chain's
+      // edges; the chain is gram-disjoint from the corpus (qchainz
+      // prefix), so no cross edges exist — and the oracle brute-forces
+      // the UNION corpus, so a violated disjointness assumption
+      // hash-fails instead of passing silently
+      val chainDf = plantedChainDocs.toDF("doc_id", "text")
+      val chainPostings = gramHashPostings(chainDf).distinct()
+      val chainIds = chainDf.select(col("doc_id").as("id_a"))
+      val chainCand = chainIds
+        .crossJoin(chainDf.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val chainPairs = verifyJaccard(chainCand, chainPostings)
+        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
+        .unionAll(chainPairs)
+      val edges = pairs.toDF("a", "b")
+        .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()
+      val seedId = edges.agg(min("a")).collect()(0).getLong(0)
+      var visited = edges.sparkSession.range(1)
+        .select(lit(seedId).as("node"), lit(0).as("dist")).localCheckpoint()
+      var frontier = visited.select("node")
+      var h = 1
+      while (h <= 6 && !frontier.isEmpty) {
+        val next = frontier.join(edges, col("node") === col("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("dist", lit(h)).localCheckpoint()
+        visited = visited.unionAll(next).localCheckpoint()
+        frontier = next.select("node")
+        h += 1
+      }
+      visited.orderBy("node")
+    }),
+
     // --- triangle count over the near-dup pair graph — the graph
     // statistic that separates CLIQUE-like duplicate clusters (every
     // member pairwise-similar: transitive duplication, safe to collapse
@@ -2009,6 +2069,34 @@ object TextQueries {
         |SELECT cluster_id, count(*) AS n_members, max(node) AS max_member
         |FROM (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bounded-depth recursive CTE with min(dist) — must equal the
+    // level-synchronous BFS layer assignment
+    "q_bfs_distance" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM (SELECT doc_id, text FROM documents
+        |              UNION ALL ${plantedValuesSql(plantedChainDocs)}))),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT (SELECT min(a) FROM edges) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.b, rr.dist + 1
+        |  FROM reach rr JOIN edges e ON e.a = rr.node WHERE rr.dist < 6)
+        |SELECT node, min(dist) AS dist FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "q_cluster_canonical" ->
       """WITH RECURSIVE sh AS (
