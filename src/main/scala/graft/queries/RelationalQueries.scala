@@ -1340,6 +1340,27 @@ object RelationalQueries {
         .orderBy("event_type", "day")
     }),
 
+    // ordered list aggregation (GROUP_CONCAT / string_agg family): the
+    // per-key ordered-collection op behind itinerary/lineage exports.
+    // Spark's collect_list is UNORDERED across partitions, so the
+    // deterministic form collects (sortkey…, payload) STRUCTS, sorts the
+    // array (struct order = lexicographic over ALL fields — ties on the
+    // non-unique (linenumber) break on partkey, the oracle-determinism
+    // rule), then projects — one hash agg, no window, no sort shuffle.
+    "q_list_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("l_linenumber"),
+                col("l_partkey")))),
+              x => x.getField("l_partkey").cast("string")),
+            ",").as("parts"))
+        .orderBy("l_orderkey")
+    }),
+
     // linear interpolation over calendar gaps (2f) — the resampling
     // step between gap-fill-with-zero (q_gap_fill) and carry-forward
     // (q_locf): missing days take the line between the surrounding
@@ -2256,6 +2277,13 @@ object RelationalQueries {
         |FROM types t CROSS JOIN days d
         |LEFT JOIN daily x ON x.event_type = t.event_type AND x.day = d.day
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_list_agg" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  string_agg(l_partkey::VARCHAR, ','
+        |    ORDER BY l_linenumber, l_partkey) AS parts
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     // identical arithmetic expression (left-assoc, guarded division,
     // decimal-rounded); IGNORE NULLS window scans mirror the plan's
