@@ -178,6 +178,45 @@ object MaintenanceQueries {
         .orderBy("o_orderstatus", "month")
     }),
 
+    // --- incremental JOIN-view maintenance (q_mv_incremental covers the
+    // aggregate case; this is the JOIN delta algebra): with base states
+    // A₀/B₀ and arriving deltas δA/δB,
+    //   Δ(A⋈B) = δA⋈B₀ ∪ A₀⋈δB ∪ δA⋈δB
+    // — the three delta terms aggregate and fold into the stored MV via
+    // the same full-outer merge; the stored A₀⋈B₀ is NEVER recomputed.
+    // At 100 TB each delta term joins a small arriving batch against a
+    // base (broadcast the delta side); the DuckDB oracle computes the
+    // FULL A⋈B aggregate directly, so a missed or double-counted delta
+    // term hash-fails — the algebra itself is what's verified.
+    "q_mv_join_incremental" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val dA = o.filter(col("o_orderkey") % 50 === 3)
+      val a0 = o.filter(col("o_orderkey") % 50 =!= 3)
+      val dB = li.filter(col("l_suppkey") % 40 === 7)
+      val b0 = li.filter(col("l_suppkey") % 40 =!= 7)
+      def viewAgg(df: DataFrame) = df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev").cast("decimal(30,12)")).as("rev"))
+      val key = col("o_orderkey") === col("l_orderkey")
+      // the stored MV (computed once at build time in a real deployment)
+      val mv0 = viewAgg(a0.join(b0, key))
+      // the three delta terms — delta sides broadcast
+      val delta = viewAgg(
+        broadcast(dA).join(b0, key)
+          .unionAll(a0.join(broadcast(dB), key))
+          .unionAll(broadcast(dA).join(dB, key)))
+        .withColumnRenamed("n", "dn").withColumnRenamed("rev", "drev")
+      mv0.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          round(coalesce(col("rev"), lit(0).cast("decimal(30,12)"))
+            + coalesce(col("drev"), lit(0).cast("decimal(30,12)")), 4)
+            .cast("double").as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
     // --- snapshot versioning / time travel, partition-level
     // copy-on-write: orders hash-partitioned into 4 directories;
     // version 2 changes only keys ≡ 0 (mod 16) — every one lives in
@@ -322,6 +361,15 @@ object MaintenanceQueries {
         |  round(sum(coalesce(p2, 0::DECIMAL(30,12))
         |        - coalesce(p1, 0::DECIMAL(30,12))), 4)::DOUBLE AS price_delta
         |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the FULL join aggregate — equality proves the three-term delta
+    // algebra (a missed or doubled δ term shows up as wrong counts)
+    "q_mv_join_incremental" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(30,12)),
+        |    4)::DOUBLE AS rev
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mv_incremental" ->
       """WITH lm AS (SELECT date_trunc('month', max(o_orderdate)) AS lm
