@@ -43,9 +43,10 @@ object TextQueries {
     (9000005L, "planted duplicate corpus row beta"))
 
   /** Planted DRIFT CHAIN for the BFS gate (q_bfs_distance): 8 sliding
-    * 60-token windows over a synthetic token stream, stepping 4 tokens —
-    * consecutive docs share 54 of 66 distinct 3-grams (J = 0.818 ≥ 0.8,
-    * an edge), two apart share 50 of 74 (J = 0.676 < 0.8, no edge), so
+    * 60-token windows over a synthetic token stream, stepping 4 tokens.
+    * Each window holds 58 distinct 3-grams; consecutive docs share 54
+    * (union 62, J = 54/62 = 0.871 ≥ 0.8 — an edge), two apart share 50
+    * (union 66, J = 50/66 = 0.758 < 0.8 — no edge), so
     * the planted subgraph is a pure 7-hop PATH: the organic corpus graph
     * has diameter ≤1 at gate scales, which left the BFS near-vacuous.
     * Negative ids make the chain head the global min node (the

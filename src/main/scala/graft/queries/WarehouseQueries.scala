@@ -278,8 +278,13 @@ object WarehouseQueries {
         .select("fp").collect().map(_.getString(0))
       val nTotal = manifest.count()
       // scan ONLY the overlapping files; the residual filter still
-      // applies (zone maps prune files, not rows)
-      val pruned = s.read.parquet(keep: _*)
+      // applies (zone maps prune files, not rows). An empty keep list
+      // (a dataset with no rows in the window) must yield the correct
+      // EMPTY result, not a read error — scan-with-false-filter keeps
+      // the schema without touching data.
+      val src = if (keep.isEmpty) s.read.parquet(s"$base/data").filter(lit(false))
+                else s.read.parquet(keep: _*)
+      val pruned = src
         .filter(col("o_orderdate") >= lit(qLo).cast("date") &&
           col("o_orderdate") <= lit(qHi).cast("date"))
       // exact scanned/total counts depend on the range sampler's

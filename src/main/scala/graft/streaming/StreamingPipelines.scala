@@ -1022,6 +1022,7 @@ object StreamingPipelines {
         org.apache.spark.sql.expressions.Window
           .partitionBy()))
       .withColumn("b", ((col("rn") - 1) * 3 / col("cnt")).cast("int"))
+      .localCheckpoint() // three file writes consume it — sort ONCE
     (0 until 3).foreach { b =>
       val tmp = s"$io/tmp_b$b"
       ranked.filter(col("b") === b)
@@ -1031,6 +1032,13 @@ object StreamingPipelines {
         new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
       fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in_b$b.parquet"))
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // the fold is batch-order-SENSITIVE (unlike every other pipeline
+      // here, which is additive) and the file source orders by
+      // modification time — a rename preserves the part file's mtime,
+      // so same-millisecond writes could tie. Pin strictly increasing
+      // mtimes so arrival order is b0 < b1 < b2 unconditionally.
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$io/in_b$b.parquet"),
+        1700000000000L + b * 60000L, -1)
     }
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_id", LongType),
