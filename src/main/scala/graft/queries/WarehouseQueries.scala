@@ -246,6 +246,39 @@ object WarehouseQueries {
           col("untouched_preserved"), col("rows_preserved"))
     }),
 
+    // --- CACHE TABLE surface: the engine's materialized-in-memory
+    // relation (InMemoryRelation / columnar InMemoryTableScan) — cache a
+    // derived view, run the consumer twice (build + hit), and carry the
+    // in-plan verdict that the consumer actually reads the CACHED scan
+    // (not the parquet). Storage level MEMORY_AND_DISK is the 100 TB
+    // default: hot partitions columnar in memory, cold spill to disk.
+    // Result values are oracle-checked against the uncached computation,
+    // so a stale or partial cache would hash-fail.
+    "q_cache_table" -> ((s, d) => {
+      val view = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(30,12)")), 4)
+            .cast("double").as("qty"))
+      view.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        view.count() // build the cache
+        // the LOGICAL plan carries InMemoryRelation unconditionally;
+        // the physical InMemoryTableScanExec hides inside the AQE
+        // wrapper's un-materialized inner plan and is invisible to a
+        // children traversal before execution
+        val cachedInPlan = view.queryExecution.optimizedPlan.exists {
+          case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => true
+          case _ => false
+        }
+        view.withColumn("served_from_cache", lit(cachedInPlan))
+          .orderBy("l_returnflag", "l_linestatus")
+          // materialize BEFORE unpersist below (orderBy output is tiny)
+          .localCheckpoint()
+      } finally view.unpersist(blocking = false)
+    }),
+
     // --- manifest (zone-map) file pruning: the file-level min/max
     // skipping every table format does ABOVE directory partitioning —
     // data is range-laid-out on the sort key at write time, a MANIFEST
@@ -1009,6 +1042,15 @@ object WarehouseQueries {
          |  true AS rows_preserved
          |FROM rows_""".stripMargin
     },
+
+    // cached values must equal the uncached computation; the flag is the
+    // in-plan InMemoryTableScan verdict
+    "q_cache_table" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE AS qty,
+        |  true AS served_from_cache
+        |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the pruned scan must equal the plain full-scan filter; `pruned`
     // is the in-plan verdict that files were actually skipped
