@@ -968,6 +968,49 @@ object TextQueries {
         .orderBy("doc_id").limit(300)
     }),
 
+    // --- quality ENSEMBLE (FineWeb-style): one verdict per document from
+    // three independent filter channels the engine already computes —
+    // (a) length/diversity (q_quality_score's rule), (b) English-ness
+    // (q_lang_id's stopword ratio), (c) token shape (the gibberish guard
+    // 2 ≤ avg_tok_len ≤ 12) — majority ≥ 2 of 3 keeps the doc, with
+    // per-channel votes in the output so a drifting channel is visible,
+    // not averaged away (the q_multimodal_dedup accounting applied to
+    // the quality lane). One scan, all channels map-side; no channel
+    // needs a join or shuffle.
+    "q_quality_ensemble" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rawToks = split(col("text"), " ")
+      // exploded stopword count (q_lang_id's codegen-friendly form —
+      // the filter() HOF is interpreted per element); per-doc scalars
+      // ride the group as max() of within-group constants, ONE shuffle
+      val base = docs.select(col("doc_id"),
+          size(rawToks).cast("long").as("n_tokens"),
+          round(size(array_distinct(rawToks)).cast("double")
+            / size(rawToks).cast("double"), 4).as("uniq_ratio"),
+          round(length(col("text")).cast("double")
+            / size(rawToks).cast("double"), 4).as("avg_tok_len"),
+          explode_outer(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(max("n_tokens").as("n_tokens"),
+          max("uniq_ratio").as("uniq_ratio"),
+          max("avg_tok_len").as("avg_tok_len"),
+          count(col("tok")).as("n_lc"),
+          count(when(col("tok").isin(enStops.map(lit): _*), 1)).as("hits"))
+      base
+        .withColumn("en_score",
+          when(col("n_lc") === 0, 0.0)
+            .otherwise(round(col("hits").cast("double")
+              / col("n_lc").cast("double"), 4)))
+        .select(col("doc_id"),
+          (col("n_tokens") >= 20 && col("uniq_ratio") >= 0.3)
+            .cast("int").as("v_len"),
+          (col("en_score") >= 0.05).cast("int").as("v_lang"),
+          (col("avg_tok_len").between(2.0, 12.0)).cast("int").as("v_shape"))
+        .withColumn("votes", col("v_len") + col("v_lang") + col("v_shape"))
+        .withColumn("keep", col("votes") >= 2)
+        .orderBy("doc_id").limit(300)
+    }),
+
     // --- token stats per language (text analysis aggregate) -------------
     "q_token_stats" -> ((s, d) => Tables.documents(s, d)
       .select(col("lang"), col("n_chars"),
@@ -1834,6 +1877,29 @@ object TextQueries {
         |        / len(toks)::DOUBLE END, 4) AS en_score
         |  FROM (SELECT doc_id, lang,
         |          list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // the three channel formulas verbatim from q_quality_score /
+    // q_lang_id plus the avg-token-length gibberish guard
+    "q_quality_ensemble" ->
+      """SELECT doc_id, v_len, v_lang, v_shape,
+        |  (v_len + v_lang + v_shape) AS votes,
+        |  (v_len + v_lang + v_shape >= 2) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    (len(raw)::BIGINT >= 20 AND
+        |     round(len(list_distinct(raw))::DOUBLE / len(raw)::DOUBLE, 4)
+        |       >= 0.3)::INT AS v_len,
+        |    (round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks,
+        |        t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+        |        / len(toks)::DOUBLE END, 4) >= 0.05)::INT AS v_lang,
+        |    (round(length(text)::DOUBLE / len(raw)::DOUBLE, 4)
+        |       BETWEEN 2.0 AND 12.0)::INT AS v_shape
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS raw,
+        |          list_filter(string_split(lower(text), ' '),
+        |                      t -> t <> '') AS toks
         |        FROM documents))
         |ORDER BY doc_id LIMIT 300""".stripMargin,
 
