@@ -19,6 +19,66 @@ object RelationalQueries {
 
   private def r4(c: Column): Column = round(c, 4)
 
+  /** Derived partsupp relation — the synthetic testdata ships no
+    * partsupp table (the reason Q2/Q11/Q16/Q20 sat out rounds 8–9a), so
+    * the four remaining TPC-H shapes run over a deterministic relation
+    * both engines derive identically from the part dim:
+    *
+    *   for j ∈ 0..3:
+    *     ps_suppkey    = (p_partkey·7 + j·13) mod |supplier|
+    *     ps_availqty   = (p_partkey·11 + j·17) mod 50 + 1
+    *     ps_costcents  = (p_partkey·31 + j·47) mod 10000 + 100
+    *     ps_supplycost = ps_costcents / 100.0
+    *
+    * Pure integer arithmetic plus one double division, recomputed
+    * VERBATIM in the DuckDB oracles' WITH clause, so what the hash
+    * verifies is the QUERY SHAPE (Q2's correlated min, Q11's
+    * global-share HAVING, Q16's NOT-IN distinct count, Q20's nested
+    * availability threshold), not the data synthesis. The j·13 offsets
+    * are distinct modulo any supplier count not dividing {13,26,39}, so
+    * every part gets 4 distinct candidate suppliers at every scale
+    * (|supplier| = 10/100/1000 at sf0.001/0.01/0.1); the j·47 offsets
+    * make within-part costs distinct, so Q2's per-part min row is
+    * tie-free by construction. ps_costcents keeps Q11's value
+    * aggregation in exact BIGINT cents (no decimal-precision rules to
+    * align across engines). availqty ∈ 1..50 matches the per-pair
+    * yearly l_quantity sums so Q20's threshold genuinely splits.
+    *
+    * Scale: 4·|part| rows — dimension-sized, born from the part dim
+    * crossed with a broadcast 1-row supplier count; never touches a
+    * fact table. */
+  private def derivedPartsupp(s: SparkSession, d: String): DataFrame = {
+    val nSupp = Tables.supplier(s, d).agg(count(lit(1)).as("n_supp"))
+    Tables.part(s, d).select("p_partkey")
+      .crossJoin(broadcast(nSupp))
+      .withColumn("j", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("j") * 13) % col("n_supp"))
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 11 + col("j") * 17) % 50 + 1)
+          .as("ps_availqty"),
+        ((col("p_partkey") * 31 + col("j") * 47) % 10000 + 100)
+          .as("ps_costcents"))
+      .withColumn("ps_supplycost",
+        col("ps_costcents").cast("double") / lit(100.0))
+  }
+
+  /** Suppliers in a named region, with nation name riding along — the
+    * Q2/Q11/Q20 eligibility dimension (a single synthetic nation holds
+    * 0–4 suppliers, so the region is the smallest scope that is
+    * non-degenerate at every scale). */
+  private def regionSuppliers(s: SparkSession, d: String,
+      region: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === region).select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
   /** One bucketed-table build per (session, dataset) — the
     * postingsShared lifetime applied to q_bucketed_join (VERDICT r9 #7):
     * the bucketed write is the "pay the shuffle once at write time"
@@ -1177,6 +1237,137 @@ object RelationalQueries {
         .limit(100)
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted: partsupp is the derived
+    // relation (see derivedPartsupp), region EUROPE, part filter
+    // p_type = 'STANDARD' ∧ p_size ≤ 25 (the synthetic p_type is a
+    // 6-value category, not the spec's 150-value string). The SHAPE is
+    // the spec's: a correlated MIN subquery over the region-eligible
+    // partsupp rows, decorrelated into a per-part aggregate joined back
+    // on (partkey, cost = min). Everything is dimension-scale and rides
+    // broadcasts — at 100 TB this query never touches a fact table. The
+    // eligible relation is localCheckpointed for its two consumers (the
+    // min aggregate and the join-back); within-part costs are distinct
+    // by construction, so the min row per part is unique (tie-free
+    // ordering with p_partkey as the final key).
+    "q_tpch_q2" -> ((s, d) => {
+      val pf = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" && col("p_size") <= 25)
+        .select("p_partkey", "p_brand")
+      val elig = derivedPartsupp(s, d)
+        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(regionSuppliers(s, d, "EUROPE")),
+          col("ps_suppkey") === col("s_suppkey"))
+        .localCheckpoint()
+      val minc = elig.groupBy(col("ps_partkey").as("m_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      elig.join(broadcast(minc),
+          col("ps_partkey") === col("m_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("ps_supplycost").as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 (important stock), adapted: derived partsupp, scope =
+    // EUROPE-region suppliers, and the spec's fixed 0.0001/SF fraction
+    // becomes the scale-free "part value > 1.5× the mean per-part
+    // value" — the same shape (a 1-row global aggregate broadcast back
+    // as the HAVING threshold) but one that bites at every sf. Values
+    // aggregate in exact BIGINT cents and the threshold compares
+    // DIVISION-FREE (2·n·value > 3·total), so no engine's decimal or
+    // double rounding can flip a boundary part.
+    "q_tpch_q11" -> ((s, d) => {
+      val value = derivedPartsupp(s, d)
+        .join(broadcast(regionSuppliers(s, d, "EUROPE")
+          .select("s_suppkey")),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("ps_partkey")
+        .agg(sum(col("ps_availqty") * col("ps_costcents"))
+          .as("value_cents"))
+        .localCheckpoint()
+      val tot = value.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * col("n_parts") * 2 >
+          col("total_cents") * 3)
+        .select(col("ps_partkey"),
+          r4(col("value_cents").cast("double") / lit(100.0))
+            .as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship), adapted: derived
+    // partsupp; the spec's "customer complaints" suppliers (no s_comment
+    // in the synthetic schema) become the low-balance tier
+    // s_acctbal < 1000 — the NOT-IN exclusion SHAPE is what is kept, as
+    // a broadcast anti join (1 excluded supplier at sf0.001, 15 at
+    // sf0.01, so the gate bites at both scales). Eight spec-like sizes,
+    // brand/type exclusions, count(DISTINCT ps_suppkey) rollup ordered
+    // by descending supplier breadth.
+    "q_tpch_q16" -> ((s, d) => {
+      val complain = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 1000.0).select("s_suppkey")
+      val pf = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" &&
+          col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      derivedPartsupp(s, d)
+        .join(broadcast(complain),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 (potential part promotion), adapted: derived partsupp,
+    // part prefix 'red%' for the spec's 'forest%', ship-year 1996, and
+    // region EUROPE for the spec's single nation. The availability
+    // threshold is "availqty > half the AVERAGE per-line shipped
+    // quantity" rather than the spec's half-of-SUM: the synthetic
+    // (part,supplier) pair space does NOT scale with the fact (real
+    // TPC-H grows partsupp with SF), so per-pair yearly sums grow
+    // linearly with scale and an absolute-sum threshold admits zero
+    // pairs by 10× (measured: median Σqty 280 vs availqty ≤ 50 at
+    // /tmp/sf1). The per-line average is scale-free, the nested
+    // correlated-aggregate SHAPE is the spec's, and the compare is
+    // DIVISION-FREE (2·availqty·cnt > Σqty, the sum decimal-exact).
+    // The decorrelation: ONE per-(part,supplier) aggregate over the
+    // prefix-pruned fact (the semi broadcast lands BEFORE the shuffle,
+    // so only ~1/8 of lineitem shuffles); a pair with no shipped lines
+    // is excluded by the inner join, exactly the spec's NULL-comparison
+    // semantics. The oracle runs the doubly-nested correlated form
+    // verbatim.
+    "q_tpch_q20" -> ((s, d) => {
+      val redParts = Tables.part(s, d)
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date"))
+        .join(broadcast(redParts),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(30,12)")).as("sumq"),
+          count(lit(1)).as("cntq"))
+      val okSupp = derivedPartsupp(s, d)
+        .join(broadcast(redParts),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter((col("ps_availqty") * 2 * col("cntq"))
+          .cast("decimal(30,12)") > col("sumq"))
+        .select("ps_suppkey").distinct()
+      regionSuppliers(s, d, "EUROPE")
+        .join(okSupp, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -1951,6 +2142,106 @@ object RelationalQueries {
         |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // Q2/Q11/Q16/Q20 run over the derived partsupp (no partsupp table
+    // in the synthetic testdata) — the WITH clause recomputes
+    // derivedPartsupp's integer formulas verbatim, and each oracle then
+    // states the spec's SUBQUERY form (correlated min / global-share
+    // HAVING / NOT IN / doubly-nested threshold) so the Spark side's
+    // decorrelation is what equality proves.
+    "q_tpch_q2" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey * 7 + j * 13) % (SELECT count(*) FROM supplier)
+        |      AS ps_suppkey,
+        |    ((p_partkey * 31 + j * 47) % 10000 + 100) / 100.0
+        |      AS ps_supplycost
+        |  FROM part, (VALUES (0),(1),(2),(3)) t(j))
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  ps_supplycost AS supplycost
+        |FROM part
+        |JOIN partsupp ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 25 AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM partsupp ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey * 7 + j * 13) % (SELECT count(*) FROM supplier)
+        |      AS ps_suppkey,
+        |    (p_partkey * 11 + j * 17) % 50 + 1 AS ps_availqty,
+        |    (p_partkey * 31 + j * 47) % 10000 + 100 AS ps_costcents
+        |  FROM part, (VALUES (0),(1),(2),(3)) t(j)),
+        |value AS (
+        |  SELECT ps_partkey,
+        |    sum(ps_availqty * ps_costcents)::BIGINT AS value_cents
+        |  FROM partsupp
+        |  WHERE ps_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey,
+        |  round(value_cents / 100.0, 4) AS value
+        |FROM value
+        |WHERE value_cents * (SELECT count(*) FROM value) * 2 >
+        |  (SELECT sum(value_cents)::BIGINT FROM value) * 3
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey * 7 + j * 13) % (SELECT count(*) FROM supplier)
+        |      AS ps_suppkey
+        |  FROM part, (VALUES (0),(1),(2),(3)) t(j))
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH partsupp AS (
+        |  SELECT p_partkey AS ps_partkey,
+        |    (p_partkey * 7 + j * 13) % (SELECT count(*) FROM supplier)
+        |      AS ps_suppkey,
+        |    (p_partkey * 11 + j * 17) % 50 + 1 AS ps_availqty
+        |  FROM part, (VALUES (0),(1),(2),(3)) t(j))
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND (ps_availqty * 2 * (
+        |        SELECT count(*) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= DATE '1996-01-01'
+        |          AND l_shipdate < DATE '1997-01-01'))::DECIMAL(30,12) > (
+        |        SELECT sum(l_quantity::DECIMAL(30,12)) FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= DATE '1996-01-01'
+        |          AND l_shipdate < DATE '1997-01-01'))
+        |ORDER BY s_suppkey""".stripMargin,
 
     // brute-force ground truth: ALL probe×canon pairs at ED<=1 — a
     // Spark blocking channel that misses a real pair hash-fails here
