@@ -65,6 +65,25 @@ object TextQueries {
     (9100001L, "Planted  Fingerprint GAMMA delta"),
     (9100002L, "planted fingerprint gamma  delta"))
 
+  /** Planted boilerplate batch for q_line_dedup: 4 docs share one
+    * 10-word "line" (the C4 cookie-banner case — crosses the ≥3-doc
+    * removal threshold), 2 docs share another (stays below it, the
+    * negative control). Each doc is prefix-chunk + shared-chunk +
+    * suffix-chunk with the shared chunk aligned on the 10-word chunk
+    * boundary; every prefix/suffix word is unique to its doc and
+    * carries the `qlinez` marker, so no organic chunk is perturbed. */
+  private[graft] val plantedLineDocs: Seq[(Long, String)] = {
+    def tenWords(tag: String): String =
+      (0 until 10).map(i => s"qlinez$tag$i").mkString(" ")
+    val boiler = tenWords("boil")
+    val duo = tenWords("duo")
+    (0 until 4).map { k =>
+      (9200001L + k, s"${tenWords(s"pre${k}x")} $boiler ${tenWords(s"suf${k}x")}")
+    } ++ (0 until 2).map { k =>
+      (9200011L + k, s"${tenWords(s"dpre${k}x")} $duo ${tenWords(s"dsuf${k}x")}")
+    }
+  }
+
   /** The planted rows as a DuckDB VALUES relation — generated from the
     * same Seq the Spark plan unions, so the two sides cannot drift. */
   private[queries] def plantedValuesSql(rows: Seq[(Long, String)]): String =
@@ -539,6 +558,55 @@ object TextQueries {
         .filter(col("n_copies") > 1)
         .select(col("keep_id"), col("n_copies"))
         .orderBy("keep_id")
+    }),
+
+    // C4-style cross-document boilerplate-line removal (2j): split each
+    // doc into aligned 10-word chunks (the synthetic corpus has no
+    // newlines, so a fixed word window stands in for the natural line),
+    // count in how many DISTINCT docs each FULL chunk occurs, and strip
+    // every occurrence of chunks seen in ≥3 docs — the cookie-banner /
+    // nav-bar removal step of a web-corpus build, distinct from
+    // q_substring_dedup (which keeps ONE copy of an overlapping island;
+    // this removes ALL copies of high-document-frequency spans). Only
+    // full 10-word chunks are candidates: short trailing chunks collide
+    // organically across the small-vocabulary corpus and would turn the
+    // operator into trailing-word noise. The organic corpus has no
+    // repeated full chunk (50-word vocab → 10-word repeats are ~1e-17),
+    // so the gate is made to bite with the planted boilerplate batch —
+    // same literals in the oracle; the 2-doc control chunk must survive.
+    // Scale: one chunk-keyed shuffle for the document-frequency count,
+    // one anti join on the chunk key (the boilerplate relation is DF-
+    // filtered and small), one doc-keyed shuffle to reassemble — no
+    // all-pairs anywhere, and the exploded chunk relation is ~|tokens|/10
+    // rows. The chunking stays map-side (slice over the split array).
+    "q_line_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(plantedLineDocs.toDF("doc_id", "text"))
+      val chunks = docs
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("nch",
+          ceil(size(col("w")).cast("double") / 10.0).cast("int"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), col("nch") - 1),
+            i => array_join(slice(col("w"), i * 10 + 1, lit(10)), " ")))
+            .as(Seq("chunk_id", "chunk")))
+      val boiler = chunks
+        .filter(size(split(col("chunk"), " ")) === 10)
+        .groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("ndocs"))
+        .filter(col("ndocs") >= 3)
+        .select(col("chunk").as("bchunk"))
+      chunks.join(boiler, col("chunk") === col("bchunk"), "left_outer")
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(when(col("bchunk").isNull,
+              struct(col("chunk_id"), col("chunk"))))),
+            st => st.getField("chunk")), " ").as("clean_text"),
+          sum(when(col("bchunk").isNotNull, 1L).otherwise(0L))
+            .as("n_removed"))
+        .orderBy("doc_id")
     }),
 
     // --- end-to-end training-data pipeline (2j): dedup → quality filter
@@ -1756,6 +1824,30 @@ object TextQueries {
         |      UNION ALL ${plantedValuesSql(plantedDupDocs)})
         |GROUP BY text HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL ${plantedValuesSql(plantedLineDocs)}),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        |ch AS (
+        |  SELECT doc_id, g.i AS chunk_id,
+        |    array_to_string(words[(g.i*10+1):(g.i*10+10)], ' ') AS chunk
+        |  FROM w, LATERAL (SELECT unnest(range(
+        |    CAST(ceil(len(words) / 10.0) AS BIGINT))) AS i) g),
+        |boiler AS (
+        |  SELECT chunk FROM ch
+        |  WHERE len(string_split(chunk, ' ')) = 10
+        |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT doc_id,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY chunk_id)
+        |    FILTER (WHERE chunk NOT IN (SELECT chunk FROM boiler)), '')
+        |    AS clean_text,
+        |  sum(CASE WHEN chunk IN (SELECT chunk FROM boiler)
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_removed
+        |FROM ch
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH canon AS (

@@ -279,6 +279,50 @@ object WarehouseQueries {
       } finally view.unpersist(blocking = false)
     }),
 
+    // --- observe() / CollectMetrics surface: dataset-QA metrics piggy-
+    // backed on a query's OWN execution. At 100 TB the alternative is a
+    // SECOND full scan ("SELECT count(*), sum(qty), min/max(date)")
+    // just to validate what a pipeline read — observe rides the same
+    // tasks as accumulators, so the metrics cost ZERO extra passes and
+    // arrive exactly-once per action (retried/speculative tasks are
+    // deduplicated by the accumulator machinery, unlike hand-rolled
+    // counters). The observed values are returned as columns beside the
+    // grouped result and oracle-checked against DuckDB recomputing them
+    // directly from the table; the in-plan verdict pins that a
+    // CollectMetrics node is genuinely in the analyzed plan. The one
+    // collect() is the house two-job sketch pattern: a bounded (≤3-row)
+    // action that populates the Observation before the literals embed.
+    "q_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val base = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("date"))
+        .observe(obs,
+          count(lit(1)).as("obs_rows"),
+          sum(col("l_quantity").cast("decimal(30,12)")).as("obs_qty"),
+          min(col("l_shipdate").cast("date")).as("obs_min_ship"),
+          max(col("l_shipdate").cast("date")).as("obs_max_ship"))
+      val agg = base.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+      val metricsInPlan = agg.queryExecution.analyzed.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics =>
+          true
+        case _ => false
+      }
+      agg.collect() // bounded (≤3 flags) action; populates the observation
+      val m = obs.get
+      val qty = BigDecimal(m("obs_qty").asInstanceOf[java.math.BigDecimal])
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      agg
+        .withColumn("obs_rows", lit(m("obs_rows").asInstanceOf[Long]))
+        .withColumn("obs_qty", lit(qty))
+        .withColumn("obs_min_ship",
+          lit(m("obs_min_ship").asInstanceOf[java.sql.Date]))
+        .withColumn("obs_max_ship",
+          lit(m("obs_max_ship").asInstanceOf[java.sql.Date]))
+        .withColumn("metrics_in_plan", lit(metricsInPlan))
+        .orderBy("l_returnflag")
+    }),
+
     // --- manifest (zone-map) file pruning: the file-level min/max
     // skipping every table format does ABOVE directory partitioning —
     // data is range-laid-out on the sort key at write time, a MANIFEST
@@ -951,6 +995,42 @@ object WarehouseQueries {
                |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // --- SQL scripting (Spark 4 procedural surface): a BEGIN…END
+    // compound with DECLAREd locals, a WHILE loop and an IF — the
+    // stored-procedure-style control flow warehouse users port in. Each
+    // loop iteration is a normal Catalyst query (per-year count with
+    // the year predicate pushed to the scan); the script only threads
+    // scalars between them, so nothing about the execution model
+    // changes — control flow on the driver, set-oriented plans on the
+    // cluster. Runs in an isolated session (the scripting flag and the
+    // temp view stay scoped). The oracle computes the same totals
+    // set-at-once; n_iters pins that the loop genuinely ran 7 times.
+    "q_sql_scripting" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.scripting.enabled", "true")
+      Tables.orders(s2, d).createOrReplaceTempView("orders_script")
+      s2.sql("""
+        |BEGIN
+        |  DECLARE grand BIGINT DEFAULT 0;
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  DECLARE big_years INT DEFAULT 0;
+        |  DECLARE yr_n BIGINT DEFAULT 0;
+        |  DECLARE yr INT DEFAULT 1995;
+        |  SET grand = (SELECT count(*) FROM orders_script);
+        |  WHILE yr <= 2001 DO
+        |    SET yr_n = (SELECT count(*) FROM orders_script
+        |                WHERE year(o_orderdate) = yr);
+        |    SET total = total + yr_n;
+        |    IF yr_n * 10 > grand THEN
+        |      SET big_years = big_years + 1;
+        |    END IF;
+        |    SET yr = yr + 1;
+        |  END WHILE;
+        |  SELECT total AS total_orders, big_years AS n_big_years,
+        |         yr - 1995 AS n_iters;
+        |END""".stripMargin)
+    }),
+
     // --- custom UDAF over a window frame: the Welford/Chan typed
     // Aggregator (exact-merge variance) evaluated over a moving 10-row
     // frame, against the built-in var_samp on the same frame — the
@@ -1051,6 +1131,22 @@ object WarehouseQueries {
         |  true AS served_from_cache
         |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the observed (accumulator-borne) metrics must equal DuckDB
+    // recomputing them straight from the table; metrics_in_plan is the
+    // CollectMetrics analyzed-plan verdict
+    "q_observe_metrics" ->
+      """WITH f AS (
+        |  SELECT * FROM lineitem WHERE l_shipdate >= DATE '1998-01-01')
+        |SELECT l_returnflag, count(*) AS n,
+        |  (SELECT count(*) FROM f) AS obs_rows,
+        |  (SELECT round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE
+        |     FROM f) AS obs_qty,
+        |  (SELECT min(l_shipdate::DATE) FROM f) AS obs_min_ship,
+        |  (SELECT max(l_shipdate::DATE) FROM f) AS obs_max_ship,
+        |  true AS metrics_in_plan
+        |FROM f
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the pruned scan must equal the plain full-scan filter; `pruned`
     // is the in-plan verdict that files were actually skipped
@@ -1360,6 +1456,19 @@ object WarehouseQueries {
         |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS sum_price
         |FROM orders WHERE o_totalprice > 150000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the script's loop-accumulated totals computed set-at-once
+    "q_sql_scripting" ->
+      """WITH yearly AS (
+        |  SELECT year(o_orderdate) AS yr, count(*) AS n
+        |  FROM orders
+        |  WHERE year(o_orderdate) BETWEEN 1995 AND 2001
+        |  GROUP BY 1)
+        |SELECT (SELECT sum(n) FROM yearly)::BIGINT AS total_orders,
+        |  (SELECT count(*) FROM yearly
+        |   WHERE n * 10 > (SELECT count(*) FROM orders))::INT
+        |    AS n_big_years,
+        |  7 AS n_iters""".stripMargin,
 
     "q_sql_variables" ->
       """WITH cut AS (SELECT avg(o_totalprice) AS c FROM orders)

@@ -319,4 +319,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     // ground truth would make the recall gate vacuous
     assert(r(0).getLong(1) > 0, "exact pair set is empty; gate is vacuous")
   }
+
+  test("q_line_dedup matches a driver-side boilerplate recomputation") {
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ++
+      graft.queries.TextQueries.plantedLineDocs
+    def chunksOf(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.grouped(10).map(_.mkString(" ")).toSeq
+    val docChunks = raw.map { case (id, t) => (id, chunksOf(t)) }
+    val boiler = docChunks
+      .flatMap { case (id, cs) =>
+        cs.filter(_.split(" ", -1).length == 10).distinct.map(c => (c, id)) }
+      .groupBy(_._1)
+      .collect { case (c, xs) if xs.map(_._2).distinct.size >= 3 => c }
+      .toSet
+    val expected = docChunks.map { case (id, cs) =>
+      (id, cs.filterNot(boiler).mkString(" "), cs.count(boiler).toLong)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_line_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // planted gate: the 4-doc boilerplate chunk is stripped everywhere,
+    // the 2-doc control chunk survives, and the organic corpus itself
+    // contributes at least one removed chunk (non-vacuous beyond plants)
+    assert(got.filter(x => x._1 >= 9200001L && x._1 <= 9200004L)
+      .forall(_._3 == 1L))
+    assert(got.filter(_._1 >= 9200011L).forall(_._3 == 0L))
+    assert(got.exists(x => x._1 < 9200001L && x._3 > 0L))
+  }
 }
