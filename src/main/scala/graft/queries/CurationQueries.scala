@@ -824,6 +824,51 @@ object CurationQueries {
         .orderBy("source")
     }),
 
+    // --- URL canonicalization dedup: the web-crawl front-door dedup
+    // step (Common-Crawl corpora carry the same page under tracking-
+    // param / case / trailing-slash variants). Each doc synthesizes 3
+    // variant URLs that MUST canonicalize together — base, a
+    // trailing-slash + utm_* tracking form, an UPPERCASE-scheme/host +
+    // utm form — plus, on every 50th doc, a ?page=2 negative control
+    // whose real param must SURVIVE canonicalization (its own group).
+    // Canonical = https:// + lower(host) + rtrim(path,'/') +
+    // non-utm query params sorted — built by genuinely PARSING the
+    // messy variants (parse_url + array filter/sort), while the oracle
+    // constructs the canonical form directly from the generating
+    // fields: a parsing or stripping bug splits a group and hash-fails.
+    // Scale: per-row codegen'd parsing + one hash agg on the canonical
+    // key — the exact q_dedup_exact shape, keyed on canonical URL.
+    "q_url_dedup" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "source", "lang")
+      val v0 = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"))
+      val v1 = concat(v0, lit("/?utm_source=feed&utm_campaign="),
+        col("doc_id"))
+      val v2 = concat(lit("HTTPS://"), upper(col("source")),
+        lit(".EXAMPLE.COM/"), col("lang"), lit("/doc/"), col("doc_id"),
+        lit("?utm_medium=social"))
+      val v3 = concat(v0, lit("?page=2"))
+      val variants = base.select(col("doc_id"),
+          posexplode(array(v0, v1, v2)).as(Seq("variant_id", "url")))
+        .unionAll(base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), lit(3).as("variant_id"), v3.as("url")))
+      val host = lower(parse_url(col("url"), lit("HOST")))
+      val path = regexp_replace(parse_url(col("url"), lit("PATH")),
+        "/+$", "")
+      val q = parse_url(col("url"), lit("QUERY"))
+      val qClean = array_join(array_sort(filter(
+        split(coalesce(q, lit("")), "&"),
+        t => t =!= "" && !t.startsWith("utm_"))), "&")
+      variants
+        .withColumn("canonical", concat(lit("https://"), host, path,
+          when(qClean =!= "", concat(lit("?"), qClean)).otherwise(lit(""))))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"),
+          min(col("variant_id")).as("keep_variant"),
+          min(col("doc_id")).as("doc_id"))
+        .orderBy("canonical")
+    }),
+
     // --- per-label embedding centroids (the "class prototype" /
     // k-means-assignment-step primitive): mean vector per label for the
     // first 8 dimensions. posexplode keeps the dim loop inside the scan
@@ -1299,6 +1344,23 @@ object CurationQueries {
         |  sum(n_num)::BIGINT AS numbers_masked,
         |  min(rmd5) AS content_md5
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the canonical forms BY CONSTRUCTION: the 3 messy variants of each
+    // doc collapse to its base URL, the ?page=2 control stands alone —
+    // a Spark-side parse/strip bug splits a group and hash-fails
+    "q_url_dedup" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    'https://' || lower(source) || '.example.com/' || lang ||
+        |      '/doc/' || doc_id AS base
+        |  FROM documents)
+        |SELECT canonical, n_variants, keep_variant, doc_id FROM (
+        |  SELECT base AS canonical, 3::BIGINT AS n_variants,
+        |    0 AS keep_variant, doc_id FROM canon
+        |  UNION ALL
+        |  SELECT base || '?page=2', 1::BIGINT, 3, doc_id
+        |  FROM canon WHERE doc_id % 50 = 0)
+        |ORDER BY canonical""".stripMargin,
 
     "q_label_centroids" ->
       """SELECT label, (i - 1)::INT AS dim, count(*) AS n,

@@ -1368,6 +1368,48 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // --- join strategy hints: the user-facing physical-strategy dials
+    // (BROADCAST / MERGE / SHUFFLE_HASH) — at 100 TB these are how an
+    // operator overrides a mis-estimate (a dim the stats call big and
+    // AQE would sort-merge, when one side is KNOWN to fit; or the
+    // reverse, pinning SMJ when a "small" side would OOM the build).
+    // The same orders⋈customer aggregate runs under all three hints;
+    // the in-plan verdicts pin that each hint was genuinely HONORED
+    // (three different physical joins), and the three results are
+    // proven identical by symmetric difference over the checkpointed
+    // ≤25-row aggregates before the invariance verdict rides the row.
+    "q_join_hints" -> ((s, d) => {
+      def joined(hint: String) = {
+        val c = Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey").hint(hint)
+        Tables.orders(s, d).select("o_custkey", "o_totalprice")
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(30,12)")), 4)
+              .cast("double").as("revenue"))
+      }
+      val (b, m, h) = (joined("broadcast"), joined("merge"),
+        joined("shuffle_hash"))
+      val okB = b.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      val okM = m.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin")
+      val okH = h.queryExecution.executedPlan.toString
+        .contains("ShuffledHashJoin")
+      // ≤|nation| rows each once aggregated — materialize, then the
+      // cross-variant equality checks are driver-cheap
+      val (bc, mc, hc) = (b.localCheckpoint(), m.localCheckpoint(),
+        h.localCheckpoint())
+      val same = bc.except(mc).isEmpty && mc.except(bc).isEmpty &&
+        bc.except(hc).isEmpty && hc.except(bc).isEmpty
+      bc.withColumn("hint_broadcast_honored", lit(okB))
+        .withColumn("hint_merge_honored", lit(okM))
+        .withColumn("hint_shuffle_hash_honored", lit(okH))
+        .withColumn("results_invariant", lit(same))
+        .orderBy("c_nationkey")
+    }),
+
     // URL parsing family (parse_url — a native codegen-able Catalyst
     // expression, the op behind domain filtering / URL dedup / robots
     // scoping in a web-corpus pipeline). The URLs are synthesized
@@ -2242,6 +2284,16 @@ object RelationalQueries {
         |          AND l_shipdate >= DATE '1996-01-01'
         |          AND l_shipdate < DATE '1997-01-01'))
         |ORDER BY s_suppkey""".stripMargin,
+
+    // the three hinted plans must agree with the plain relational
+    // answer; the flags are the in-plan hint-honored verdicts
+    "q_join_hints" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  round(sum(o_totalprice::DECIMAL(30,12)), 4)::DOUBLE AS revenue,
+        |  true AS hint_broadcast_honored, true AS hint_merge_honored,
+        |  true AS hint_shuffle_hash_honored, true AS results_invariant
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // brute-force ground truth: ALL probe×canon pairs at ED<=1 — a
     // Spark blocking channel that misses a real pair hash-fails here
