@@ -47,7 +47,8 @@ object StreamingQueries {
     "q_stream_quality_filter" -> ((s, d) => StreamingPipelines.streamQualityFilter(s, d)),
     "q_stream_ivf_ingest" -> ((s, d) => StreamingPipelines.streamIvfIngest(s, d)),
     "q_stream_phash_dedup" -> ((s, d) => StreamingPipelines.streamPhashDedup(s, d)),
-    "q_stream_ewma" -> ((s, d) => StreamingPipelines.streamEwma(s, d)))
+    "q_stream_ewma" -> ((s, d) => StreamingPipelines.streamEwma(s, d)),
+    "q_stream_observe" -> ((s, d) => StreamingPipelines.streamObserve(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     // the untruncated recursion, replayed as an ordered list fold —
@@ -287,5 +288,16 @@ object StreamingQueries {
         |        FROM sess GROUP BY 1, 2),
         |closed AS (SELECT user_id, n_events FROM per, cut WHERE last_ev <= c)
         |SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events
-        |FROM closed GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM closed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the per-batch observed metrics, summed across the 3 file batches,
+    // must equal the batch recomputation over the whole table
+    "q_stream_observe" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  3::BIGINT AS n_batches_observed,
+        |  (SELECT count(*) FROM events) AS rows_observed,
+        |  (SELECT round(sum(value::DECIMAL(30,12)), 4)::DOUBLE
+        |     FROM events) AS value_observed
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

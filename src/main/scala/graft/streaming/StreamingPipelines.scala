@@ -1091,4 +1091,69 @@ object StreamingPipelines {
       .groupBy("event_type").agg(sum("n").as("cnt"))
       .orderBy("event_type")
   }
+
+  /**
+   * Streaming observe(): per-micro-batch dataset-QA metrics riding each
+   * batch's OWN tasks (CollectMetrics under the streaming runner) — the
+   * streaming twin of q_observe_metrics. A 3-file replayed event stream
+   * (event_id residues mod 3; ts never read, so no time-unit coupling)
+   * aggregates per-type counts; the observed (rows, exact-decimal value
+   * total) of every batch are read back from the progress history's
+   * observedMetrics, summed driver-side, and must equal the batch
+   * recomputation over the full table — any skipped, double-counted, or
+   * partially-observed micro-batch breaks the totals. At 100 TB/day
+   * ingest this is how a stream publishes row/value accounting with
+   * ZERO extra passes and no extra stateful operator.
+   */
+  def streamObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val io = "/tmp/graft_io/stream_observe"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(io), true)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+    (0 until 3).foreach { b =>
+      val tmp = s"$io/tmp_b$b"
+      ev.filter(pmod(col("event_id"), lit(3)) === b)
+        .coalesce(1).write.parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/b$b.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val finalCounts =
+      new java.util.concurrent.atomic.AtomicReference[Array[(String, Long)]](
+        Array.empty)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$io/in/b*.parquet")
+      .observe("qa", count(lit(1)).as("rows"),
+        sum(col("value").cast("decimal(30,12)")).as("val_sum"))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // complete mode: each batch carries the FULL state; keep the last
+        finalCounts.set(batch.collect()
+          .map(r => (r.getString(0), r.getLong(1))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qa = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("qa")))
+    val nonEmpty = qa.filter(_.getAs[Long]("rows") > 0)
+    val rowsObs = nonEmpty.map(_.getAs[Long]("rows")).sum
+    val valObs = nonEmpty
+      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("val_sum")))
+      .sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    finalCounts.get().toSeq.toDF("event_type", "cnt")
+      .withColumn("n_batches_observed", lit(nonEmpty.size.toLong))
+      .withColumn("rows_observed", lit(rowsObs))
+      .withColumn("value_observed", lit(valObs))
+      .orderBy("event_type")
+  }
 }

@@ -178,4 +178,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(rerun.toSeq === result.toSeq)
   }
+
+  test("streaming observe: per-batch metrics sum to the batch totals") {
+    val got = StreamingPipelines.streamObserve(spark, GraftSpark.sf)
+      .collect()
+    val ev = Tables.events(spark, GraftSpark.sf)
+    val nTotal = ev.count()
+    // observed totals are batch-order-independent sums; they must equal
+    // the direct batch computation, and the 3-file split must be REAL
+    // (3 observed non-empty batches, none skipped or merged)
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_batches_observed") === 3L)
+      assert(r.getAs[Long]("rows_observed") === nTotal)
+    }
+    // per-type counts in the complete-mode final state == batch groupBy
+    val want = ev.groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got.foreach(r =>
+      assert(r.getAs[Long]("cnt") === want(r.getAs[String]("event_type"))))
+    // rerun determinism (fresh files, same residue split)
+    val rerun = StreamingPipelines.streamObserve(spark, GraftSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(rerun === got.map(_.toString).toSeq)
+  }
 }
