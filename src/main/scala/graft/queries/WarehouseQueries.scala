@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.WelfordVariance
+import graft.functions.{bloom_agg, bloom_might_contain}
 
 /**
  * Warehouse / data-layout operators (SURVEY.md §2, round 5): the
@@ -373,6 +374,59 @@ object WarehouseQueries {
             .cast("double").as("revenue"))
         .withColumn("pruned", lit(keep.length < nTotal && keep.nonEmpty))
         .orderBy("m")
+    }),
+
+    // --- bloom-filter skip index: the data-skipping structure for POINT
+    // lookups where zone maps are USELESS by construction — the files
+    // are HASH-laid on the key (the append/ingest reality: every file's
+    // [min,max] spans the whole key domain, so min/max skipping prunes
+    // nothing, and the query proves that in-row), but a per-file Bloom
+    // sketch (the engine's own BloomBuildAgg, one footer-cheap pass
+    // riding `_metadata`) excludes every file whose filter rejects the
+    // key. At 100 TB: the index is KB per file and driver/broadcast-
+    // resident; an id lookup touches ~1 file out of thousands instead
+    // of all of them. The probed rows must equal the direct lookup (the
+    // oracle); bloom_pruned pins that skipping genuinely engaged, and
+    // no-false-negative is structural (a bloom can never reject a
+    // present key, so a missing output row is impossible unless the
+    // index build itself is wrong — which the equality catches).
+    "q_bloom_skip_index" -> ((s, d) => {
+      val base = "/tmp/graft_io/bloom_skip"
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(8, col("o_orderkey"))
+        .write.parquet(s"$base/data")
+      // per-file bloom index + min/max (to prove zone maps can't help)
+      val index = s.read.parquet(s"$base/data")
+        .groupBy(col("_metadata.file_path").as("fp"))
+        .agg(bloom_agg(col("o_orderkey"), 1000000L, 0.01).as("bloom"),
+          min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .localCheckpoint()
+      // probes sit mid-domain at every scale, so each file's hash-drawn
+      // [lo, hi] covers them a.s. (P ≈ e^-38 already at the smallest
+      // scale) and the zone-map verdict is deterministic
+      val probeKeys = Seq(303L, 453L, 603L, 903L, 1203L)
+      val nTotal = index.count()
+      val rows = probeKeys.map { k =>
+        val keep = index
+          .filter(bloom_might_contain(col("bloom"), lit(k)))
+          .select("fp").collect().map(_.getString(0))
+        // hash layout: every file's range covers every key — min/max
+        // skipping would keep ALL files for this probe
+        val zoneUseless = index
+          .filter(col("lo") <= k && col("hi") >= k).count() == nTotal
+        val hit = s.read.parquet(keep: _*)
+          .filter(col("o_orderkey") === k)
+          .select("o_totalprice").head()
+        (k, hit.getDouble(0), nTotal, keep.length < nTotal, zoneUseless)
+      }
+      import s.implicits._
+      rows.toDF("probe_key", "o_totalprice", "n_files_total",
+          "bloom_pruned", "zone_maps_useless")
+        .orderBy("probe_key")
     }),
 
     // --- deletion vectors (merge-on-read position deletes): the delete
@@ -1147,6 +1201,15 @@ object WarehouseQueries {
         |  true AS metrics_in_plan
         |FROM f
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the probed rows must equal the direct key lookup; the flags are
+    // the skipping-engaged and zone-maps-provably-useless verdicts
+    "q_bloom_skip_index" ->
+      """SELECT o_orderkey AS probe_key, o_totalprice,
+        |  8::BIGINT AS n_files_total, true AS bloom_pruned,
+        |  true AS zone_maps_useless
+        |FROM orders WHERE o_orderkey IN (303, 453, 603, 903, 1203)
+        |ORDER BY probe_key""".stripMargin,
 
     // the pruned scan must equal the plain full-scan filter; `pruned`
     // is the in-plan verdict that files were actually skipped
