@@ -193,6 +193,43 @@ object BehaviorQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // --- per-segment closed-form OLS (the "grouped model fit" pattern:
+    // one regression per key, arbitrarily many keys, NO driver loop —
+    // the shape a feature-drift or trend monitor runs per segment at
+    // 100 TB): value regressed on hour-of-day per event_type via the
+    // normal equations. Only the FIVE SUMS need distributed exactness —
+    // each is a decimal sum (partition-order independent, map-side
+    // combined); the closing algebra runs on 1-row-per-group scalars in
+    // plain doubles written IDENTICALLY in both engines (same
+    // expression tree, same association, round 4), so the division
+    // never sees a nondeterministic operand. Denominators ANSI-guarded
+    // (a constant-x or constant-y group yields NULL, not a throw).
+    "q_segmented_regression" -> ((s, d) => {
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(30,12)"))
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          hour(col("ts")).cast("double").as("x"), col("value").as("y"))
+        .groupBy("event_type").agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(col("x")).cast("double").as("sx"),
+          dsum(col("y")).cast("double").as("sy"),
+          dsum(col("x") * col("x")).cast("double").as("sxx"),
+          dsum(col("x") * col("y")).cast("double").as("sxy"),
+          dsum(col("y") * col("y")).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("event_type"), col("n").cast("long").as("n_events"),
+          round(when(den > 0, num / den), 4).as("slope"),
+          round(when(den > 0,
+            (col("sy") - (num / den) * col("sx")) / col("n")), 4)
+            .as("intercept"),
+          round(when(den > 0 && deny > 0,
+            (num * num) / (den * deny)), 4).as("r2"))
+        .orderBy("event_type")
+    }),
+
     // --- equi-depth histogram (range-partition planning): 8-bucket
     // boundaries over l_extendedprice + per-bucket balance audit — what
     // a range partitioner / sort-merge planner computes before a global
@@ -508,6 +545,29 @@ object BehaviorQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // same five exact decimal sums, same double algebra term-for-term
+    "q_segmented_regression" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    count(*)::DOUBLE AS n,
+        |    sum((hour(ts)::DOUBLE)::DECIMAL(30,12))::DOUBLE AS sx,
+        |    sum(value::DECIMAL(30,12))::DOUBLE AS sy,
+        |    sum((hour(ts)::DOUBLE * hour(ts)::DOUBLE)::DECIMAL(30,12))
+        |      ::DOUBLE AS sxx,
+        |    sum((hour(ts)::DOUBLE * value)::DECIMAL(30,12))::DOUBLE AS sxy,
+        |    sum((value * value)::DECIMAL(30,12))::DOUBLE AS syy
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n::BIGINT AS n_events,
+        |  round(CASE WHEN n*sxx - sx*sx > 0
+        |    THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 4) AS slope,
+        |  round(CASE WHEN n*sxx - sx*sx > 0
+        |    THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+        |    END, 4) AS intercept,
+        |  round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |    THEN ((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+        |         ((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 4) AS r2
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "q_itemitem_cooc" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

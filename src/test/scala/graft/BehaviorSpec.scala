@@ -243,4 +243,41 @@ class BehaviorSpec extends AnyFunSuite {
       assert(math.abs(trunc - rec) <= maxV / 65536.0 + 5e-5, s"event $eid tail")
     }
   }
+
+  test("q_segmented_regression matches a BigDecimal least-squares recompute") {
+    // independent formulation: exact BigDecimal sums (no decimal(30,12)
+    // truncation on x-only terms, full-precision products) → the same
+    // closing algebra; agreement to 4 decimals despite the different
+    // accumulation route shows the decimal-sum plan isn't load-bearing
+    // precision-wise, only determinism-wise
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("x"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def d12(v: Double) = BigDecimal(v).setScale(12,
+      BigDecimal.RoundingMode.HALF_UP)
+    val expect = rows.groupBy(_._1).map { case (t, xs) =>
+      val n = BigDecimal(xs.length)
+      val sx = xs.map(r => d12(r._2)).sum
+      val sy = xs.map(r => d12(r._3)).sum
+      val sxx = xs.map(r => d12(r._2 * r._2)).sum
+      val sxy = xs.map(r => d12(r._2 * r._3)).sum
+      val (nn, sxd, syd, sxxd, sxyd) =
+        (n.toDouble, sx.toDouble, sy.toDouble, sxx.toDouble, sxy.toDouble)
+      val slope = (nn * sxyd - sxd * syd) / (nn * sxxd - sxd * sxd)
+      val icept = (syd - slope * sxd) / nn
+      (t, BigDecimal(slope).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble,
+        BigDecimal(icept).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    val got = queries.BehaviorQueries.queries("q_segmented_regression")(
+      spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size === expect.size)
+    expect.foreach { case (t, slope, icept) =>
+      assert(math.abs(got(t)._1 - slope) <= 1e-4, s"$t slope")
+      assert(math.abs(got(t)._2 - icept) <= 1e-4, s"$t intercept")
+    }
+  }
 }
