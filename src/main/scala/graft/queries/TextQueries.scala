@@ -1103,6 +1103,41 @@ object TextQueries {
         round(avg("n_pieces"), 4).as("avg_pieces"))
       .orderBy("lang")),
 
+    // --- log-line parsing (the regex-ETL front door: unstructured text
+    // → typed columns): Apache-combined-style lines synthesized IN-PLAN
+    // from event fields (the q_url_funcs by-construction recipe), then
+    // parsed back with one 5-group regexp_extract pattern and rolled up
+    // per (method, status). The oracle rebuilds every extracted column
+    // from the SAME fields without ever seeing the log line, so any
+    // group mis-capture — ip bleeding into the bracket section, path
+    // swallowing the protocol, status/bytes transposed — changes the
+    // rollup and hash-fails. One scan, codegen'd regex, no shuffle
+    // before the bounded (method × status) agg.
+    "q_log_parse" -> ((s, d) => {
+      val ip = concat(lit("10."), col("user_id") % 240 + 10, lit("."),
+        col("user_id") % 97 + 10, lit(".7"))
+      val method = when(col("event_type").isin("click", "view"), "GET")
+        .otherwise("POST")
+      val status = when(col("event_type") === "error", 500).otherwise(200)
+      val bytes = floor(col("value") * 100).cast("long") + 200
+      val line = concat(ip, lit(" - - [01/Jan/1996:00:00:00 +0000] \""),
+        method, lit(" /"), col("event_type"), lit("/"), col("event_id"),
+        lit(" HTTP/1.1\" "), status, lit(" "), bytes)
+      val pat =
+        "^([0-9.]+) - - \\[[^\\]]*\\] \"([A-Z]+) ([^ ]+) HTTP/1\\.1\" ([0-9]{3}) ([0-9]+)$"
+      Tables.events(s, d)
+        .select(regexp_extract(line, pat, 1).as("ip"),
+          regexp_extract(line, pat, 2).as("method"),
+          regexp_extract(line, pat, 3).as("path"),
+          regexp_extract(line, pat, 4).cast("int").as("status"),
+          regexp_extract(line, pat, 5).cast("long").as("bytes"))
+        .groupBy("method", "status")
+        .agg(count(lit(1)).as("n"), countDistinct(col("ip")).as("n_ips"),
+          countDistinct(col("path")).as("n_paths"),
+          sum("bytes").as("total_bytes"))
+        .orderBy("method", "status")
+    }),
+
     // --- sequence-length bucketing (2j): the packing-prep histogram a
     // batch builder runs before token packing — docs per power-of-2
     // length bucket + packed-sequence estimate at a 4096-token budget.
@@ -2005,6 +2040,24 @@ object TextQueries {
         |  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS toks
         |        FROM documents))
         |ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    // every column rebuilt from the generating fields — the log line is
+    // never parsed here, so the regex itself is what equality verifies
+    "q_log_parse" ->
+      """WITH x AS (
+        |  SELECT
+        |    '10.' || (user_id % 240 + 10) || '.' || (user_id % 97 + 10)
+        |      || '.7' AS ip,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'GET'
+        |         ELSE 'POST' END AS method,
+        |    '/' || event_type || '/' || event_id AS path,
+        |    CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+        |    floor(value * 100)::BIGINT + 200 AS bytes
+        |  FROM events)
+        |SELECT method, status, count(*) AS n,
+        |  count(DISTINCT ip) AS n_ips, count(DISTINCT path) AS n_paths,
+        |  sum(bytes)::BIGINT AS total_bytes
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_regex_tokens" ->
       """SELECT lang,
