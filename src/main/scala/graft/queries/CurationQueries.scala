@@ -564,6 +564,43 @@ object CurationQueries {
         .orderBy("split", "lang")
     }),
 
+    // --- dedup-aware split leakage (the benchmark-contamination failure
+    // mode INSIDE one corpus): a pure per-doc hash split (the
+    // q_dataset_split rule, reused verbatim) can land the two halves of
+    // a near-duplicate pair on opposite sides of train/test — the model
+    // then "generalizes" to its own training data. This query counts
+    // those straddling pairs over the shared Jaccard ≥ 0.8 pair graph,
+    // then applies the standard fix — assign every doc the split of its
+    // CLUSTER representative (the shared CC min-label), so whole dup
+    // clusters move as one — and RE-COUNTS leakage under the fixed
+    // assignment in-plan (the oracle pins it at the structural 0: both
+    // ends of any pair share a cluster by definition). Scale: pair
+    // graph and labels are the maintained shared intermediates; the
+    // split is per-row hash arithmetic; three bounded aggregates.
+    "q_split_leakage" -> ((s, d) => {
+      def splitOf(k: org.apache.spark.sql.Column) = {
+        val u = gateU("split42", k)
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+      }
+      val pairs = TextQueries.jaccardPairsShared(s, d)
+        .select("id_a", "id_b")
+      val labels = TextQueries.ccLabelsShared(s, d)
+      val before = pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(splitOf(col("id_a")) =!= splitOf(col("id_b")), 1L)
+          .otherwise(0L)).as("n_leaky_before"))
+      val moved = labels.agg(
+        sum(when(splitOf(col("node")) =!= splitOf(col("cluster")), 1L)
+          .otherwise(0L)).as("n_docs_moved"))
+      val after = pairs
+        .join(labels.select(col("node").as("id_a"), col("cluster").as("ca")),
+          "id_a")
+        .join(labels.select(col("node").as("id_b"), col("cluster").as("cb")),
+          "id_b")
+        .agg(sum(when(splitOf(col("ca")) =!= splitOf(col("cb")), 1L)
+          .otherwise(0L)).as("n_leaky_after"))
+      before.crossJoin(broadcast(moved)).crossJoin(broadcast(after))
+    }),
+
     // --- language rebalancing (domain mixing): down-sample each
     // language toward an EQUAL target share under a 60%-of-corpus
     // budget — the mixing step every multilingual training build runs
@@ -1179,6 +1216,52 @@ object CurationQueries {
         |  FROM keyed)
         |SELECT lang, rank, doc_id, round(key_raw * 1e4, 6) AS es_key_e4
         |FROM ranked WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+
+    // the pair set + CC labels replayed by the q_dedup_clusters oracle
+    // construction; splits by the q_dataset_split hash rule; the fixed
+    // assignment's leakage is structurally 0 (pair ends share a cluster)
+    "q_split_leakage" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
+        |        4) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r),
+        |lbl AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |         ELSE 'test' END AS sp
+        |  FROM (SELECT doc_id,
+        |    substr(regexp_replace(md5('split42:' || doc_id::VARCHAR),
+        |      '[a-f]', '', 'g') || '0000', 1, 4)::INT / 10000.0 AS u
+        |  FROM documents))
+        |SELECT
+        |  (SELECT count(*) FROM pairs) AS n_pairs,
+        |  (SELECT count(*) FROM pairs p
+        |     JOIN sp a ON p.id_a = a.doc_id
+        |     JOIN sp b ON p.id_b = b.doc_id
+        |   WHERE a.sp <> b.sp) AS n_leaky_before,
+        |  (SELECT count(*) FROM lbl l
+        |     JOIN sp o ON l.node = o.doc_id
+        |     JOIN sp c ON l.cluster = c.doc_id
+        |   WHERE o.sp <> c.sp) AS n_docs_moved,
+        |  0::BIGINT AS n_leaky_after""".stripMargin,
 
     "q_dataset_split" ->
       """WITH gated AS (
