@@ -423,6 +423,25 @@ object RelationalQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // value-RANGE frame (the frame family q_window_frame's ROWS form
+    // can't express): per event, that user's activity in the trailing
+    // hour — frame membership decided by the ORDER VALUE (exact
+    // microseconds, identical in both engines), not row position, so
+    // ties and gaps are handled by construction and the result is
+    // independent of any within-timestamp row order. One shuffle on
+    // user_id; the frame is the streaming-sliding-window's batch dual.
+    "q_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(s, d).filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(30,12)")).over(w), 4)
+            .cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // distribution analytics: percent_rank / cume_dist (ANSI semantics,
     // tie-broken by unique key so both engines agree on peer groups)
     "q_window_dist" -> ((s, d) => {
@@ -1967,6 +1986,17 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY 1, 2""".stripMargin,
+
+    // exact-microsecond RANGE frame — identical numeric order key both
+    // engines, so frame membership can't drift on ties or rounding
+    "q_range_frame" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS n_1h,
+        |  round(sum(value::DECIMAL(30,12)) OVER w, 4)::DOUBLE AS sum_1h
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_session_dynamic_gap" ->
       """WITH e AS (
