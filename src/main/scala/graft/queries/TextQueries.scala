@@ -798,6 +798,46 @@ object TextQueries {
     // q_pagerank_neardup)
     "q_ngram_jaccard" -> ((s, d) => jaccardPairsShared(s, d).orderBy("id_a", "id_b")),
 
+    // --- asymmetric CONTAINMENT dedup (LSH-Ensemble / doc-in-doc): the
+    // pairs the symmetric Jaccard measure structurally MISSES — a short
+    // doc fully contained in a long one has C = |A∩B|/min(|A|,|B|) = 1
+    // but J = |A|/|B| « 0.8 (quote extraction, page-in-site, prefix
+    // snapshots). Emitted = C ≥ 0.9 ∧ J < 0.8, exactly the
+    // complement of the jaccard lane. Contained probes are derived
+    // IN-PLAN (first 20 words of every ≥50-token doc with id < 20 —
+    // the same derivation in the oracle), so C = 1.0 rows exist by
+    // construction at every scale without literals. Same inverted-
+    // index candidate join as [[jaccardPairs]], minus its length
+    // filter — containment admits arbitrary size asymmetry, the KNOWN
+    // extra cost of the containment problem (Zhu et al., LSH
+    // Ensemble): candidates still require a shared gram, never
+    // all-pairs.
+    "q_containment_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val probes = docs
+        .filter(col("doc_id") < 20 && size(split(col("text"), " ")) >= 50)
+        .select((col("doc_id") + 9300001L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
+      val postings = gramHashPostings(docs.unionAll(probes))
+        .distinct()
+        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      val a = postings.toDF("id_a", "gh", "sz_a")
+      val b = postings.toDF("id_b", "gh", "sz_b")
+      a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") /
+            least(col("sz_a"), col("sz_b")).cast("double"), 4)
+            .as("containment"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4)
+            .as("jaccard"))
+        .filter(col("containment") >= 0.9 && col("jaccard") < 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     // --- INCREMENTAL dedup: a new document batch (delta = doc_id % 10
     // == 0, a stand-in for today's crawl) deduped AGAINST the existing
     // corpus (base), per-delta-doc verdict: 'dup' of its best Jaccard
@@ -1936,6 +1976,39 @@ object TextQueries {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
+
+    // probes derived from the same ≥50-token prefix rule; the WHERE
+    // repeats the rounded expressions so the filter matches Spark's
+    "q_containment_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 9300001,
+        |    array_to_string(string_split(text, ' ')[1:20], ' ')
+        |  FROM documents
+        |  WHERE doc_id < 20 AND len(string_split(text, ' ')) >= 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM docs))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        least(len(a.grams), len(b.grams))::DOUBLE, 4)
+        |    AS containment,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
+        |        4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        least(len(a.grams), len(b.grams))::DOUBLE, 4) >= 0.9
+        |  AND round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
+        |        4) < 0.8
         |ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_incremental" ->
