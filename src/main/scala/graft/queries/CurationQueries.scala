@@ -719,6 +719,40 @@ object CurationQueries {
         .orderBy("lang")
     }),
 
+    // --- epoch scheduling (data-constrained mixing): the UPsampling
+    // complement of q_domain_mix/q_mixture_temperature's downsampling —
+    // given an equal-share target across languages and a one-corpus
+    // token budget, each scarce language REPEATS for
+    // min(4, ideal/T_l) epochs (the ≤4-epoch repeat ceiling after
+    // which repeated data stops helping — Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"), abundant languages
+    // cap at 1 allocation. All inputs are exact BIGINT aggregates
+    // (per-language and total token counts — two bounded hash aggs);
+    // the schedule algebra then runs on |langs| rows of doubles written
+    // identically in both engines. Nothing touches the corpus beyond
+    // the one token-count scan.
+    "q_epoch_schedule" -> ((s, d) => {
+      val perLang = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("tokens"))
+      val tot = perLang.agg(sum(col("tokens")).as("budget"),
+        count(lit(1)).as("n_langs"))
+      val ideal = col("budget").cast("double") / col("n_langs")
+      val epochs = least(lit(4.0), ideal / col("tokens").cast("double"))
+      perLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          round(epochs, 4).as("epochs"),
+          round(epochs * col("tokens").cast("double"), 4)
+            .as("eff_tokens"),
+          // the binding constraint, decided in EXACT integers:
+          // ideal/T < 4 ⇔ budget < 4·T·n_langs
+          (col("budget") < col("tokens") * 4 * col("n_langs"))
+            .as("budget_bound"))
+        .orderBy("lang")
+    }),
+
     // --- token-budget selection: keep the longest documents (ties by
     // doc_id) until 50% of the corpus' tokens are spent — the "fill the
     // training budget with the best docs first" step. NOT implemented as
@@ -1262,6 +1296,22 @@ object CurationQueries {
         |     JOIN sp c ON l.cluster = c.doc_id
         |   WHERE o.sp <> c.sp) AS n_docs_moved,
         |  0::BIGINT AS n_leaky_after""".stripMargin,
+
+    // same exact integer inputs, same double schedule algebra
+    "q_epoch_schedule" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(tokens)::BIGINT AS budget,
+        |        count(*)::BIGINT AS n_langs FROM pl)
+        |SELECT lang, n_docs, tokens,
+        |  round(least(4.0, (budget::DOUBLE / n_langs) / tokens::DOUBLE),
+        |    4) AS epochs,
+        |  round(least(4.0, (budget::DOUBLE / n_langs) / tokens::DOUBLE)
+        |    * tokens::DOUBLE, 4) AS eff_tokens,
+        |  budget < tokens * 4 * n_langs AS budget_bound
+        |FROM pl, t ORDER BY lang""".stripMargin,
 
     "q_dataset_split" ->
       """WITH gated AS (
