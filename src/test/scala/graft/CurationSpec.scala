@@ -314,4 +314,53 @@ class CurationSpec extends AnyFunSuite {
       assert(nKeep >= 0 && nKeep <= nScored, s"$lang keep $nKeep of $nScored")
     }
   }
+
+  test("q_k_anonymity matches a full driver-side ladder recomputation; chosen is minimal") {
+    // Independent oracle: rebuild all four generalization levels from
+    // the raw parquet in plain Scala collections and compare every
+    // metric column; then pin the invariants the row-compare can't
+    // see locally — the ladder is monotone (coarser level => fewer
+    // groups) and `chosen` marks exactly the minimal level meeting
+    // the 20·suppressed <= n budget.
+    val cust = spark.read.parquet(s"$sf/customer.parquet").collect()
+      .map(r => (r.getAs[Number]("c_nationkey").intValue,
+        r.getAs[String]("c_mktsegment"), r.getAs[Double]("c_acctbal")))
+    val nat = spark.read.parquet(s"$sf/nation.parquet").collect()
+      .map(r => r.getAs[Number]("n_nationkey").intValue ->
+        (r.getAs[String]("n_name"), r.getAs[Number]("n_regionkey").intValue))
+      .toMap
+    val reg = spark.read.parquet(s"$sf/region.parquet").collect()
+      .map(r => r.getAs[Number]("r_regionkey").intValue ->
+        r.getAs[String]("r_name")).toMap
+    def band(b: Double, w: Int) = math.floor(b / w).toLong
+    val keyed = cust.map { case (nk, seg, bal) =>
+      val (nName, rk) = nat(nk)
+      (nName, reg(rk), seg, band(bal, 500), band(bal, 2000))
+    }
+    val levels: Seq[Seq[(String, String, Any)]] = Seq(
+      keyed.toSeq.map(t => (t._1, t._3, t._4: Any)),
+      keyed.toSeq.map(t => (t._1, t._3, t._5: Any)),
+      keyed.toSeq.map(t => (t._2, t._3, t._5: Any)),
+      keyed.toSeq.map(t => (t._2, "*", 0L: Any)))
+    val expected = levels.map { ks =>
+      val g = ks.groupBy(identity).map(_._2.size.toLong).toSeq
+      val sup = g.filter(_ < 5).sum
+      (g.size.toLong, g.min, sup, sup * 20 <= ks.size)
+    }
+    val rows = run("q_k_anonymity").collect()
+    assert(rows.length == 4)
+    rows.zip(expected).foreach { case (r, (ng, mg, sup, ok)) =>
+      assert(r.getAs[Long]("n_groups") == ng, s"level ${r.getInt(0)} n_groups")
+      assert(r.getAs[Long]("min_group") == mg, s"level ${r.getInt(0)} min_group")
+      assert(r.getAs[Long]("suppressed") == sup, s"level ${r.getInt(0)} suppressed")
+      assert(r.getAs[Boolean]("meets_budget") == ok)
+    }
+    val nGroups = rows.map(_.getAs[Long]("n_groups"))
+    assert(nGroups.sliding(2).forall(p => p(1) <= p(0)),
+      s"ladder not monotone in groups: ${nGroups.toSeq}")
+    val minOk = rows.filter(_.getAs[Boolean]("meets_budget"))
+      .map(_.getAs[Int]("level")).min
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("chosen") == (r.getAs[Int]("level") == minOk)))
+  }
 }
