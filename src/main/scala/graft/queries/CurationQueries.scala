@@ -932,6 +932,41 @@ object CurationQueries {
         .orderBy("level")
     }),
 
+    // --- Calibration audit (reliability diagram + ECE, Naeini et al.
+    // AAAI 2015): the classifier-ops step AFTER q_classifier_eval's
+    // rank metrics — does the score MEAN what it says as a
+    // probability? A model predicts P(accept) = x/(1+x) for
+    // x = totalprice/20k while the true acceptance curve is
+    // x²/(1+x²): overconfident below x = 1, underconfident above, so
+    // the per-bin gap crosses zero mid-diagram — a real reliability
+    // shape, not a constant offset. Both curves are RATIONAL
+    // arithmetic (no exp/ln — +,·,/ are IEEE-correctly-rounded, so
+    // Spark and DuckDB compute identical doubles and every outcome
+    // draw u < p lands on the same side); outcomes are the house
+    // md5-decimal uniform per order key. Scale shape: score, outcome
+    // and bin are scan-stage arithmetic; the aggregate is 10 bins;
+    // ECE is a window over those 10 rows. One scan, one bounded agg.
+    "q_calibration_bins" -> ((s, d) => {
+      val x = col("o_totalprice") / 20000.0
+      val conf = x / (x + 1.0)
+      val pTrue = (x * x) / (x * x + 1.0)
+      val y = (gateU("cal1", col("o_orderkey")) < pTrue).cast("int")
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(floor(conf * 10).cast("int").as("bin"),
+          conf.as("conf"), y.as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), avg("conf").as("ac"), avg("y").as("fp"))
+        .select(col("bin"), col("n"),
+          round(col("ac"), 4).as("avg_conf"),
+          round(col("fp"), 4).as("frac_pos"),
+          round(col("ac") - col("fp"), 4).as("gap"),
+          round(sum(col("n") * abs(col("ac") - col("fp"))).over(w) /
+            sum(col("n")).over(w), 4).as("ece"))
+        .orderBy("bin")
+    }),
+
     "q_pii_redact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val aug = concat(col("text"),
@@ -1549,6 +1584,27 @@ object CurationQueries {
         |  level = min(CASE WHEN suppressed * 20 <= n_rows THEN level END)
         |            OVER () AS chosen
         |FROM m ORDER BY level""".stripMargin,
+
+    "q_calibration_bins" ->
+      """WITH b AS (
+        |  SELECT
+        |    CAST(floor((o_totalprice/20000.0)/((o_totalprice/20000.0)+1.0)
+        |      * 10) AS INT) AS bin,
+        |    (o_totalprice/20000.0)/((o_totalprice/20000.0)+1.0) AS conf,
+        |    CASE WHEN
+        |      substr(regexp_replace(md5('cal1:' || o_orderkey::VARCHAR),
+        |        '[a-f]', '', 'g') || '0000', 1, 4)::INT / 10000.0
+        |      < ((o_totalprice/20000.0)*(o_totalprice/20000.0))
+        |        / ((o_totalprice/20000.0)*(o_totalprice/20000.0)+1.0)
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |g AS (
+        |  SELECT bin, count(*)::BIGINT AS n, avg(conf) AS ac, avg(y) AS fp
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, round(ac, 4) AS avg_conf, round(fp, 4) AS frac_pos,
+        |  round(ac - fp, 4) AS gap,
+        |  round(sum(n*abs(ac-fp)) OVER () / sum(n) OVER (), 4) AS ece
+        |FROM g ORDER BY bin""".stripMargin,
 
     "q_pii_redact" ->
       """WITH aug AS (

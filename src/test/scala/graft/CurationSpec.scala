@@ -363,4 +363,46 @@ class CurationSpec extends AnyFunSuite {
     rows.foreach(r => assert(
       r.getAs[Boolean]("chosen") == (r.getAs[Int]("level") == minOk)))
   }
+
+  test("q_calibration_bins matches a full driver-side ECE recomputation") {
+    // Independent oracle in plain Scala: same rational score/outcome
+    // curves, same md5-decimal uniform, bins and ECE rebuilt from the
+    // raw parquet — catches any binning or weighting slip the
+    // row-hash alone would localize poorly.
+    def u(tag: String, key: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$tag:$key".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      ((hex.replaceAll("[a-f]", "") + "0000").take(4)).toInt / 10000.0
+    }
+    val orders = spark.read.parquet(s"$sf/orders.parquet").collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice")))
+    val pts = orders.map { case (k, tp) =>
+      val x = tp / 20000.0
+      val conf = x / (x + 1.0)
+      val pTrue = (x * x) / (x * x + 1.0)
+      (math.floor(conf * 10).toInt, conf, if (u("cal1", k) < pTrue) 1 else 0)
+    }
+    val n = pts.length.toDouble
+    val byBin = pts.groupBy(_._1)
+    val expEce = byBin.values.map { g =>
+      g.length * math.abs(g.map(_._2).sum / g.length - g.map(_._3).sum.toDouble / g.length)
+    }.sum / n
+    val rows = run("q_calibration_bins").collect()
+    assert(rows.length == byBin.size)
+    rows.foreach { r =>
+      val g = byBin(r.getAs[Int]("bin"))
+      assert(r.getAs[Long]("n") == g.length)
+      assert(math.abs(r.getAs[Double]("avg_conf") - g.map(_._2).sum / g.length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("frac_pos") -
+        g.map(_._3).sum.toDouble / g.length) < 1e-3)
+      assert(math.abs(r.getAs[Double]("ece") - expEce) < 1e-3)
+    }
+    // the designed miscalibration shape: gap crosses zero — at least
+    // one overconfident (positive) and one underconfident (negative)
+    // bin with >=10 samples each
+    val gaps = rows.filter(_.getAs[Long]("n") >= 10).map(_.getAs[Double]("gap"))
+    assert(gaps.exists(_ > 0.0) && gaps.exists(_ < 0.0),
+      s"reliability diagram degenerate: ${gaps.toSeq}")
+  }
 }
