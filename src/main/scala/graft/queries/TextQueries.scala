@@ -210,6 +210,26 @@ object TextQueries {
     pairGraphCache.computeIfAbsent((s, d),
       _ => jaccardPairs(s, d).localCheckpoint())
 
+  /** Union graph = shared corpus pair graph ∪ the planted drift
+    * chain's edges (q_bfs_distance and q_adamic_adar both need a
+    * non-clique subgraph — the organic near-dup graph is cliques and
+    * isolated nodes at every gate scale). The chain is gram-disjoint
+    * from the corpus (qchainz prefix), so no cross edges exist — and
+    * the oracles brute-force the UNION corpus, so a violated
+    * disjointness assumption hash-fails instead of passing silently. */
+  private def chainUnionPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chainDf = plantedChainDocs.toDF("doc_id", "text")
+    val chainPostings = gramHashPostings(chainDf).distinct()
+    val chainIds = chainDf.select(col("doc_id").as("id_a"))
+    val chainCand = chainIds
+      .crossJoin(chainDf.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val chainPairs = verifyJaccard(chainCand, chainPostings)
+      .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+    jaccardPairsShared(s, d).select("id_a", "id_b").unionAll(chainPairs)
+  }
+
   /** Connected-component labels (node → min-id cluster) over the shared
     * Jaccard ≥ 0.8 pair graph: iterative min-label propagation to a
     * fixpoint — the standard distributed CC loop (GraphX/large-star
@@ -1463,22 +1483,7 @@ object TextQueries {
     // construction (a node joins the visited set at its FIRST layer).
     // The oracle replays it as a bounded recursive CTE with min(dist).
     "q_bfs_distance" -> ((s, d) => {
-      import s.implicits._
-      // union graph = shared corpus pair graph ∪ the planted chain's
-      // edges; the chain is gram-disjoint from the corpus (qchainz
-      // prefix), so no cross edges exist — and the oracle brute-forces
-      // the UNION corpus, so a violated disjointness assumption
-      // hash-fails instead of passing silently
-      val chainDf = plantedChainDocs.toDF("doc_id", "text")
-      val chainPostings = gramHashPostings(chainDf).distinct()
-      val chainIds = chainDf.select(col("doc_id").as("id_a"))
-      val chainCand = chainIds
-        .crossJoin(chainDf.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      val chainPairs = verifyJaccard(chainCand, chainPostings)
-        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
-      val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
-        .unionAll(chainPairs)
+      val pairs = chainUnionPairs(s, d)
       val edges = pairs.toDF("a", "b")
         .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()
       val seedId = edges.agg(min("a")).collect()(0).getLong(0)
@@ -1544,6 +1549,43 @@ object TextQueries {
       val nn = deg.agg(count(lit(1)).as("n_nodes"))
       val ne = pairs.agg(count(lit(1)).as("n_edges"))
       nn.crossJoin(ne).crossJoin(tri)
+    }),
+
+    // --- Adamic–Adar link prediction (Adamic & Adar, Social Networks
+    // 2003) over the near-dup pair graph: score NON-edges by their
+    // common neighbors, each weighted 1/ln(deg) — the "which drifted
+    // versions are probably the same lineage" signal a dedup pipeline
+    // uses to pre-rank candidate pairs for expensive verification. The
+    // planted drift chain supplies the open wedges (the organic graph
+    // is closed cliques at every gate scale — distance-2 chain pairs
+    // are exactly the AA candidates); a common neighbor structurally
+    // has deg ≥ 2, so ln(deg) > 0 and no division guard is needed.
+    // Scale shape: wedge enumeration is the standard Θ(Σ deg(z)²) —
+    // bounded here by the HUB CAP (deg ≤ 64, applied to the adjacency
+    // BEFORE the self-join and mirrored in the oracle): a 10⁶-neighbor
+    // boilerplate hub would otherwise emit 10¹² wedges for
+    // contributions AA weights down to 1/ln(10⁶) anyway. Everything
+    // runs on the bounded pair graph — documents are never touched.
+    "q_adamic_adar" -> ((s, d) => {
+      val pairs = chainUnionPairs(s, d).localCheckpoint()
+      val adj = pairs.select(col("id_a").as("z"), col("id_b").as("x"))
+        .unionAll(pairs.select(col("id_b").as("z"), col("id_a").as("x")))
+      val deg = adj.groupBy("z").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") <= 64)
+      val adjB = adj.join(deg, "z")
+      val wedges = adjB.as("a1").join(adjB.as("a2"),
+          col("a1.z") === col("a2.z") && col("a1.x") < col("a2.x"))
+        .select(col("a1.x").as("a"), col("a2.x").as("b"),
+          col("a1.dg").as("dg"))
+      wedges
+        .join(pairs.select(col("id_a").as("a"), col("id_b").as("b")),
+          Seq("a", "b"), "left_anti")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common_neighbors"),
+          round(sum(lit(1.0) / log(col("dg").cast("double"))), 4)
+            .as("aa_score"))
+        .orderBy(desc("aa_score"), col("a"), col("b"))
+        .limit(20)
     }),
 
     // --- cluster-aware canonical selection (2j): the step AFTER
@@ -2382,6 +2424,41 @@ object TextQueries {
         |  FROM reach rr JOIN edges e ON e.a = rr.node WHERE rr.dist < 6)
         |SELECT node, min(dist) AS dist FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    // same union pair graph (corpus ∪ planted chain); the hub cap
+    // (deg <= 64) is mirrored so both engines score the same wedges
+    "q_adamic_adar" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, list_distinct([
+        |    array_to_string(toks[i:i+2], ' ')
+        |    FOR i IN range(1, greatest(len(toks) - 1, 2))
+        |  ]) AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM (SELECT doc_id, text FROM documents
+        |              UNION ALL ${plantedValuesSql(plantedChainDocs)}))),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8),
+        |adj AS (
+        |  SELECT id_a AS z, id_b AS x FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS (
+        |  SELECT z, count(*)::BIGINT AS dg FROM adj
+        |  GROUP BY 1 HAVING count(*) <= 64),
+        |adjb AS (SELECT a.z, a.x, d.dg FROM adj a JOIN deg d USING (z)),
+        |wed AS (
+        |  SELECT a1.x AS a, a2.x AS b, a1.dg AS dg
+        |  FROM adjb a1 JOIN adjb a2 ON a1.z = a2.z AND a1.x < a2.x)
+        |SELECT a, b, count(*)::BIGINT AS common_neighbors,
+        |  round(sum(1.0/ln(dg)), 4) AS aa_score
+        |FROM wed
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+        |                  WHERE p.id_a = wed.a AND p.id_b = wed.b)
+        |GROUP BY 1, 2
+        |ORDER BY aa_score DESC, a, b LIMIT 20""".stripMargin,
 
     "q_cluster_canonical" ->
       """WITH RECURSIVE sh AS (

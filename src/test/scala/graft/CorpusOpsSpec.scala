@@ -348,4 +348,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.filter(_._1 >= 9200011L).forall(_._3 == 0L))
     assert(got.exists(x => x._1 < 9200001L && x._3 > 0L))
   }
+
+  test("q_adamic_adar matches a driver-side wedge recomputation on the union graph") {
+    // Rebuild the union graph from the engine's OWN edge relations
+    // (corpus pairs = q_ngram_jaccard output; chain edges = the 7
+    // consecutive planted-chain pairs, whose path shape q_bfs_distance
+    // proves independently), then score every non-edge wedge in plain
+    // Scala and compare the full top-20.
+    val corpus = TextQueries.queries("q_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chain = (0 until 7).map(k => (-108L + k, -107L + k))
+    val pairs = (corpus ++ chain).toSet
+    val adj = pairs.toSeq.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val deg = adj.groupBy(_._1).map { case (z, xs) => z -> xs.size }
+    val byZ = adj.groupBy(_._1)
+    val cand = scala.collection.mutable.Map.empty[(Long, Long), (Int, Double)]
+    for ((z, xs) <- byZ if deg(z) <= 64; (_, a) <- xs; (_, b) <- xs
+         if a < b && !pairs.contains((a, b))) {
+      val (cn, sc) = cand.getOrElse((a, b), (0, 0.0))
+      cand((a, b)) = (cn + 1, sc + 1.0 / math.log(deg(z).toDouble))
+    }
+    val expected = cand.toSeq
+      .map { case ((a, b), (cn, sc)) =>
+        (a, b, cn.toLong, BigDecimal(sc).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (a, b, _, sc) => (-sc, a, b) }.take(20)
+    val got = TextQueries.queries("q_adamic_adar")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == expected.toSeq)
+    // the 6 distance-2 chain pairs must all be present with exactly one
+    // common neighbor — the planted open-wedge guarantee
+    val chainCands = got.filter(_._1 <= -101L)
+    assert(chainCands.length >= 6 && chainCands.forall(_._3 == 1L))
+  }
 }
