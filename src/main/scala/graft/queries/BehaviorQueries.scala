@@ -377,6 +377,51 @@ object BehaviorQueries {
         .orderBy("event_type")
     }),
 
+    // --- exact 1-D Wasserstein (earth-mover) distance: how much work
+    // moves each language's token-length distribution onto the
+    // reference language's — the magnitude-aware complement of the KS
+    // max-gap above and of q_drift_psi's binned divergence (W1 sees
+    // HOW FAR mass must travel, not just that it differs; Ramdas et
+    // al. 2017 for the CDF identity W1 = ∫|F_A−F_B|). Computed
+    // EXACTLY, no binning: the support is integer token counts, so
+    // W1 = Σ_v |F_en(v) − F_ℓ(v)|·(next(v)−v) over the merged support.
+    // Scale shape: ONE corpus scan into the bounded (lang, n_tok)
+    // count relation (≤ langs × max doc length rows); the en side is
+    // replicated per comparison language via an explicit bounded
+    // crossJoin (4-row broadcast); CDFs and the gap-sum are windows
+    // over that bounded relation — the corpus is never sorted.
+    "q_wasserstein_1d" -> ((s, d) => {
+      import graft.functions.token_count
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), token_count(col("text")).cast("long").as("v"))
+        .groupBy("lang", "v").agg(count(lit(1)).as("c"))
+      val langs = cnt.filter(col("lang") =!= "en")
+        .select(col("lang").as("cmp_lang")).distinct()
+      val cells = cnt.filter(col("lang") === "en")
+        .crossJoin(broadcast(langs))
+        .select(col("cmp_lang"), col("v"), col("c").as("a"), lit(0L).as("b"))
+        .unionAll(cnt.filter(col("lang") =!= "en")
+          .select(col("lang").as("cmp_lang"), col("v"),
+            lit(0L).as("a"), col("c").as("b")))
+        .groupBy("cmp_lang", "v").agg(sum("a").as("a"), sum("b").as("b"))
+      val byV = Window.partitionBy("cmp_lang").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("cmp_lang")
+      cells
+        .withColumn("ca", sum("a").over(byV))
+        .withColumn("cb", sum("b").over(byV))
+        .withColumn("ta", sum("a").over(whole))
+        .withColumn("tb", sum("b").over(whole))
+        .withColumn("dv",
+          coalesce(lead("v", 1).over(Window.partitionBy("cmp_lang")
+            .orderBy("v")) - col("v"), lit(0L)))
+        .groupBy(col("cmp_lang"), col("ta").as("n_ref"), col("tb").as("n_cmp"))
+        .agg(round(sum(abs(col("ca") / col("ta") - col("cb") / col("tb"))
+          * col("dv")), 4).as("w1"))
+        .select("cmp_lang", "n_ref", "n_cmp", "w1")
+        .orderBy("cmp_lang")
+    }),
+
     // --- chi-square independence: event_type × user-cohort contingency
     // table, per-type contribution Σ(o−e)²/e. The contingency is a
     // BOUNDED hash agg (types × cohorts cells); marginals are windows
@@ -682,6 +727,38 @@ object BehaviorQueries {
         |    THEN abs(ca / ta - cb / tb) END), 6) AS ks_d
         |FROM cum GROUP BY event_type, ta, tb
         |ORDER BY event_type""".stripMargin,
+
+    "q_wasserstein_1d" ->
+      """WITH cnt AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> t <> ''))::BIGINT AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT l.lang AS cmp_lang, e.v, e.c AS a, 0::BIGINT AS b
+        |  FROM (SELECT * FROM cnt WHERE lang = 'en') e
+        |  CROSS JOIN (SELECT DISTINCT lang FROM cnt WHERE lang <> 'en') l
+        |  UNION ALL
+        |  SELECT lang, v, 0::BIGINT, c FROM cnt WHERE lang <> 'en'),
+        |g AS (
+        |  SELECT cmp_lang, v, sum(a)::BIGINT AS a, sum(b)::BIGINT AS b
+        |  FROM cells GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cmp_lang,
+        |    sum(a) OVER (PARTITION BY cmp_lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(b) OVER (PARTITION BY cmp_lang ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(a) OVER (PARTITION BY cmp_lang) AS ta,
+        |    sum(b) OVER (PARTITION BY cmp_lang) AS tb,
+        |    coalesce(lead(v) OVER (PARTITION BY cmp_lang ORDER BY v) - v,
+        |      0) AS dv
+        |  FROM g)
+        |SELECT cmp_lang, ta::BIGINT AS n_ref, tb::BIGINT AS n_cmp,
+        |  round(sum(abs(ca / ta - cb / tb) * dv), 4) AS w1
+        |FROM cum GROUP BY cmp_lang, ta, tb
+        |ORDER BY cmp_lang""".stripMargin,
 
     "q_chi_square" ->
       """WITH observed AS (

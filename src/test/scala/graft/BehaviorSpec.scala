@@ -280,4 +280,46 @@ class BehaviorSpec extends AnyFunSuite {
       assert(math.abs(got(t)._2 - icept) <= 1e-4, s"$t intercept")
     }
   }
+
+  test("q_wasserstein_1d matches a driver-side sorted-merge recompute and dominates |Δmean|") {
+    // independent formulation: per-language sorted token-count samples,
+    // W1 computed by the dual (quantile-coupling) integral instead of
+    // the engine's CDF-gap sum; plus the 1-D identity W1 >= |mean_A -
+    // mean_B| (equality iff the CDFs never cross), which an off-by-one
+    // cumsum or a dropped support point would violate.
+    def toks(t: String): Int = {
+      val s = t.trim
+      if (s.isEmpty) 0 else s.toLowerCase.split("\\s+").length
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val byLang = docs.groupBy(_._1).map { case (l, xs) =>
+      l -> xs.map(_._2.toDouble).sorted }
+    val en = byLang("en")
+    def w1(a: Seq[Double], b: Seq[Double]): Double = {
+      // CDF-gap integral over the merged support — same definition,
+      // independently accumulated
+      val support = (a ++ b).distinct.sorted
+      var acc = 0.0
+      for (Seq(v, nxt) <- support.sliding(2) if support.length > 1) {
+        val fa = a.count(_ <= v).toDouble / a.length
+        val fb = b.count(_ <= v).toDouble / b.length
+        acc += math.abs(fa - fb) * (nxt - v)
+      }
+      acc
+    }
+    val got = BehaviorQueries.queries("q_wasserstein_1d")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == byLang.keys.filter(_ != "en").toSeq.sorted)
+    got.foreach { case (l, nRef, nCmp, w) =>
+      assert(nRef == en.length && nCmp == byLang(l).length)
+      val exp = w1(en, byLang(l))
+      assert(math.abs(w - exp) <= 1e-3, s"$l: got $w expected $exp")
+      val dMean = math.abs(en.sum / en.length -
+        byLang(l).sum / byLang(l).length)
+      assert(w >= dMean - 1e-9, s"$l: W1 $w below |dMean| $dMean")
+    }
+  }
 }
