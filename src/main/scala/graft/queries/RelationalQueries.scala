@@ -646,6 +646,50 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // --- injected bloom runtime filter (SPARK-32268): the optimizer's
+    // OWN semi-join reduction — a selective predicate on one side of a
+    // shuffle join makes Catalyst build a bloom filter over the
+    // filtered side's join keys and push might_contain INTO the big
+    // side's scan, pruning fact rows BEFORE the shuffle (the automatic
+    // twin of the hand-built q_bloom_semi_filter). At 100 TB this is
+    // the difference between shuffling every lineitem and shuffling
+    // only candidate keys. Injection is gated on size estimates tuned
+    // for clusters (10 MB creation / 10 GB application-side scan), so
+    // the demonstration pins them open in an isolated session clone
+    // (the q_range_join_auto scoping pattern — the caller's session is
+    // never mutated) with broadcast disabled so the join genuinely
+    // shuffles. The verdict — bloom_filter_agg present in the
+    // optimized plan AND might_contain applied on the application
+    // side — rides as an oracle-pinned flag; RuntimeFilterSpec holds
+    // the result-invariance twin (filter on == filter off, row for
+    // row).
+    "q_runtime_filter" -> ((s, d) => {
+      val clone = s.newSession()
+      Seq("spark.sql.shuffle.partitions", "spark.sql.session.timeZone")
+        .foreach(k => s.conf.getOption(k).foreach(clone.conf.set(k, _)))
+      clone.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      clone.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      clone.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+      clone.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      clone.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val ord = Tables.orders(clone, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val joined = Tables.lineitem(clone, d)
+        .select("l_orderkey", "l_quantity")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 4).as("sum_qty"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      val injected = opt.contains("bloom_filter_agg") &&
+        opt.contains("might_contain")
+      joined.withColumn("bloom_injected", lit(injected))
+        .orderBy("o_orderpriority")
+    }),
+
     // Skyline / Pareto frontier (the SKYLINE OF operator some engines
     // ship natively): customers not dominated on (total spend ↑,
     // order count ↑) — dominated = another customer ≥ on both and > on
@@ -2135,6 +2179,14 @@ object RelationalQueries {
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  true AS zero_exchange_join
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_runtime_filter" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  true AS bloom_injected
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_tpch_q8" ->
