@@ -422,6 +422,33 @@ object BehaviorQueries {
         .orderBy("cmp_lang")
     }),
 
+    // --- M4 time-series downsampling (Jugel et al., VLDB 2014): the
+    // error-free visualization reducer — per (series, pixel-bucket)
+    // keep min, max, first, last; M4 provably reproduces the exact
+    // pixel-perfect line rendering at 4 points/bucket, and unlike
+    // LTTB it is embarrassingly parallel (no sequential dependence on
+    // the previously selected point): ONE hash agg over the fact
+    // scan, any corpus size. 32 buckets on a shared global time axis
+    // (the dashboard x-axis), bucket id in pure INTEGER arithmetic
+    // (`div`, no double rounding at bucket edges); first/last are
+    // min_by/max_by on exact microseconds — no tie-break exists, so
+    // BehaviorSpec pins (event_type, us) tie-freeness at gate scale.
+    "q_m4_downsample" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val bounds = ev.agg(min("us").as("mn"), max("us").as("mx"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("((us - mn) * 32) div (mx - mn + 1)"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("value").as("v_min"), max("value").as("v_max"),
+          min_by(col("value"), col("us")).as("v_first"),
+          max_by(col("value"), col("us")).as("v_last"),
+          min("us").as("us_first"), max("us").as("us_last"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // --- chi-square independence: event_type × user-cohort contingency
     // table, per-type contribution Σ(o−e)²/e. The contingency is a
     // BOUNDED hash agg (types × cohorts cells); marginals are windows
@@ -759,6 +786,19 @@ object BehaviorQueries {
         |  round(sum(abs(ca / ta - cb / tb) * dv), 4) AS w1
         |FROM cum GROUP BY cmp_lang, ta, tb
         |ORDER BY cmp_lang""".stripMargin,
+
+    "q_m4_downsample" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM ev)
+        |SELECT event_type,
+        |  ((us - mn) * 32) // (mx - mn + 1) AS bucket,
+        |  count(*)::BIGINT AS n,
+        |  min(value) AS v_min, max(value) AS v_max,
+        |  arg_min(value, us) AS v_first, arg_max(value, us) AS v_last,
+        |  min(us) AS us_first, max(us) AS us_last
+        |FROM ev CROSS JOIN b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_chi_square" ->
       """WITH observed AS (

@@ -322,4 +322,35 @@ class BehaviorSpec extends AnyFunSuite {
       assert(w >= dMean - 1e-9, s"$l: W1 $w below |dMean| $dMean")
     }
   }
+
+  test("q_m4_downsample matches a driver recompute; (type, us) is tie-free") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // min_by/max_by have no tie-break: the query is only deterministic
+    // because (event_type, us) never collides at gate scale
+    assert(ev.map(e => (e._1, e._2)).distinct.length == ev.length,
+      "(event_type, us) ties exist — first/last become nondeterministic")
+    val mn = ev.map(_._2).min
+    val mx = ev.map(_._2).max
+    val exp = ev.groupBy(e => (e._1, (e._2 - mn) * 32 / (mx - mn + 1)))
+      .map { case ((t, b), xs) =>
+        val byUs = xs.sortBy(_._2)
+        (t, b) -> (xs.length.toLong, xs.map(_._3).min, xs.map(_._3).max,
+          byUs.head._3, byUs.last._3, byUs.head._2, byUs.last._2)
+      }
+    val got = BehaviorQueries.queries("q_m4_downsample")(spark, sf).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (n, vmin, vmax, vf, vl, usf, usl) = exp(k)
+      assert(r.getLong(2) == n && r.getDouble(3) == vmin &&
+        r.getDouble(4) == vmax && r.getDouble(5) == vf &&
+        r.getDouble(6) == vl && r.getLong(7) == usf && r.getLong(8) == usl,
+        s"bucket $k mismatch")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 31)
+      assert(vmin <= vf && vf <= vmax && vmin <= vl && vl <= vmax)
+    }
+    assert(got.map(_.getLong(2)).sum == ev.length, "buckets must cover all events")
+  }
 }
