@@ -89,9 +89,30 @@ object RelationalQueries {
     * serving stale buckets. */
   private val bucketedBuilt =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  /** Cache key = dataset dir + a fingerprint of the source files
+    * (path, length, mtime), so regenerating the parquet at the SAME
+    * path within one session invalidates the bucketed build instead of
+    * silently serving stale buckets (ADVICE r9). */
+  private def sourceFingerprint(s: SparkSession, d: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    Seq("lineitem.parquet", "orders.parquet").flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
+      if (!fs.exists(p)) Seq(s"$t:missing")
+      else {
+        val st = fs.getFileStatus(p)
+        val leaves =
+          if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+          else Seq(st)
+        leaves.map(l =>
+          s"${l.getPath.getName}:${l.getLen}:${l.getModificationTime}")
+      }
+    }.mkString("|")
+  }
   private[graft] def ensureBucketedTables(s: SparkSession, d: String): Unit =
     bucketedBuilt.synchronized {
-      if (bucketedBuilt.get(s) != d) {
+      val key = d + "#" + sourceFingerprint(s, d)
+      if (bucketedBuilt.get(s) != key) {
         // a fresh JVM has no metastore entry for a previous run's managed
         // table, but its warehouse directory persists → saveAsTable
         // throws LOCATION_ALREADY_EXISTS; clear both first
@@ -108,7 +129,7 @@ object RelationalQueries {
         Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable("ord_bq")
-        bucketedBuilt.put(s, d)
+        bucketedBuilt.put(s, key)
       }
     }
   type Q = (SparkSession, String) => DataFrame
@@ -682,7 +703,8 @@ object RelationalQueries {
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum("l_quantity"), 4).as("sum_qty"))
+          round(sum(col("l_quantity").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_qty"))
       val opt = joined.queryExecution.optimizedPlan.toString
       val injected = opt.contains("bloom_filter_agg") &&
         opt.contains("might_contain")
@@ -2183,7 +2205,7 @@ object RelationalQueries {
 
     "q_runtime_filter" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE AS sum_qty,
         |  true AS bloom_injected
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'

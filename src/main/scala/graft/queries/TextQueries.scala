@@ -217,18 +217,22 @@ object TextQueries {
     * from the corpus (qchainz prefix), so no cross edges exist — and
     * the oracles brute-force the UNION corpus, so a violated
     * disjointness assumption hash-fails instead of passing silently. */
-  private def chainUnionPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val chainDf = plantedChainDocs.toDF("doc_id", "text")
-    val chainPostings = gramHashPostings(chainDf).distinct()
-    val chainIds = chainDf.select(col("doc_id").as("id_a"))
-    val chainCand = chainIds
-      .crossJoin(chainDf.select(col("doc_id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
-    val chainPairs = verifyJaccard(chainCand, chainPostings)
-      .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
-    jaccardPairsShared(s, d).select("id_a", "id_b").unionAll(chainPairs)
-  }
+  private val chainUnionCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def chainUnionPairs(s: SparkSession, d: String): DataFrame =
+    chainUnionCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val chainDf = plantedChainDocs.toDF("doc_id", "text")
+      val chainPostings = gramHashPostings(chainDf).distinct()
+      val chainIds = chainDf.select(col("doc_id").as("id_a"))
+      val chainCand = chainIds
+        .crossJoin(chainDf.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val chainPairs = verifyJaccard(chainCand, chainPostings)
+        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+      jaccardPairsShared(s, d).select("id_a", "id_b").unionAll(chainPairs)
+        .localCheckpoint()
+    })
 
   /** Connected-component labels (node → min-id cluster) over the shared
     * Jaccard ≥ 0.8 pair graph: iterative min-label propagation to a
@@ -1567,7 +1571,7 @@ object TextQueries {
     // contributions AA weights down to 1/ln(10⁶) anyway. Everything
     // runs on the bounded pair graph — documents are never touched.
     "q_adamic_adar" -> ((s, d) => {
-      val pairs = chainUnionPairs(s, d).localCheckpoint()
+      val pairs = chainUnionPairs(s, d)
       val adj = pairs.select(col("id_a").as("z"), col("id_b").as("x"))
         .unionAll(pairs.select(col("id_b").as("z"), col("id_a").as("x")))
       val deg = adj.groupBy("z").agg(count(lit(1)).as("dg"))

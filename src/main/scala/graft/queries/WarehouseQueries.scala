@@ -81,6 +81,52 @@ object WarehouseQueries {
       |    count(*) AS n_observations
       |  FROM runs GROUP BY 1, 2, 3)""".stripMargin
 
+  /** One CBO catalog build (3 managed tables + ANALYZE … FOR COLUMNS)
+    * per (session, dataset) — the ensureBucketedTables lifetime applied
+    * to q_cbo_reorder (VERDICT r9 #3): computing statistics is a
+    * warehouse maintenance step paid once, not part of the reorder
+    * demonstration's per-query cost. Keyed on the orders-file
+    * fingerprint so an in-session testdata regeneration rebuilds. */
+  private val cboBuilt =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private[graft] def ensureCboTables(s: SparkSession, d: String): Unit =
+    cboBuilt.synchronized {
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      val fp = {
+        val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+        if (!fs.exists(p)) "missing"
+        else {
+          val st = fs.getFileStatus(p)
+          val leaves =
+            if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+            else Seq(st)
+          leaves.map(l =>
+            s"${l.getPath.getName}:${l.getLen}:${l.getModificationTime}")
+            .mkString("|")
+        }
+      }
+      val key = d + "#" + fp
+      if (cboBuilt.get(s) != key) {
+        Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + s"/$t"), true)
+        }
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.mode("overwrite").saveAsTable("cbo_li")
+        Tables.orders(s, d).select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").saveAsTable("cbo_ord")
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").saveAsTable("cbo_cust")
+        s.sql("ANALYZE TABLE cbo_li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+        s.sql("ANALYZE TABLE cbo_ord COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+        s.sql("ANALYZE TABLE cbo_cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+        cboBuilt.put(s, key)
+      }
+    }
+
   val queries: Map[String, Q] = Map(
 
     // --- SCD Type 2 dimension build: compress each customer's order
@@ -410,7 +456,7 @@ object WarehouseQueries {
       // scale) and the zone-map verdict is deterministic
       val probeKeys = Seq(303L, 453L, 603L, 903L, 1203L)
       val nTotal = index.count()
-      val rows = probeKeys.map { k =>
+      val rows = probeKeys.flatMap { k =>
         val keep = index
           .filter(bloom_might_contain(col("bloom"), lit(k)))
           .select("fp").collect().map(_.getString(0))
@@ -418,10 +464,14 @@ object WarehouseQueries {
         // skipping would keep ALL files for this probe
         val zoneUseless = index
           .filter(col("lo") <= k && col("hi") >= k).count() == nTotal
-        val hit = s.read.parquet(keep: _*)
+        // headOption: a probe key absent from orders at some scale
+        // yields no row (matching the oracle's IN-list semantics)
+        // instead of throwing NoSuchElementException
+        s.read.parquet(keep: _*)
           .filter(col("o_orderkey") === k)
-          .select("o_totalprice").head()
-        (k, hit.getDouble(0), nTotal, keep.length < nTotal, zoneUseless)
+          .select("o_totalprice").head(1).headOption.map { hit =>
+            (k, hit.getDouble(0), nTotal, keep.length < nTotal, zoneUseless)
+          }
       }
       import s.implicits._
       rows.toDF("probe_key", "o_totalprice", "n_files_total",
@@ -732,23 +782,7 @@ object WarehouseQueries {
     // which the oracle checks the classic way. At 100 TB this is the
     // difference between shuffling the fact twice and once.
     "q_cbo_reorder" -> ((s, d) => {
-      val fs = org.apache.hadoop.fs.FileSystem
-        .get(s.sparkContext.hadoopConfiguration)
-      Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir") + s"/$t"), true)
-      }
-      Tables.lineitem(s, d)
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.mode("overwrite").saveAsTable("cbo_li")
-      Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .write.mode("overwrite").saveAsTable("cbo_ord")
-      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
-        .write.mode("overwrite").saveAsTable("cbo_cust")
-      s.sql("ANALYZE TABLE cbo_li COMPUTE STATISTICS FOR COLUMNS l_orderkey")
-      s.sql("ANALYZE TABLE cbo_ord COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
-      s.sql("ANALYZE TABLE cbo_cust COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment")
+      ensureCboTables(s, d)
       val sql =
         """SELECT c_mktsegment,
           |  count(*) AS n_rows,

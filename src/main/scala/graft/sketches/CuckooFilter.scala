@@ -76,13 +76,19 @@ object CuckooTable {
   // only read the cached table (delete goes through CuckooOps on a
   // fresh deserialize), so sharing it across rows is safe; a different
   // array instance simply misses and re-deserializes.
-  private val lastTable = new ThreadLocal[(Array[Byte], CuckooTable)]
+  // SoftReference so a long-lived executor thread pool does not pin the
+  // last sketch (bytes + decoded table can be MBs) past the query that
+  // used it: the JVM clears soft refs under memory pressure, turning the
+  // retention into at-worst one extra deserialize after a near-OOM GC.
+  private val lastTable =
+    new ThreadLocal[java.lang.ref.SoftReference[(Array[Byte], CuckooTable)]]
   private def tableFor(bytes: Array[Byte]): CuckooTable = {
-    val cached = lastTable.get()
+    val ref = lastTable.get()
+    val cached = if (ref == null) null else ref.get()
     if (cached != null && (cached._1 eq bytes)) cached._2
     else {
       val t = deserialize(bytes)
-      lastTable.set((bytes, t))
+      lastTable.set(new java.lang.ref.SoftReference((bytes, t)))
       t
     }
   }
