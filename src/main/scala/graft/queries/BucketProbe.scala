@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{minhash_signature, phash64, shingles, sign_pack32, tokens}
+
+/** Scratch calibration probe (round 10): measures bucket-occupancy
+  * distributions for every blocked-pair enumeration site, so the hub
+  * caps (VERDICT r9 #1) can be pinned ABOVE the organic gate-scale
+  * maximum (overflow must be 0 at both gate scales for the literal
+  * oracles) while still bounding task state against mega-bucket skew.
+  * Run: runMain graft.queries.BucketProbe <sfDir> */
+object BucketProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    import s.implicits._
+
+    def stats(name: String, occ: org.apache.spark.sql.DataFrame): Unit = {
+      val r = occ.agg(count(lit(1)).as("n_buckets"), max("n").as("max_occ"),
+        round(avg("n"), 1).as("mean_occ"),
+        sum(when(col("n") > 64, 1).otherwise(0)).as("gt64"),
+        sum(when(col("n") > 128, 1).otherwise(0)).as("gt128"),
+        sum(when(col("n") > 256, 1).otherwise(0)).as("gt256")).collect()(0)
+      println(s"PROBE $name buckets=${r.get(0)} max=${r.get(1)} " +
+        s"mean=${r.get(2)} gt64=${r.get(3)} gt128=${r.get(4)} gt256=${r.get(5)}")
+    }
+
+    // 1. q_phash_dedup: 16-bit phash bands over documents + plants
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text").as("txt"))
+      .unionAll(MultimodalQueries.phPlanted.toDF("media_id", "txt"))
+      .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
+    stats("phash_bands", media.select(col("media_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+
+    // 2. q_multimodal_dedup channels over documents ⋈ embeddings
+    val items = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
+      .join(Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding")), "id")
+    val grams = items.select(col("id"),
+        array_distinct(shingles(tokens(col("text")), 3)).as("g"))
+      .withColumn("sig", minhash_signature(col("g"), 16))
+    stats("minhash_bands", grams.select(col("id"),
+        posexplode(array((0 until 4).map(b =>
+          hash(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*)).as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+    stats("sign_buckets", items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
+      .groupBy("sg").agg(count(lit(1)).as("n")))
+    stats("payload_phash_bands", items
+      .select(col("id"), phash64(encode(col("text"), "UTF-8")).as("ph"))
+      .select(col("id"), posexplode(array((0 until 4).map(b =>
+          shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bkey")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+
+    // 3. knnGraphShared LSH buckets (same sizing arithmetic)
+    val emb = VectorQueries.plantedEmb(s, d)
+    val n = emb.count()
+    val p = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+    println(s"PROBE knn n=$n P=$p")
+    stats("knn_lsh_buckets", VectorQueries.hyperplaneBuckets(emb, L = 12, P = p)
+      .groupBy("t", "bucket").agg(count(lit(1)).as("n")))
+
+    s.stop()
+  }
+}

@@ -46,9 +46,13 @@ object MultimodalQueries {
     // blocking is complete by construction, and the bounded witness
     // audit proves it empirically, the q_simhash_neardup design), then
     // verify candidates with the exact hamming distance. Never
-    // all-pairs: the band join grows with occupied band keys. Output =
-    // data-derived media count + guarantee flags (hashes aren't
-    // SQL-expressible; the planted-pair flag makes the gate bite).
+    // all-pairs: the band join grows with occupied band keys, and each
+    // bucket's enumeration is CAPPED (Blocking.BandCap, round 10) so a
+    // boilerplate mega-bucket costs ≤ cap²/2 pairs, with the loss
+    // surfaced in overflow_buckets rather than silently degrading.
+    // Output = data-derived media count + guarantee flags (hashes
+    // aren't SQL-expressible; the planted-pair flag makes the gate
+    // bite).
     "q_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d)
@@ -56,49 +60,66 @@ object MultimodalQueries {
         .unionAll(phPlanted.toDF("media_id", "txt"))
         .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
         .localCheckpoint() // one hash pass, fanned out to block + audit
-      val bands = media.select(col("media_id"), col("ph"),
+      val bands = media.select(col("media_id"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
-      val pairs = bands.groupBy("band", "bkey")
-        .agg(collect_list(struct(col("media_id"), col("ph"))).as("xs"))
-        .filter(size(col("xs")) > 1)
-        .select(explode(col("xs")).as("a"), col("xs"))
-        .select(col("a"), explode(col("xs")).as("b"))
-        .filter(col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-          hamming64(col("a.ph"), col("b.ph")).as("hd"))
-        .distinct()
+      // capped enumeration (Blocking.BandCap): bounded per-bucket work
+      // under adversarial skew, overflow accounting in the output row
+      val (cand, overflow) = Blocking.cappedBucketPairs(
+        bands, Seq("band", "bkey"), "media_id", Blocking.BandCap)
+      val pa = media.select(col("media_id").as("id_a"), col("ph").as("ph_a"))
+      val pb = media.select(col("media_id").as("id_b"), col("ph").as("ph_b"))
+      val pairs = cand.join(pa, "id_a").join(pb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          hamming64(col("ph_a"), col("ph_b")).as("hd"))
         .filter(col("hd") <= 3)
-      // bounded witness audit (q_simhash_neardup design): all-pairs over
-      // a deterministic ≤ ~1400-row sample must find exactly the blocked
-      // pairs — constant cost at any corpus size
+      // bounded witness audit (q_simhash_neardup design), CAP-AWARE:
+      // all-pairs over a deterministic ≤ ~1400-row sample, restricted to
+      // the capped guarantee — a pair sharing at least one UNDER-CAP
+      // band bucket must be found (an under-cap bucket keeps ALL its
+      // members, so the pigeonhole argument survives the cap intact; a
+      // pair whose every shared bucket overflowed is exactly the
+      // surfaced-recall-loss case the overflow_buckets column accounts
+      // for, and at 10×+ the replicated-boilerplate mega-buckets make
+      // such pairs real). Constant cost at any corpus size.
+      val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
       val step = media.agg(
         greatest(lit(1L), floor(count(lit(1)) / 1400.0).cast("long")).as("step"))
       val sub = media.crossJoin(broadcast(step))
         .filter(pmod(col("media_id"), col("step")) === 0)
         .select("media_id", "ph")
-      val nAll = sub.toDF("id_a", "ph_a")
+      val refPairs = sub.toDF("id_a", "ph_a")
         .crossJoin(sub.toDF("id_b", "ph_b"))
         .filter(col("id_a") < col("id_b"))
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
-        .agg(count(lit(1)).as("n_all"))
-      val nBlocked = pairs.crossJoin(broadcast(step))
-        .filter(pmod(col("id_a"), col("step")) === 0
-          && pmod(col("id_b"), col("step")) === 0)
-        .agg(count(lit(1)).as("n_blocked"))
+        .select(col("id_a"), col("id_b"),
+          posexplode(array((0 until 4).map(b => struct(
+            shiftright(col("ph_a"), b * 16).bitwiseAND(lit(0xFFFFL)).as("ka"),
+            shiftright(col("ph_b"), b * 16).bitwiseAND(lit(0xFFFFL)).as("kb"))): _*))
+            .as(Seq("band", "kk")))
+        .filter(col("kk.ka") === col("kk.kb"))
+        .select(col("id_a"), col("id_b"), col("band"), col("kk.ka").as("bkey"))
+        .join(occ, Seq("band", "bkey"))
+        .filter(col("occ") <= Blocking.BandCap)
+        .select("id_a", "id_b").distinct()
+      val nMissing = refPairs
+        .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
       val plantedFound = pairs
         .filter(col("id_a") === 9200001L && col("id_b") === 9200002L)
         .agg((count(lit(1)) === 1).as("planted_pair_found"))
       val negRejected = media.filter(col("media_id").isin(9200001L, 9200003L))
         .agg((bit_count(min("ph").bitwiseXOR(max("ph"))) > 3).as("neg_rejected"))
       media.agg(count(lit(1)).as("n_media"))
-        .crossJoin(nBlocked).crossJoin(nAll)
+        .crossJoin(nMissing)
         .crossJoin(plantedFound).crossJoin(negRejected)
+        .crossJoin(broadcast(overflow))
         .select(lit("ahash").as("method"), lit(3).as("max_hamming"),
           col("n_media"),
-          (col("n_blocked") === col("n_all")).as("blocking_complete"),
-          col("planted_pair_found"), col("neg_rejected"))
+          (col("n_missing") === 0).as("blocking_complete"),
+          col("planted_pair_found"), col("neg_rejected"),
+          col("overflow_buckets"))
     }),
 
     // --- cross-modal dedup fusion (VERDICT r9 #6): ONE verdict per
@@ -144,17 +165,15 @@ object MultimodalQueries {
         .localCheckpoint()
       val tbuckets = grams.select(col("id"), posexplode(array((0 until 4).map(b =>
           hash(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*)).as(Seq("band", "bkey")))
-      def bucketPairs(buckets: DataFrame, key: Seq[String]): DataFrame =
-        buckets.groupBy(key.map(col): _*)
-          .agg(collect_list("id").as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(col("ids")).as("id_a"), col("ids"))
-          .select(col("id_a"), explode(col("ids")).as("id_b"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+      // capped enumeration per channel (Blocking.BandCap): bounded
+      // per-bucket work under adversarial skew; the three channels'
+      // overflow counts sum into one accounting column on the flag row
+      def bucketPairs(buckets: DataFrame, key: Seq[String]): (DataFrame, DataFrame) =
+        Blocking.cappedBucketPairs(buckets, key, "id", Blocking.BandCap)
       val ga = grams.select(col("id").as("id_a"), col("g").as("ga"))
       val gb = grams.select(col("id").as("id_b"), col("g").as("gb"))
-      val textEv = bucketPairs(tbuckets, Seq("band", "bkey"))
+      val (textCand, textOv) = bucketPairs(tbuckets, Seq("band", "bkey"))
+      val textEv = textCand
         .join(ga, "id_a").join(gb, "id_b")
         .filter(size(array_intersect(col("ga"), col("gb"))) * lit(1.0) >=
           lit(0.8) * size(array_union(col("ga"), col("gb"))))
@@ -166,7 +185,9 @@ object MultimodalQueries {
       val signs = items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
       val ea = items.select(col("id").as("id_a"), col("embedding").as("emb_a"))
       val eb = items.select(col("id").as("id_b"), col("embedding").as("emb_b"))
-      val embedEv = bucketPairs(signs.select(col("id"), col("sg")), Seq("sg"))
+      val (embedCand, embedOv) = bucketPairs(
+        signs.select(col("id"), col("sg")), Seq("sg"))
+      val embedEv = embedCand
         .join(ea, "id_a").join(eb, "id_b")
         .filter(cosine_sim(col("emb_a"), col("emb_b")) >= 0.9)
         .select(col("id_a"), col("id_b"), lit("embed").as("channel"))
@@ -179,7 +200,8 @@ object MultimodalQueries {
           .as(Seq("band", "bkey")))
       val pa = phs.select(col("id").as("id_a"), col("ph").as("ph_a"))
       val pb = phs.select(col("id").as("id_b"), col("ph").as("ph_b"))
-      val phashEv = bucketPairs(pbuckets, Seq("band", "bkey"))
+      val (phashCand, phashOv) = bucketPairs(pbuckets, Seq("band", "bkey"))
+      val phashEv = phashCand
         .join(pa, "id_a").join(pb, "id_b")
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
         .select(col("id_a"), col("id_b"), lit("phash").as("channel"))
@@ -193,17 +215,23 @@ object MultimodalQueries {
       val isPlanted = col("id_a") === 9300001L && col("id_b") === 9300002L
       val isNeg = col("id_b") === 9300003L &&
         col("id_a").isin(9300001L, 9300002L)
+      val overflowAll = textOv.select(col("overflow_buckets").as("o1"))
+        .crossJoin(embedOv.select(col("overflow_buckets").as("o2")))
+        .crossJoin(phashOv.select(col("overflow_buckets").as("o3")))
+        .select((col("o1") + col("o2") + col("o3")).as("overflow_buckets"))
       votes.agg(
           coalesce(max(when(isPlanted, col("v"))), lit(0L)).as("planted_votes"),
           coalesce(max(when(isPlanted, col("tv"))), lit(false)).as("text_vote"),
           coalesce(max(when(isPlanted, col("ev"))), lit(false)).as("embed_vote"),
           coalesce(max(when(isPlanted, col("pv"))), lit(false)).as("phash_vote"),
           coalesce(max(when(isNeg, col("v"))), lit(0L)).as("neg_votes"))
+        .crossJoin(broadcast(overflowAll))
         .select(lit("fusion3").as("method"), col("planted_votes"),
           col("text_vote"), col("embed_vote"), col("phash_vote"),
           (col("planted_votes") >= 2).as("planted_found"),
           col("neg_votes"),
-          (col("neg_votes") < 2).as("neg_rejected"))
+          (col("neg_votes") < 2).as("neg_rejected"),
+          col("overflow_buckets"))
     }),
 
     // --- real image resize (round 9, enabled by the real codec): PNG →
@@ -359,7 +387,8 @@ object MultimodalQueries {
     "q_phash_dedup" ->
       """SELECT 'ahash' AS method, 3 AS max_hamming,
         |  count(*) + 3 AS n_media, true AS blocking_complete,
-        |  true AS planted_pair_found, true AS neg_rejected
+        |  true AS planted_pair_found, true AS neg_rejected,
+        |  0::BIGINT AS overflow_buckets
         |FROM documents""".stripMargin,
 
     // intake counts/bytes are data-derived; the byte/phash/length
@@ -384,7 +413,7 @@ object MultimodalQueries {
       """SELECT 'fusion3' AS method, 3::BIGINT AS planted_votes,
         |  true AS text_vote, true AS embed_vote, true AS phash_vote,
         |  true AS planted_found, 1::BIGINT AS neg_votes,
-        |  true AS neg_rejected""".stripMargin,
+        |  true AS neg_rejected, 0::BIGINT AS overflow_buckets""".stripMargin,
 
     // nearest-neighbor half-resize of the two-band PNG: target row y
     // samples source row 2y → ceil(h/4) top rows; every statistic is an

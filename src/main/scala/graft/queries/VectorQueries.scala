@@ -94,9 +94,10 @@ object VectorQueries {
     * INDEX (built once, amortized over every probe, the kmRunShared
     * lifetime); the per-query cost is the beam search only. */
   private val graphCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
-  private def knnGraphShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (SparkSession, String), (DataFrame, DataFrame, Long)]()
+  private def knnGraphShared(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
     graphCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("knn_graph")
       import org.apache.spark.sql.expressions.Window
       val emb = plantedEmb(s, d).localCheckpoint()
       val n = emb.count()
@@ -104,14 +105,15 @@ object VectorQueries {
       val buckets = hyperplaneBuckets(emb, L = 12, P = p)
       // candidate pairs within buckets → exact cosine → top-4 out-edges
       // per node, symmetrized (kNN graphs are directed; NSW reachability
-      // wants both directions)
-      val cand = buckets.groupBy("t", "bucket")
-        .agg(collect_list("vec_id").as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("src"), col("ids"))
-        .select(col("src"), explode(col("ids")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+      // wants both directions). Enumeration is CAPPED (Blocking.LshCap =
+      // 4× the designed mean occupancy 64): an adversarial duplicate-
+      // embedding mega-bucket stays ≤ cap²/2 pairs per bucket, with
+      // dropped buckets counted into the q_knn_graph accounting column.
+      val (capped, overflowDf) = Blocking.cappedBucketPairs(
+        buckets, Seq("t", "bucket"), "vec_id", Blocking.LshCap)
+      val overflowN = overflowDf.collect()(0).getLong(0)
+      val cand = capped.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(capped.select(col("id_b").as("src"), col("id_a").as("dst")))
       val ea = emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
       val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
       val scored = cand.join(ea, "src").join(eb, "dst")
@@ -123,12 +125,17 @@ object VectorQueries {
       val edges = out4
         .unionByName(out4.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint()
-      (emb, edges)
+      (emb, edges, overflowN)
     })
+
+  /** Overflowing-LSH-bucket count of the cached graph build, for the
+    * q_knn_graph accounting column. */
+  private[graft] def knnGraphOverflow(s: SparkSession, d: String): Long =
+    knnGraphShared(s, d)._3
 
   private[graft] def graphTop10(s: SparkSession, d: String,
       rounds: Int = 3): DataFrame = {
-    val (emb, edges) = knnGraphShared(s, d)
+    val (emb, edges, _) = knnGraphShared(s, d)
     // entry: the 4 lowest-id members of the query's best coarse cell —
     // fewer than k, so traversal must do the rest
     val cells = ivfpqCells(emb)
@@ -217,7 +224,7 @@ object VectorQueries {
    * agreement m = 1 - θ/π). The embedding dim is fixed at 64 in this
    * corpus (TESTDATA.md); a deployment passes its own.
    */
-  private def hyperplaneBuckets(emb: DataFrame, L: Int, P: Int,
+  private[graft] def hyperplaneBuckets(emb: DataFrame, L: Int, P: Int,
       dim: Int = 64): DataFrame = {
     // planes as a tiny BROADCAST relation (L·P rows of dim doubles), not
     // inlined literals: 128 vec_dot literal-arrays in one expression blew
@@ -584,6 +591,7 @@ object VectorQueries {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def kmRunShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("km_run")
       val (assigned, cent) = kmRun(s, d)
       (assigned.localCheckpoint(), cent.localCheckpoint())
     })
@@ -1212,7 +1220,8 @@ object VectorQueries {
     // GraphAnnSpec).
     "q_knn_graph" -> ((s, d) =>
       recallFlag(graphTop10(s, d), s, d, floor = 8,
-        method = "nsw_beam_t3", planted = true)),
+        method = "nsw_beam_t3", planted = true)
+        .withColumn("overflow_buckets", lit(knnGraphOverflow(s, d)))),
 
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
       .groupBy("label")
@@ -1627,7 +1636,8 @@ object VectorQueries {
         |FROM shortlist
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
-    "q_knn_graph" -> "SELECT 'nsw_beam_t3' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_graph" -> ("SELECT 'nsw_beam_t3' AS method, 10 AS k, 8 AS min_hits, " +
+      "true AS recall_ok, 0::BIGINT AS overflow_buckets"),
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs

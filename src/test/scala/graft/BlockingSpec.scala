@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Blocking
+
+/** The capped blocked-pair enumeration (VERDICT r9 #1): a planted
+  * 200-copy mega-bucket must yield a BOUNDED candidate set (≤ cap²/2
+  * from that bucket, never 200²/2) plus an overflow count, while every
+  * under-cap bucket enumerates its complete pair set unchanged. */
+class BlockingSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val cap = Blocking.BandCap // 64
+
+  test("planted 200-copy mega-bucket: candidates bounded at C(cap,2), overflow counted") {
+    // one mega-bucket (e.g. a boilerplate document duplicated 200×
+    // hashing into one band key) + two organic buckets
+    val rows =
+      (1L to 200L).map(id => ("mega", id)) ++
+      Seq(("small", 900L), ("small", 901L), ("small", 902L)) ++
+      Seq(("solo", 950L))
+    val buckets = rows.toDF("bkey", "id")
+    val (pairs, overflow) = Blocking.cappedBucketPairs(
+      buckets, Seq("bkey"), "id", cap)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // mega contributes exactly C(cap,2) pairs over its cap LOWEST ids
+    val megaPairs = got.filter(_._1 <= 200L)
+    assert(megaPairs.size === cap * (cap - 1) / 2)
+    assert(megaPairs.forall { case (a, b) => a < b && b <= cap.toLong })
+    // the under-cap bucket is complete and untouched
+    assert(got.filter(_._1 >= 900L) ===
+      Set((900L, 901L), (900L, 902L), (901L, 902L)))
+    // exactly the mega bucket overflowed
+    assert(overflow.collect()(0).getLong(0) === 1L)
+  }
+
+  test("no bucket over cap → zero overflow, complete enumeration") {
+    val buckets = (0L until 60L).map(i => (s"b${i % 4}", i)).toDF("bkey", "id")
+    val (pairs, overflow) = Blocking.cappedBucketPairs(
+      buckets, Seq("bkey"), "id", cap)
+    // 4 buckets × C(15,2) pairs
+    assert(pairs.count() === 4L * 15 * 14 / 2)
+    assert(overflow.collect()(0).getLong(0) === 0L)
+  }
+
+  test("duplicate (key,id) rows and cross-bucket repeats dedupe") {
+    val buckets = Seq(
+      ("x", 1L), ("x", 1L), ("x", 2L), // dup membership row
+      ("y", 1L), ("y", 2L) // same pair via a second bucket
+    ).toDF("bkey", "id")
+    val (pairs, overflow) = Blocking.cappedBucketPairs(
+      buckets, Seq("bkey"), "id", cap)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+    assert(overflow.collect()(0).getLong(0) === 0L)
+    // a duplicated membership row must not fake an overflow at cap=1
+    val (p1, o1) = Blocking.cappedBucketPairs(
+      Seq(("z", 7L), ("z", 7L)).toDF("bkey", "id"), Seq("bkey"), "id", 1)
+    assert(p1.count() === 0L)
+    assert(o1.collect()(0).getLong(0) === 0L)
+  }
+
+  test("multi-column bucket key (band, bkey)") {
+    val buckets = Seq((0, 5L, 10L), (0, 5L, 11L), (1, 5L, 10L), (1, 7L, 11L))
+      .toDF("band", "bkey", "id")
+    val (pairs, _) = Blocking.cappedBucketPairs(
+      buckets, Seq("band", "bkey"), "id", cap)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((10L, 11L)))
+  }
+}
