@@ -65,6 +65,7 @@ object CurationQueries {
     (SparkSession, String), (Seq[DataFrame], DataFrame)]()
   private def bpeRunShared(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
     bpeCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("bpe_run")
       val sep = ""
       var cur = Tables.documents(s, d).select(col("doc_id"),
         concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("s"))
@@ -216,7 +217,10 @@ object CurationQueries {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private[graft] def qcTrainShared(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    qcCache.computeIfAbsent((s, d), _ => qcTrain(s, d))
+    qcCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("qc_train")
+      qcTrain(s, d)
+    })
 
   /** Label-free inference under a trained weight relation: per-doc
     * margin via the same exact-decimal dot product as training, keep =

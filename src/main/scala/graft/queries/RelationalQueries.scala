@@ -774,6 +774,75 @@ object RelationalQueries {
         .orderBy("probe_key", "c_custkey")
     }),
 
+    // Fuzzy join at τ = 2 WITH indels (VERDICT r9 #6) — PassJoin's
+    // general partition scheme (Li et al., ICDE 2011): the indexed
+    // string splits into τ+1 = 3 segments; ≤ τ edits corrupt ≤ τ
+    // segments, so ANY string within ED ≤ 2 contains ≥ 1 segment
+    // EXACTLY, start-shifted by the net indel offset before it
+    // (|δ| ≤ τ). Candidates = equi-join of canon (segment, text)
+    // keys against probe substrings at the 3 segment slots × 5 shifts
+    // (≤ 15 four-char keys per probe — bounded fan-out, never
+    // all-pairs); banded levenshtein(·,·,2) verifies candidates only.
+    // Planted probe families (key mod 11, synthesis recomputed
+    // verbatim by the brute-force oracle; 'x' ∉ hex makes every edit
+    // real): 3 → one substitution (ED=1), 4 → one deletion (ED=1,
+    // len 11), 5 → one insertion (ED=1, len 13), 6 → deletion in
+    // segment 1 + substitution in segment 3 (ED=2 exactly: len diff
+    // forces one indel, the alien 'x' forces a second edit), 8 → two
+    // deletions at positions 2 and 7 (ED=2, len 10 — only segment 3
+    // survives, at shift −2, the window's edge), 7 → one 'x' per
+    // segment (ED=3 PROVABLY: each of the 3 alien chars needs its own
+    // edit — negative control the τ=2 join must exclude). At 100 TB:
+    // one shuffle equi-join on short keys + O(τ·len) banded verify per
+    // collision; the brute-force oracle hash-fails any missed channel.
+    "q_fuzzy_join_ed2" -> ((s, d) => {
+      val canon = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          substring(md5(concat(lit("ent:"), col("c_custkey"))), 1, 12)
+            .as("cname"))
+        .localCheckpoint() // consumed by 6 probe families + seg keys
+      val k = col("c_custkey")
+      def fam(m: Int, pnameSql: String): DataFrame =
+        canon.filter(k % 11 === m)
+          .select(k.as("probe_key"), expr(pnameSql).as("pname"))
+      val p12 = "cast(c_custkey % 12 as int)"
+      val p4 = "cast(c_custkey % 4 as int)"
+      val p3 = "cast(c_custkey % 3 as int)"
+      val probes = fam(3,
+          s"concat(substr(cname,1,$p12),'x',substr(cname,$p12+2))")
+        .unionAll(fam(4,
+          s"concat(substr(cname,1,$p12),substr(cname,$p12+2))"))
+        .unionAll(fam(5,
+          s"concat(substr(cname,1,$p12),'x',substr(cname,$p12+1))"))
+        .unionAll(fam(6,
+          s"concat(substr(cname,1,$p4),substr(cname,$p4+2,8+$p3-$p4)," +
+            s"'x',substr(cname,11+$p3))"))
+        .unionAll(fam(7,
+          s"concat(substr(cname,1,$p4),'x',substr(cname,$p4+2,3)," +
+            s"'x',substr(cname,$p4+6,3),'x',substr(cname,$p4+10))"))
+        .unionAll(fam(8,
+          "concat(substr(cname,1,1),substr(cname,3,4),substr(cname,8))"))
+        .localCheckpoint()
+      val canonKeys = canon.select(col("c_custkey"), explode(array(
+          (1 to 3).map(i => struct(lit(i).as("seg"),
+            substring(col("cname"), 4 * i - 3, 4).as("bk"))): _*)).as("b"))
+        .select(col("c_custkey"), col("b.seg"), col("b.bk"))
+      val probeKeys = probes.select(col("probe_key"), col("pname"),
+          explode(array((for (i <- 1 to 3; dlt <- -2 to 2) yield
+            struct(lit(i).as("seg"), lit(4 * i - 3 + dlt).as("st"))): _*)).as("b"))
+        .filter(col("b.st") >= 1 && col("b.st") + 3 <= length(col("pname")))
+        .select(col("probe_key"), col("b.seg"),
+          col("pname").substr(col("b.st"), lit(4)).as("bk"))
+      val cands = probeKeys.join(canonKeys, Seq("seg", "bk"))
+        .select("probe_key", "c_custkey").distinct()
+      cands.join(probes, "probe_key").join(canon, "c_custkey")
+        .filter(abs(length(col("pname")) - lit(12)) <= 2)
+        .withColumn("dist", levenshtein(col("pname"), col("cname"), 2))
+        .filter(col("dist").between(0, 2))
+        .select("probe_key", "c_custkey", "pname", "cname", "dist")
+        .orderBy("probe_key", "c_custkey")
+    }),
+
     // dominance check prunes with a broadcast frontier-candidate
     // heuristic (only rows not dominated by the single max-spend row
     // can survive — at 100 TB that broadcast 1-row prefilter kills
@@ -2421,6 +2490,50 @@ object RelationalQueries {
         |  levenshtein(pname, cname)::INT AS dist
         |FROM probes, canon
         |WHERE levenshtein(pname, cname) <= 1
+        |ORDER BY probe_key, c_custkey""".stripMargin,
+
+    "q_fuzzy_join_ed2" ->
+      """WITH canon AS (
+        |  SELECT c_custkey,
+        |    substr(md5('ent:' || c_custkey), 1, 12) AS cname
+        |  FROM customer),
+        |probes AS (
+        |  SELECT c_custkey AS probe_key,
+        |    concat(substr(cname, 1, (c_custkey % 12)::INT), 'x',
+        |      substr(cname, (c_custkey % 12)::INT + 2)) AS pname
+        |  FROM canon WHERE c_custkey % 11 = 3
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    concat(substr(cname, 1, (c_custkey % 12)::INT),
+        |      substr(cname, (c_custkey % 12)::INT + 2))
+        |  FROM canon WHERE c_custkey % 11 = 4
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    concat(substr(cname, 1, (c_custkey % 12)::INT), 'x',
+        |      substr(cname, (c_custkey % 12)::INT + 1))
+        |  FROM canon WHERE c_custkey % 11 = 5
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    concat(substr(cname, 1, (c_custkey % 4)::INT),
+        |      substr(cname, (c_custkey % 4)::INT + 2,
+        |        8 + (c_custkey % 3)::INT - (c_custkey % 4)::INT),
+        |      'x', substr(cname, 11 + (c_custkey % 3)::INT))
+        |  FROM canon WHERE c_custkey % 11 = 6
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    concat(substr(cname, 1, (c_custkey % 4)::INT), 'x',
+        |      substr(cname, (c_custkey % 4)::INT + 2, 3), 'x',
+        |      substr(cname, (c_custkey % 4)::INT + 6, 3), 'x',
+        |      substr(cname, (c_custkey % 4)::INT + 10))
+        |  FROM canon WHERE c_custkey % 11 = 7
+        |  UNION ALL
+        |  SELECT c_custkey,
+        |    concat(substr(cname, 1, 1), substr(cname, 3, 4), substr(cname, 8))
+        |  FROM canon WHERE c_custkey % 11 = 8)
+        |SELECT probe_key, c_custkey, pname, cname,
+        |  levenshtein(pname, cname)::INT AS dist
+        |FROM probes, canon
+        |WHERE levenshtein(pname, cname) <= 2
         |ORDER BY probe_key, c_custkey""".stripMargin,
 
     "q_skyline" ->

@@ -132,7 +132,10 @@ object TextQueries {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def postingsShared(s: SparkSession, d: String): DataFrame =
-    postingsCache.computeIfAbsent((s, d), _ => postingsOf(s, d).localCheckpoint())
+    postingsCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("postings")
+      postingsOf(s, d).localCheckpoint()
+    })
 
   /**
    * Exact n-gram Jaccard for an (id_a, id_b) candidate pair set, via the
@@ -207,8 +210,10 @@ object TextQueries {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
-    pairGraphCache.computeIfAbsent((s, d),
-      _ => jaccardPairs(s, d).localCheckpoint())
+    pairGraphCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("jaccard_pairs")
+      jaccardPairs(s, d).localCheckpoint()
+    })
 
   /** Union graph = shared corpus pair graph ∪ the planted drift
     * chain's edges (q_bfs_distance and q_adamic_adar both need a
@@ -221,6 +226,7 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def chainUnionPairs(s: SparkSession, d: String): DataFrame =
     chainUnionCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("chain_union_pairs")
       import s.implicits._
       val chainDf = plantedChainDocs.toDF("doc_id", "text")
       val chainPostings = gramHashPostings(chainDf).distinct()
@@ -247,6 +253,7 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def ccLabelsShared(s: SparkSession, d: String): DataFrame =
     ccCache.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("cc_labels")
       val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
       val edges = pairs.toDF("a", "b")
         .union(pairs.select(col("id_b"), col("id_a"))).localCheckpoint()

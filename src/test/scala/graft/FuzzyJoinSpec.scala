@@ -67,4 +67,63 @@ class FuzzyJoinSpec extends AnyFunSuite {
       "a double-substitution negative control matched at ED<=1")
     assert(got.forall(_._3 == 1), "self-pairs at distance 0 should not exist")
   }
+
+  test("q_fuzzy_join_ed2 equals the brute force and pins every planted family") {
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).sorted
+    val canon = keys.map(k => k -> md5hex(s"ent:$k").take(12)).toMap
+    def sub(name: String, pos: Int) =
+      name.substring(0, pos - 1) + "x" + name.substring(pos)
+    def del(name: String, pos: Int) =
+      name.substring(0, pos - 1) + name.substring(pos)
+    def ins(name: String, pos: Int) = // 'x' after position pos (0 = prefix)
+      name.substring(0, pos) + "x" + name.substring(pos)
+    // the six probe families, driver-side twins of the query synthesis
+    val probes =
+      keys.filter(_ % 11 == 3).map(k => (k, sub(canon(k), (k % 12).toInt + 1))) ++
+      keys.filter(_ % 11 == 4).map(k => (k, del(canon(k), (k % 12).toInt + 1))) ++
+      keys.filter(_ % 11 == 5).map(k => (k, ins(canon(k), (k % 12).toInt))) ++
+      keys.filter(_ % 11 == 6).map { k =>
+        val c = canon(k)
+        // deletion in seg 1, then substitution at original 10+(k%3)
+        val afterDel = del(c, (k % 4).toInt + 1) // len 11
+        // original position 10+(k%3) sits at 9+(k%3) after the deletion
+        (k, sub(afterDel, 9 + (k % 3).toInt))
+      } ++
+      keys.filter(_ % 11 == 7).map { k =>
+        val m = (k % 4).toInt
+        (k, sub(sub(sub(canon(k), m + 1), m + 5), m + 9)) // ED=3 control
+      } ++
+      keys.filter(_ % 11 == 8).map(k => (k, del(del(canon(k), 7), 2)))
+    // planted-distance sanity of the driver synthesis itself
+    probes.foreach { case (k, pn) =>
+      val expected = (k % 11).toInt match {
+        case 3 | 4 | 5 => 1
+        case 6 | 8 => 2
+        case 7 => 3
+      }
+      assert(lev(pn, canon(k)) === expected,
+        s"family ${k % 11} probe $k has wrong planted distance")
+    }
+
+    val brute = (for {
+      (pk, pn) <- probes
+      (ck, cn) <- canon
+      dd = lev(pn, cn) if dd <= 2
+    } yield (pk, ck, dd)).toSet
+    val got = RelationalQueries.queries("q_fuzzy_join_ed2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(got === brute, "blocked tau=2 join != brute force")
+
+    // every positive family matches its own canon at its planted distance
+    Seq(3L -> 1, 4L -> 1, 5L -> 1, 6L -> 2, 8L -> 2).foreach { case (f, dd) =>
+      keys.filter(_ % 11 == f).foreach { k =>
+        assert(got.contains((k, k, dd)), s"family $f probe $k not matched at ED=$dd")
+      }
+    }
+    // the ED=3 control never matches anything
+    val negatives = keys.filter(_ % 11 == 7).toSet
+    assert(got.forall { case (pk, _, _) => !negatives(pk) },
+      "an ED=3 negative control matched at ED<=2")
+  }
 }
