@@ -98,40 +98,107 @@ object VectorQueries {
   private def knnGraphShared(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
     graphCache.computeIfAbsent((s, d), _ => {
       CacheStats.recordBuild("knn_graph")
-      import org.apache.spark.sql.expressions.Window
       val emb = plantedEmb(s, d).localCheckpoint()
-      val n = emb.count()
-      val p = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
-      val buckets = hyperplaneBuckets(emb, L = 12, P = p)
-      // candidate pairs within buckets → exact cosine → top-4 out-edges
-      // per node, symmetrized (kNN graphs are directed; NSW reachability
-      // wants both directions). Enumeration is CAPPED (Blocking.LshCap =
-      // 4× the designed mean occupancy 64): an adversarial duplicate-
-      // embedding mega-bucket stays ≤ cap²/2 pairs per bucket, with
-      // dropped buckets counted into the q_knn_graph accounting column.
-      val (capped, overflowDf) = Blocking.cappedBucketPairs(
-        buckets, Seq("t", "bucket"), "vec_id", Blocking.LshCap)
-      val overflowN = overflowDf.collect()(0).getLong(0)
-      val cand = capped.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(capped.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val ea = emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
-      val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
-      val scored = cand.join(ea, "src").join(eb, "dst")
-        .select(col("src"), col("dst"),
-          round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs"))
-      val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
-      val out4 = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 4).select("src", "dst")
-      val edges = out4
-        .unionByName(out4.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
-      (emb, edges, overflowN)
+      val (out4, overflowN) = buildKnnOut4(emb, knnGraphP(emb.count()))
+      (emb, symmetrized(out4).localCheckpoint(), overflowN)
     })
+
+  /** LSH hash width targeting mean bucket occupancy 64. */
+  private[graft] def knnGraphP(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+
+  /** Directed top-4 out-edges of the kNN graph over `emb` under hash
+    * width `p` — candidate pairs within LSH buckets → exact cosine →
+    * row_number top-4 per source (rounded-score desc + dst tie-break:
+    * deterministic under any partitioning). Enumeration is CAPPED
+    * (Blocking.LshCap = 4× the designed mean occupancy 64): an
+    * adversarial duplicate-embedding mega-bucket stays ≤ cap²/2 pairs
+    * per bucket, with dropped buckets counted into the returned
+    * overflow count (rides q_knn_graph's accounting column). Shared by
+    * the session-cached full build and the q_graph_incremental fold. */
+  private[graft] def buildKnnOut4(emb: DataFrame, p: Int): (DataFrame, Long) = {
+    val buckets = hyperplaneBuckets(emb, L = 12, P = p)
+    val (capped, overflowDf) = Blocking.cappedBucketPairs(
+      buckets, Seq("t", "bucket"), "vec_id", Blocking.LshCap)
+    val overflowN = overflowDf.collect()(0).getLong(0)
+    val cand = capped.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(capped.select(col("id_b").as("src"), col("id_a").as("dst")))
+    (top4From(cand, emb), overflowN)
+  }
+
+  /** Exact-cosine rank of directed candidates → top-4 per src. */
+  private def top4From(cand: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ea = emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
+    val scored = cand.join(ea, "src").join(eb, "dst")
+      .select(col("src"), col("dst"),
+        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs"))
+    val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4).select("src", "dst")
+  }
+
+  /** kNN graphs are directed; NSW reachability wants both directions. */
+  private def symmetrized(out4: DataFrame): DataFrame = out4
+    .unionByName(out4.select(col("dst").as("src"), col("src").as("dst")))
+    .distinct()
 
   /** Overflowing-LSH-bucket count of the cached graph build, for the
     * q_knn_graph accounting column. */
   private[graft] def knnGraphOverflow(s: SparkSession, d: String): Long =
     knnGraphShared(s, d)._3
+
+  /** Incremental kNN-graph maintenance (VERDICT r9 #5) — the one index
+    * in the ANN ladder that lacked a delta path. A delta batch (organic
+    * vec_id % 10 == 7; plants stay in the base) folds into the
+    * base-built graph WITHOUT re-pairing the base corpus:
+    * 1. hash params FROZEN at base-build time (P from the base count —
+    *    the q_stream_ivf_ingest frozen-quantizer discipline, so
+    *    incremental and rebuild compare the same index family);
+    * 2. delta buckets equi-join the full bucket table → delta-node
+    *    candidates AND the reverse (touched-base-node, delta) pairs —
+    *    cost Θ(|delta| × occupancy × L), never Θ(|base|²);
+    * 3. touched nodes MERGE instead of re-enumerating: their rebuild
+    *    top-4 provably equals top-4(base top-4 ∪ delta collisions) —
+    *    new candidates only push old ones DOWN, so a base candidate
+    *    outside the base top-4 can never enter the rebuild top-4. Per
+    *    touched node that is O(4 + its collisions) work; untouched
+    *    nodes keep their base out-edges verbatim (no delta shares any
+    *    of their buckets, so their rebuild candidate set is identical).
+    * Returns (emb, incremental edges, n_base, n_delta, n_touched, P);
+    * the fold lineage hangs off checkpointed inputs so its cost can be
+    * measured separately from the base build. */
+  private[graft] def graphIncremental(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long, Long, Long, Int) = {
+    val emb = plantedEmb(s, d).localCheckpoint()
+    val isDelta = col("vec_id") % 10 === 7 && col("vec_id") < 9200000L
+    val base = emb.filter(!isDelta).localCheckpoint()
+    val delta = emb.filter(isDelta).localCheckpoint()
+    val p = knnGraphP(base.count()) // frozen at base-build time
+    val baseOut4 = buildKnnOut4(base, p)._1.localCheckpoint()
+    val bBase = hyperplaneBuckets(base, L = 12, P = p).localCheckpoint()
+    val bDelta = hyperplaneBuckets(delta, L = 12, P = p).localCheckpoint()
+    val bFull = bBase.unionByName(bDelta)
+    val collide = bDelta.select(col("t"), col("bucket"), col("vec_id").as("dv"))
+      .join(bFull.select(col("t"), col("bucket"), col("vec_id").as("ov")),
+        Seq("t", "bucket"))
+      .filter(col("dv") =!= col("ov"))
+      .select("dv", "ov").distinct().localCheckpoint()
+    val touched = collide.select(col("ov").as("vec_id")).distinct()
+      .join(base.select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val deltaCand = collide.select(col("dv").as("src"), col("ov").as("dst"))
+    val touchedMergeCand = baseOut4
+      .join(touched.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+      .unionByName(collide.select(col("ov").as("src"), col("dv").as("dst")))
+    val recomputed = top4From(
+      deltaCand.unionByName(touchedMergeCand).distinct(), emb)
+    val untouched = baseOut4.join(
+      touched.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+    val edgesIncr = symmetrized(untouched.unionByName(recomputed))
+    (emb, edgesIncr, base.count(), delta.count(), touched.count(), p)
+  }
 
   private[graft] def graphTop10(s: SparkSession, d: String,
       rounds: Int = 3): DataFrame = {
@@ -1223,6 +1290,28 @@ object VectorQueries {
         method = "nsw_beam_t3", planted = true)
         .withColumn("overflow_buckets", lit(knnGraphOverflow(s, d)))),
 
+    // --- incremental kNN-graph maintenance (round 10, VERDICT r9 #5):
+    // see [[graphIncremental]]. The verdict row compares the folded
+    // graph edge-for-edge against a full rebuild under the SAME frozen
+    // hash width — equality is the differential proof that untouched
+    // nodes' edges survive verbatim and touched/delta nodes' recompute
+    // reproduces the rebuild's view. n_base/n_delta are SQL-derivable
+    // (the split predicate is pure arithmetic on vec_id); the edge sets
+    // themselves aren't (LSH planes), so the flag carries the gate.
+    "q_graph_incremental" -> ((s, d) => {
+      val (emb, edgesIncr, nBase, nDelta, _, p) = graphIncremental(s, d)
+      val edgesRebuild = symmetrized(buildKnnOut4(emb, p)._1)
+      val onlyIncr = edgesIncr
+        .join(edgesRebuild, Seq("src", "dst"), "left_anti").count()
+      val onlyRebuild = edgesRebuild
+        .join(edgesIncr, Seq("src", "dst"), "left_anti").count()
+      import s.implicits._
+      Seq((("knn_graph_incr"), nBase, nDelta,
+          onlyIncr + onlyRebuild, onlyIncr + onlyRebuild == 0L))
+        .toDF("method", "n_base", "n_delta", "edge_diff",
+          "incr_equals_rebuild")
+    }),
+
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
@@ -1638,6 +1727,14 @@ object VectorQueries {
     "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
     "q_knn_graph" -> ("SELECT 'nsw_beam_t3' AS method, 10 AS k, 8 AS min_hits, " +
       "true AS recall_ok, 0::BIGINT AS overflow_buckets"),
+
+    "q_graph_incremental" ->
+      """SELECT 'knn_graph_incr' AS method,
+        |  (SELECT count(*) + 12 FROM embeddings
+        |   WHERE NOT (vec_id % 10 = 7 AND vec_id < 9200000)) AS n_base,
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE vec_id % 10 = 7 AND vec_id < 9200000) AS n_delta,
+        |  0::BIGINT AS edge_diff, true AS incr_equals_rebuild""".stripMargin,
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
