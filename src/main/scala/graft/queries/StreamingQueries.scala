@@ -213,11 +213,14 @@ object StreamingQueries {
     "q_stream_foreach_batch" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1",
 
-    // per-user CMS state at ε=0.001 → width 2719 ≫ the event_type
-    // keyspace (5 values), so the per-user "click" estimate is provably
-    // the exact filtered count (a full-depth collision under the pinned
-    // seed has probability (4/2719)^7 ≈ 1e-20 and would be deterministic
-    // across every user if it occurred — the gate would catch it)
+    // per-user CMS state at ε=0.05 → width 55 ≫ the event_type keyspace
+    // (5 values), so the per-user "click" estimate is provably the exact
+    // filtered count (a full-depth collision under the pinned seed has
+    // probability (4/55)^7 ≈ 1e-8 and would be deterministic and
+    // IDENTICAL across every user if it occurred — the gate would fail
+    // loudly, not flake). Sizing is CmsStateSizing (round 10): 3.2 KB
+    // per user keeps the 100× 200k-key state load at ~640 MB, inside
+    // the memory store — the previous 160 KB/user OOMed it.
     "q_stream_cms_state" ->
       """SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click_est
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

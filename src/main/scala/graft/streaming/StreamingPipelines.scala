@@ -15,6 +15,26 @@ import graft.functions._
  * source for a live one (socket/rate/kafka-on-a-real-cluster) changes
  * nothing downstream — that is the point of the declarative model.
  */
+/** Per-user CMS state sizing, shared by the mapGroupsWithState and
+  * transformWithState pipelines (they must match — StreamingSpec proves
+  * the two stores byte-equivalent). ε = 0.05 / conf = 0.999 → width
+  * ⌈e/ε⌉ = 55, depth ⌈ln 1000⌉ = 7 ≈ 3.2 KB/user — sized for the
+  * per-user EVENT-TYPE keyspace (5 values), not a global corpus: a
+  * full-depth "click" collision needs all 7 rows hit, (4/55)^7 ≈ 1e-8,
+  * and under the pinned seed the collision pattern is deterministic
+  * and IDENTICAL for every user (hashes ignore the key), so the
+  * exact-count oracle would fail loudly for all users, not flake for
+  * one. Round 10 re-sizing (VERDICT r9 #7): the previous ε = 0.001
+  * (width 2719, ~160 KB/user) made the memory-backed store OOM at the
+  * 100× state load (200k keys ≈ 32 GB); at 3.2 KB/user the same load
+  * is ~640 MB and the memory store completes — while remaining a
+  * 50× over-provision for a 5-value keyspace. */
+object CmsStateSizing {
+  val Eps = 0.05
+  val Conf = 0.999
+  val Seed = 42
+}
+
 /** StatefulProcessor keeping one serialized CMS per user key: the
   * reference's `updateStateByKey` sketch loop on the transformWithState
   * API. State is bytes (not the sketch object) so the RocksDB store can
@@ -37,7 +57,8 @@ class CmsStatefulProcessor(
       timers: TimerValues): Iterator[(Long, Long)] = {
     val cms =
       if (cmsBytes.exists()) CountMinSketch.readFrom(cmsBytes.get())
-      else CountMinSketch.create(0.001, 0.999, 42)
+      else CountMinSketch.create(CmsStateSizing.Eps, CmsStateSizing.Conf,
+        CmsStateSizing.Seed)
     rows.foreach { case (_, et) => cms.addString(et) }
     val out = new java.io.ByteArrayOutputStream()
     cms.writeTo(out)
@@ -427,7 +448,8 @@ object StreamingPipelines {
         state: GroupState[Array[Byte]]) => {
       val cms =
         if (state.exists) CountMinSketch.readFrom(state.get)
-        else CountMinSketch.create(0.001, 0.999, 42)
+        else CountMinSketch.create(CmsStateSizing.Eps, CmsStateSizing.Conf,
+          CmsStateSizing.Seed)
       rows.foreach { case (_, et) => cms.addString(et) }
       val out = new ByteArrayOutputStream()
       cms.writeTo(out)
