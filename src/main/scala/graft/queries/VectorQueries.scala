@@ -1231,18 +1231,14 @@ object VectorQueries {
           col("embedding"))
       val emb = base.unionAll(planted)
       val buckets = hyperplaneBuckets(emb, L = 16, P = 8)
-      // within-bucket pair generation via group + double explode: ONE
-      // bucket computation and one shuffle, where a self-join would
-      // recompute the projection pipeline per side (no exchange reuse
-      // across the rename). A hot bucket inflates its list — that skew
-      // is inherent to LSH blocking and P is its dial.
-      val cand = buckets.groupBy("t", "bucket")
-        .agg(collect_list("vec_id").as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(col("ids")).as("id_a"), col("ids"))
-        .select(col("id_a"), explode(col("ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // within-bucket pair generation through the shared CAPPED
+      // enumerator (round 10): bounded per-bucket work under
+      // adversarial skew (a duplicate-embedding mega-bucket). Cap 64 =
+      // 8× this table's designed mean occupancy; BucketProbe measured
+      // overflow 0 at every gate scale, and the family's overflow
+      // accounting rides the q_phash_dedup / q_knn_graph rows.
+      val cand = Blocking.cappedBucketPairs(
+        buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)._1
       val ea = emb.toDF("id_a", "emb_a")
       val eb = emb.toDF("id_b", "emb_b")
       cand.join(ea, "id_a").join(eb, "id_b")
