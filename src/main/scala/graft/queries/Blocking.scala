@@ -52,10 +52,18 @@ object Blocking {
     val ranked = buckets
       .select((key :+ idCol).map(col): _*).distinct()
       .withColumn("rk", row_number().over(w))
-    val kept = ranked.filter(col("rk") <= cap)
-    val a = kept.select(key.map(col) :+ col(idCol).as("id_a"): _*)
-    val b = kept.select(key.map(col) :+ col(idCol).as("id_b"): _*)
-    val pairs = a.join(b, key)
+    // enumerate pairs from a list collected AFTER the cap: the list is
+    // bounded (≤ cap entries per bucket, so the agg buffer can never
+    // hold a mega-bucket), and a single lineage reference keeps the
+    // upstream bucket computation from planning twice (a keyed
+    // self-join would). rk ≤ cap plans as WindowGroupLimit — the
+    // per-partition rank is pruned before the full sort.
+    val pairs = ranked.filter(col("rk") <= cap)
+      .groupBy(key.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val overflow = ranked.filter(col("rk") === cap + 1)
