@@ -113,6 +113,7 @@ object RelationalQueries {
     bucketedBuilt.synchronized {
       val key = d + "#" + sourceFingerprint(s, d)
       if (bucketedBuilt.get(s) != key) {
+        CacheStats.recordBuild("bucketed_tables")
         // a fresh JVM has no metastore entry for a previous run's managed
         // table, but its warehouse directory persists → saveAsTable
         // throws LOCATION_ALREADY_EXISTS; clear both first

@@ -108,6 +108,7 @@ object WarehouseQueries {
       }
       val key = d + "#" + fp
       if (cboBuilt.get(s) != key) {
+        CacheStats.recordBuild("cbo_tables")
         Seq("cbo_li", "cbo_ord", "cbo_cust").foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
           fs.delete(new org.apache.hadoop.fs.Path(
