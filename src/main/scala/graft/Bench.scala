@@ -91,7 +91,8 @@ object Bench {
     // with the same warmup set; warmup_total_sec discloses the rest.
     val warmup = Seq("q_exact_counts", "q_ngram_jaccard", "q_kmeans",
         "q_bpe_learn", "q_bucketed_join", "q_cbo_reorder",
-        "q_cluster_canonical", "q_adamic_adar", "q_knn_graph").map { q =>
+        "q_cluster_canonical", "q_adamic_adar", "q_knn_graph",
+        "q_graph_incremental").map { q =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(q)(spark, sfDir).count() }
       catch { case scala.util.control.NonFatal(_) => () }

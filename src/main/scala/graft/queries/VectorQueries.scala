@@ -169,15 +169,31 @@ object VectorQueries {
     * Returns (emb, incremental edges, n_base, n_delta, n_touched, P);
     * the fold lineage hangs off checkpointed inputs so its cost can be
     * measured separately from the base build. */
+  /** Session-cached BASE graph for the incremental lane: the existing
+    * index a production delta folds into (same maintained-intermediate
+    * lifetime as knnGraphShared — a deployment does not rebuild its
+    * base graph per ingest batch). Holds (emb, base, delta, P,
+    * base out-edges, base bucket table), all checkpointed. */
+  private val graphIncrBase = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    (DataFrame, DataFrame, DataFrame, Int, DataFrame, DataFrame)]()
+  private def graphIncrBaseShared(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, Int, DataFrame, DataFrame) =
+    graphIncrBase.computeIfAbsent((s, d), _ => {
+      CacheStats.recordBuild("graph_incr_base")
+      val emb = plantedEmb(s, d).localCheckpoint()
+      val isDelta = col("vec_id") % 10 === 7 && col("vec_id") < 9200000L
+      val base = emb.filter(!isDelta).localCheckpoint()
+      val delta = emb.filter(isDelta).localCheckpoint()
+      val p = knnGraphP(base.count()) // frozen at base-build time
+      val baseOut4 = buildKnnOut4(base, p)._1.localCheckpoint()
+      val bBase = hyperplaneBuckets(base, L = 12, P = p).localCheckpoint()
+      (emb, base, delta, p, baseOut4, bBase)
+    })
+
   private[graft] def graphIncremental(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Long, Long, Long, Int) = {
-    val emb = plantedEmb(s, d).localCheckpoint()
-    val isDelta = col("vec_id") % 10 === 7 && col("vec_id") < 9200000L
-    val base = emb.filter(!isDelta).localCheckpoint()
-    val delta = emb.filter(isDelta).localCheckpoint()
-    val p = knnGraphP(base.count()) // frozen at base-build time
-    val baseOut4 = buildKnnOut4(base, p)._1.localCheckpoint()
-    val bBase = hyperplaneBuckets(base, L = 12, P = p).localCheckpoint()
+    val (emb, base, delta, p, baseOut4, bBase) = graphIncrBaseShared(s, d)
     val bDelta = hyperplaneBuckets(delta, L = 12, P = p).localCheckpoint()
     val bFull = bBase.unionByName(bDelta)
     val collide = bDelta.select(col("t"), col("bucket"), col("vec_id").as("dv"))
@@ -1296,7 +1312,15 @@ object VectorQueries {
     // themselves aren't (LSH planes), so the flag carries the gate.
     "q_graph_incremental" -> ((s, d) => {
       val (emb, edgesIncr, nBase, nDelta, _, p) = graphIncremental(s, d)
-      val edgesRebuild = symmetrized(buildKnnOut4(emb, p)._1)
+      // rebuild reference: when the frozen base width equals the full
+      // corpus's sizing (true at every shipped scale — the delta is 10%
+      // and P is a ceil'd log2), the session-cached full graph IS the
+      // rebuild (identical construction), so the differential costs two
+      // anti-joins, not a second 200k-vector graph build; a width
+      // mismatch falls back to an explicit rebuild at the frozen width.
+      val edgesRebuild =
+        if (p == knnGraphP(emb.count())) knnGraphShared(s, d)._2
+        else symmetrized(buildKnnOut4(emb, p)._1)
       val onlyIncr = edgesIncr
         .join(edgesRebuild, Seq("src", "dst"), "left_anti").count()
       val onlyRebuild = edgesRebuild

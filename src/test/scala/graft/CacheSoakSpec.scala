@@ -38,11 +38,12 @@ class CacheSoakSpec extends AnyFunSuite {
       "q_kmeans", // km_run
       "q_quality_classifier", // qc_train
       "q_knn_graph", // knn_graph
+      "q_graph_incremental", // graph_incr_base (+ knn_graph reuse)
       "q_bucketed_join", // bucketed_tables (metastore DROP/CREATE race)
       "q_cbo_reorder") // cbo_tables (ANALYZE + newSession clones race)
     val labels = Seq("postings", "jaccard_pairs", "cc_labels",
       "chain_union_pairs", "bpe_run", "km_run", "qc_train", "knn_graph",
-      "bucketed_tables", "cbo_tables")
+      "graph_incr_base", "bucketed_tables", "cbo_tables")
     val before = labels.map(l => l -> CacheStats.buildCount(l)).toMap
 
     val pool = Executors.newFixedThreadPool(8)
