@@ -68,12 +68,13 @@ object StreamingQueries {
     // (frozen quantizer + additive per-cell counts are batch-order-
     // independent) → shares q_ivf_incremental's derived oracle
     "q_stream_ivf_ingest" -> VectorQueries.ivfIncrementalOracle,
-    // perceptual ingest-gate guarantee row: exactly the planted aHash
-    // group exists at gate scales (corpus payload hashes are effectively
-    // random 64-bit values — no collisions at 500–60k docs), the pair is
-    // byte-distinct, and it spanned two arrival batches
+    // perceptual ingest-gate guarantee row: the planted aHash group is
+    // exactly one dup group at EVERY scale (the count is scoped to the
+    // planted sig — organic exact-aHash groups exist from sf0.1 up and
+    // are correctly deduped, but their number is data-dependent), the
+    // pair is byte-distinct, and it spanned two arrival batches
     "q_stream_phash_dedup" ->
-      """SELECT 'phash_stream' AS method, 1::BIGINT AS n_dup_groups,
+      """SELECT 'phash_stream' AS method, 1::BIGINT AS n_planted_groups,
         |  true AS planted_pair_found, true AS planted_group_streamed,
         |  true AS payloads_differ, true AS cross_batch""".stripMargin,
     // streaming CDC apply converges to the same end state as the batch

@@ -723,12 +723,21 @@ object StreamingPipelines {
         .agg((countDistinct(md5(col("text"))) === 2).as("payloads_differ"))
       val crossBatch = media.filter(col("doc_id").isin(9200001L, 9200002L))
         .agg((countDistinct(col("doc_id") % 3) === 2).as("cross_batch"))
-      groups.agg(count(lit(1)).as("n_dup_groups"))
+      // gate count is scoped to the PLANTED sig so it is scale-invariant
+      // (round 10: the sf0.1 contract sweep found 9 ORGANIC exact-aHash
+      // groups — similar real texts legitimately collide, the dedup gate
+      // CORRECTLY groups them, but a global literal count can't ride the
+      // oracle across scales; organic-pair behavior is the batch
+      // q_phash_dedup row's job)
+      val plantedGroups = groups
+        .join(sigs.filter(col("doc_id") === 9200001L).select("sig"), "sig")
+        .agg(count(lit(1)).as("n_planted_groups"))
+      plantedGroups
         .crossJoin(broadcast(plantedPair))
         .crossJoin(broadcast(streamed))
         .crossJoin(broadcast(bytesDiffer))
         .crossJoin(broadcast(crossBatch))
-        .select(lit("phash_stream").as("method"), col("n_dup_groups"),
+        .select(lit("phash_stream").as("method"), col("n_planted_groups"),
           col("planted_pair_found"), col("planted_group_streamed"),
           col("payloads_differ"), col("cross_batch"))
     } finally {
