@@ -1128,8 +1128,14 @@ object WarehouseQueries {
     // sentinel) is mapped back to null to match var_samp.
     "q_window_udaf" -> ((s, d) => {
       val welford = udaf(new WelfordVariance)
+      // l_quantity joins the window order (round 10 — the sf0.1 sweep
+      // caught the non-unique (shipdate, orderkey, linenumber) class
+      // permuting ROWS-frame contents between engines): rows still tied
+      // after it have EQUAL quantity, so any permutation leaves every
+      // frame's value multiset — and the variance — unchanged. The
+      // output sort gains the variance column for the same reason.
       val w = Window.partitionBy("l_returnflag")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-9, 0)
       Tables.lineitem(s, d)
         .filter(col("l_partkey") % 20 === 0)
@@ -1140,7 +1146,8 @@ object WarehouseQueries {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(when(!isnan(col("wf_raw")), col("wf_raw")), 4).as("var_welford"),
           round(col("vs_raw"), 4).as("var_builtin"))
-        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("var_welford").asc_nulls_first)
     })
   )
 
@@ -1599,8 +1606,9 @@ object WarehouseQueries {
         |  round(var_samp(l_quantity) OVER w, 4) AS var_builtin
         |FROM lineitem WHERE l_partkey % 20 = 0
         |WINDOW w AS (PARTITION BY l_returnflag
-        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber,
+        |  var_welford ASC NULLS FIRST""".stripMargin
   )
 }
