@@ -192,12 +192,17 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
-  test("kll: sketch median lands inside the exact interquartile range") {
+  test("kll: rank-band gate holds and the exact quartiles are ordered") {
+    // Round-10 schema: (l_returnflag, exact_p25, exact_p50, exact_p75,
+    // kll_rank_ok) — the sketch median is gated on its TRUE RANK sitting
+    // in [0.49, 0.51], not on value equality with the exact quantile.
     queries.SourceQueries.queries("q_kll_quantiles")(spark, GraftSpark.sf)
       .collect().foreach { r =>
-        val (kll, p25, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(4))
-        assert(kll >= p25 && kll <= p75,
-          s"kll p50 $kll outside exact [p25=$p25, p75=$p75]")
+        val (p25, p50, p75) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        assert(p25 <= p50 && p50 <= p75,
+          s"exact quartiles out of order: p25=$p25 p50=$p50 p75=$p75")
+        assert(r.getBoolean(4),
+          s"kll_rank_ok false for group ${r.getString(0)}")
       }
   }
 
