@@ -802,26 +802,48 @@ object CurationQueries {
 
     // --- deterministic corpus shuffle + round-robin sharding: global
     // training order = sort by md5(seed:doc_id) (a seeded permutation
-    // any re-run reproduces), shard = (pos-1) mod 8. The md5 key is
-    // uniform, so a range-partitioned sort on it is balanced BY
-    // CONSTRUCTION at any scale (no sampling-skew risk), and round-robin
-    // on the rank makes shard sizes equal ±1. The per-shard
-    // order_md5 column is the verification artifact (content-checks the
-    // whole permutation, not just counts) — a real build would write
-    // the rows instead.
+    // any re-run reproduces), shard = (pos-1) mod 8. The global rank is
+    // computed WITHOUT a partition-less window (that plan funnels the
+    // whole corpus through one WindowExec task — the round-10 verdict's
+    // scale-killer): the md5 key is uniform by construction, so its
+    // first hex char range-buckets the keyspace into 16 equal slices
+    // (no sampling-skew risk; at 100 TB widen the prefix — 2–3 hex
+    // chars = 256/4096 buckets, the shuffle-partition dial). The
+    // ≤16-row count histogram prefix-sums into per-bucket offsets, and
+    // pos = offset + row_number PARTITIONED by bucket (parallel bounded
+    // sorts + broadcast offset join — the q_stable_ids pattern).
+    // The order_md5 verification artifact (content-checks the whole
+    // permutation, not just counts) is likewise two-level so no agg
+    // buffer holds more than a bucket-slice of one shard: a seg_md5
+    // per (shard, bucket), then the ≤16 bounded segment digests
+    // chain-hashed in bucket order. A real build would write the rows.
     "q_corpus_shuffle" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pos = row_number().over(
-        Window.orderBy(md5(concat_ws(":", lit("shuf42"), col("doc_id"))),
-          col("doc_id")))
-      docs.select(col("doc_id"), col("n_chars"))
-        .withColumn("pos", pos)
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          md5(concat_ws(":", lit("shuf42"), col("doc_id"))).as("k"))
+        .withColumn("bucket", substring(col("k"), 1, 1))
+      // prefix-sum the ≤16-row histogram by triangular self-join (not a
+      // partition-less window, so zero single-partition WindowExec in
+      // the whole plan): off(b) = Σ cnt over buckets strictly before b
+      val hist = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val offsets = hist
+        .join(hist.select(col("bucket").as("pb"), col("cnt").as("pc")),
+          col("pb") < col("bucket"), "left")
+        .groupBy("bucket").agg(coalesce(sum("pc"), lit(0L)).as("off"))
+      val ranked = keyed.join(broadcast(offsets), "bucket")
+        .withColumn("pos", col("off") + row_number().over(
+          Window.partitionBy("bucket").orderBy(col("k"), col("doc_id"))))
         .withColumn("shard", ((col("pos") - 1) % 8).cast("int"))
-        .groupBy("shard")
+      val segs = ranked.groupBy("shard", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           md5(array_join(transform(
             array_sort(collect_list(struct(col("pos"), col("doc_id")))),
-            x => x.getField("doc_id").cast("string")), " ")).as("order_md5"))
+            x => x.getField("doc_id").cast("string")), " ")).as("seg_md5"))
+      segs.groupBy("shard")
+        .agg(sum("n_docs").as("n_docs"), sum("total_chars").as("total_chars"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("bucket"), col("seg_md5")))),
+            x => x.getField("seg_md5")), " ")).as("order_md5"))
         .orderBy("shard")
     }),
 
@@ -1512,16 +1534,25 @@ object CurationQueries {
         |FROM ranked WHERE cum <= (SELECT budget FROM b)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the oracle ranks with the straightforward GLOBAL window (DuckDB
+    // has no scale concern), so it independently verifies the Spark
+    // side's bucket-offset pos; only the digest mirrors the two-level
+    // (shard, bucket) -> shard chaining, which is part of the contract.
     "q_corpus_shuffle" ->
       """WITH p AS (
-        |  SELECT doc_id, n_chars,
+        |  SELECT doc_id, n_chars, md5('shuf42:' || doc_id::VARCHAR) AS k,
         |    row_number() OVER (
         |      ORDER BY md5('shuf42:' || doc_id::VARCHAR), doc_id) AS pos
-        |  FROM documents)
-        |SELECT ((pos - 1) % 8)::INT AS shard, count(*) AS n_docs,
-        |  sum(n_chars)::BIGINT AS total_chars,
-        |  md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY pos)) AS order_md5
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM documents),
+        |s AS (
+        |  SELECT ((pos - 1) % 8)::INT AS shard, substr(k, 1, 1) AS bucket,
+        |    count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |    md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY pos)) AS seg_md5
+        |  FROM p GROUP BY 1, 2)
+        |SELECT shard, sum(n_docs)::BIGINT AS n_docs,
+        |  sum(total_chars)::BIGINT AS total_chars,
+        |  md5(string_agg(seg_md5, ' ' ORDER BY bucket)) AS order_md5
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH toks AS (

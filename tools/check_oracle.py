@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local approximation of the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir> [q1,q2,...]
+
+An optional third argument restricts the check to a comma-separated
+list of query names (for targeted re-verification after editing one
+query, pairing with `runMain graft.Verify <sf> <out> <q1,q2>`).
 
 Loads each <name>/ parquet result written by graft.Verify, runs the
 matching oracle SQL (oracle_sql.json) in DuckDB against the sf_dir
@@ -19,11 +23,17 @@ def norm(v):
         return round(v, 9)
     return v
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, names=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if names:
+        keep = set(names.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+        missing = keep - set(oracle)
+        if missing:
+            print(f"WARN unknown query names: {sorted(missing)}")
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -56,4 +66,5 @@ def main(outdir, sfdir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
