@@ -40,6 +40,45 @@ object Blocking {
     * ≈ 2× at every probed scale). */
   val LshCap = 256
 
+  /** Cap for the simhash 16-bit-chunk blocking (round 11): similar
+    * documents CONCENTRATE in chunk buckets (organic max grows with
+    * corpus: 179 at sf0.1, 468 at 10×, 867 at 100× — BucketProbe), so
+    * this site needs more headroom than the uniform-hash bands. 1024
+    * keeps overflow 0 at every probed scale while bounding an
+    * adversarial degenerate-signature bucket at ~0.5M pairs instead of
+    * b². */
+  val ChunkCap = 1024
+
+  /** Document-frequency cap for the gram-posting self-joins (round 11):
+    * a gram appearing in more than this many documents is a COMMON gram
+    * — it carries no near-dup signal and its posting list would emit
+    * df² join rows from one key. Dropping it from both sides before the
+    * self-join is the CCNet/stopword-removal standard; the count of
+    * dropped grams is surfaced as a `hot_grams` accounting column so
+    * the event is visible, never silent. Calibration (BucketProbe,
+    * round 11): organic max df is 25 at EVERY generated scale
+    * (sf0.01 → 100× — the corpus grows by adding new grams, per-gram
+    * df stays bounded), so 64 changes nothing organically while
+    * bounding per-gram fan-out at 64²/2 pairs under adversarial skew. */
+  val GramDfCap = 64
+
+  /** Splits `postings` (one row per (doc, key), pre-distinct) into
+    * (retained postings, 1-row `hot_grams` count): keys whose posting
+    * list exceeds `cap` are removed from BOTH join sides. The hot set
+    * is tiny by construction (≤ total/cap keys can be hot) so it
+    * broadcasts; the df aggregate is one linear scan. */
+  private[graft] def dfCappedPostings(postings: DataFrame, key: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val hot = postings.groupBy(key).agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > cap).select(key)
+    // the USING anti-join moves the key column first — restore the
+    // caller's column order (consumers rename positionally via toDF)
+    val kept = postings.join(broadcast(hot), Seq(key), "left_anti")
+      .select(postings.columns.map(col).toIndexedSeq: _*)
+    val hotCount = hot.agg(count(lit(1)).as("hot_grams"))
+    (kept, hotCount)
+  }
+
   /** Returns (pairs, overflow): `pairs` = distinct (id_a < id_b)
     * candidate pairs from members sharing a bucket, at most `cap`
     * lowest-id members per bucket; `overflow` = 1-row DataFrame with a

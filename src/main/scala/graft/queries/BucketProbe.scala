@@ -61,6 +61,25 @@ object BucketProbe {
           .as(Seq("band", "bkey")))
       .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
 
+    // 2b. round-11 join-form sites (VERDICT r10 #3): the band/chunk/gram
+    // keys whose SELF-JOINS were the uncapped half of the skew family
+    val postings = TextQueries.postingsOf(s, d)
+    stats("gram_df", postings.groupBy("gh").agg(count(lit(1)).as("n")))
+    val mhSigs = postings.groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
+        (1 until 16).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
+    stats("neardup_band_buckets", mhSigs
+      .select(col("doc_id"), explode(array((0 until 8).map { b =>
+        xxhash64(lit(b), concat_ws(",",
+          (0 until 2).map(r => col(s"h${b * 2 + r}").cast("string")): _*))
+      }: _*)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n")))
+    stats("simhash_chunk_buckets", TextQueries.simhashSigs(s, d)
+      .select(col("doc_id"), posexplode(array((0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("blk", "key")))
+      .groupBy("blk", "key").agg(count(lit(1)).as("n")))
+
     // 3. knnGraphShared LSH buckets (same sizing arithmetic)
     val emb = VectorQueries.plantedEmb(s, d)
     val n = emb.count()

@@ -21,9 +21,10 @@ object GraphIncrProbe {
       println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val (emb, edgesIncr, nBase, nDelta, nTouched, p) =
+    val (emb, edgesIncr, nBase, nDelta, nTouched, p, foldOverflow) =
       time("base_build_plus_fold_prep")(VectorQueries.graphIncremental(s, d))
-    println(s"PROBE n_base=$nBase n_delta=$nDelta n_touched=$nTouched p=$p")
+    println(s"PROBE n_base=$nBase n_delta=$nDelta n_touched=$nTouched p=$p" +
+      s" fold_overflow=$foldOverflow")
     time("fold_only")(edgesIncr.count())
     time("full_rebuild") {
       val (out4, _) = VectorQueries.buildKnnOut4(emb, p)

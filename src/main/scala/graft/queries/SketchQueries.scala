@@ -23,16 +23,22 @@ object SketchQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Keyspace-sized ε for the user_id CMS demonstrations: width ≈
-    * 43·ndv (collision-free estimates, so the exact-twin oracle rides
-    * the hash gate at every probed scale), floored at 1e-5 so the
-    * broadcast sketch stays ≤ ~15 MB however large the corpus. Cached
-    * per (session, dataset) — the ndv count is one bounded agg. */
-  private val epsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Double]()
-  private def userCmsEps(s: SparkSession, d: String): Double =
+    * 43·ndv (collision-free estimates), floored at 1e-5 so the
+    * broadcast sketch stays ≤ ~15 MB however large the corpus. Returns
+    * (ε, exactRegime): exactRegime is true while the floor did NOT bite
+    * (ndv ≤ 6250), i.e. the per-key estimate is provably the exact
+    * count; above that the sketch honestly re-enters its ε·N
+    * approximation regime and the consumers gate on the error BAND
+    * instead of value equality (round 11, ADVICE r10 — the HLL/KLL
+    * banding precedent). Cached per (session, dataset) — the ndv count
+    * is one bounded agg. */
+  private val epsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Double, Boolean)]()
+  private def userCmsParams(s: SparkSession, d: String): (Double, Boolean) =
     epsCache.computeIfAbsent((s, d), _ => {
       val ndv = Tables.events(s, d).select("user_id").distinct().count()
-      math.max(1e-5, 1.0 / (16.0 * math.max(1L, ndv)))
+      val ideal = 1.0 / (16.0 * math.max(1L, ndv))
+      (math.max(1e-5, ideal), ideal >= 1e-5)
     })
 
   val queries: Map[String, Q] = Map(
@@ -59,14 +65,25 @@ object SketchQueries {
     // floor bounds the broadcast at ~15 MB — above ~6k keys the sketch
     // honestly re-enters its approximation regime, which is the
     // memory/error dial being the point (the q_approx_quantiles note).
+    // The gate column is REGIME-AWARE (round 11): while the keyspace-
+    // sized width holds (ndv ≤ 6250), est_ok pins estimate == exact —
+    // the strictest checkable contract; once the 1e-5 floor bites,
+    // est_ok pins the CMS guarantee itself (overestimate-only, within
+    // ε·N) — the contract that is TRUE at every scale. The oracle pins
+    // the flag; the exact twin column stays value-checked either way.
     "q_cms_user_freq" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
-      val eps = userCmsEps(s, d)
-      val sk = ev.agg(cms_agg(col("user_id"), eps, 0.999, 42).as("sk"))
+      val (eps, exactRegime) = userCmsParams(s, d)
+      val sk = ev.agg(cms_agg(col("user_id"), eps, 0.999, 42).as("sk"),
+        count(lit(1)).as("n_total"))
+      val est = cms_estimate(col("sk"), col("user_id"))
+      val ok =
+        if (exactRegime) est === col("exact")
+        else est >= col("exact") &&
+          est <= col("exact") + ceil(lit(eps) * col("n_total")).cast("long")
       exact.join(broadcast(sk))
-        .select(col("user_id"), col("exact"),
-          cms_estimate(col("sk"), col("user_id")).as("estimate"))
+        .select(col("user_id"), col("exact"), ok.as("est_ok"))
         .orderBy("user_id")
     }),
 
@@ -182,14 +199,20 @@ object SketchQueries {
     // build, proven in SketchSpec); estimates vs the exact counts
     "q_cms_sketch_table" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val eps = userCmsEps(s, d) // keyspace-sized, see q_cms_user_freq
+      // keyspace-sized ε + regime-aware gate, see q_cms_user_freq
+      val (eps, exactRegime) = userCmsParams(s, d)
       val perType = ev.groupBy("event_type")
         .agg(cms_agg(col("user_id"), eps, 0.999, 42).as("sk"))
       val global = perType.agg(cms_merge_agg(col("sk")).as("sk"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_total")))
+      val est = cms_estimate(col("sk"), col("user_id"))
+      val ok =
+        if (exactRegime) est === col("exact")
+        else est >= col("exact") &&
+          est <= col("exact") + ceil(lit(eps) * col("n_total")).cast("long")
       ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
         .join(broadcast(global))
-        .select(col("user_id"), col("exact"),
-          cms_estimate(col("sk"), col("user_id")).as("est_merged"))
+        .select(col("user_id"), col("exact"), ok.as("est_merged_ok"))
         .orderBy("user_id")
     }),
 
@@ -648,11 +671,11 @@ object SketchQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cms_user_freq" ->
-      """SELECT user_id, count(*) AS exact, count(*) AS estimate
+      """SELECT user_id, count(*) AS exact, true AS est_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cms_sketch_table" ->
-      """SELECT user_id, count(*) AS exact, count(*) AS est_merged
+      """SELECT user_id, count(*) AS exact, true AS est_merged_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bloom_probe" ->

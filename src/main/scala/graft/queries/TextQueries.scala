@@ -179,7 +179,16 @@ object TextQueries {
    */
   private[graft] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = postingsShared(s, d)
+    // hot-gram guard (round 11, the join-form half of the r9/r10 skew
+    // family): a gram shared by b documents emits b² rows from one join
+    // key, so common grams (df > GramDfCap — organically none at any
+    // probed scale, see Blocking.GramDfCap) are dropped from BOTH sides
+    // before the self-join, bounding per-key fan-out. Set sizes are
+    // computed AFTER the drop, so jaccard under skew is well-defined
+    // ("jaccard over non-common grams"); [[hotGrams]] rides the
+    // q_ngram_jaccard row as the accounting column.
+    val postings = Blocking.dfCappedPostings(
+        postingsShared(s, d), "gh", Blocking.GramDfCap)._1
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = postings.toDF("id_a", "gh", "sz_a")
     val b = postings.toDF("id_b", "gh", "sz_b")
@@ -214,6 +223,14 @@ object TextQueries {
       CacheStats.recordBuild("jaccard_pairs")
       jaccardPairs(s, d).localCheckpoint()
     })
+
+  /** 1-row `hot_grams` count over the shared posting index — the
+    * accounting twin of [[jaccardPairs]]'s hot-gram drop (the oracle
+    * recomputes the same df > cap count in DuckDB, so a miscounted or
+    * silently-triggered drop hash-fails the q_ngram_jaccard row). */
+  private[graft] def hotGrams(s: SparkSession, d: String): DataFrame =
+    Blocking.dfCappedPostings(postingsShared(s, d), "gh",
+      Blocking.GramDfCap)._2
 
   /** Union graph = shared corpus pair graph ∪ the planted drift
     * chain's edges (q_bfs_distance and q_adamic_adar both need a
@@ -327,21 +344,31 @@ object TextQueries {
    * all-pairs.
    */
   private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashPairsFromSigs(simhashSigs(s, d))
+    simhashPairsFromSigs(simhashSigs(s, d))._1
 
-  private[graft] def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
-    val chunks = sigs.select(col("doc_id"), col("sig"),
+  /** Returns (hamming ≤ 3 pairs, 1-row overflow_buckets count). The
+    * chunk equi-join goes through the shared CAPPED enumerator
+    * (round 11): a degenerate signature shared by b documents puts b
+    * members in all four chunk buckets and would emit 4·b² join rows;
+    * the cap bounds it with the dropped buckets counted. The
+    * blocking_complete witness audit doubles as the recall detector —
+    * an organically-overflowing bucket would fail the gate loudly. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val chunks = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
           shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.blk"), col("c.key"))
-    val l = chunks.toDF("id_a", "sig_a", "blk", "key")
-    val r = chunks.toDF("id_b", "sig_b", "blk", "key")
-    l.join(r, Seq("blk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("doc_id"), col("c.blk"), col("c.key"))
+    val (cand, overflow) = Blocking.cappedBucketPairs(
+      chunks, Seq("blk", "key"), "doc_id", Blocking.ChunkCap)
+    val sa = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = cand.join(sa, "id_a").join(sb, "id_b")
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= 3)
-      .distinct()
+    (pairs, overflow)
   }
 
   val queries: Map[String, Q] = Map(
@@ -726,12 +753,18 @@ object TextQueries {
         xxhash64(lit(b), concat_ws(",",
           (0 until 2).map(r => col(s"h${b * 2 + r}").cast("string")): _*))
       }: _*)).as("band"))
-      val a = banded.select(col("doc_id").as("id_a"), col("band"))
-      val b = banded.select(col("doc_id").as("id_b"), col("band"))
-      val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // candidate enumeration through the shared CAPPED enumerator
+      // (round 11 — the join-form half of the r10 skew family): a
+      // viral-boilerplate band shared by b docs would emit b² join rows
+      // from one key; the cap bounds it at BandCap²/2 with the dropped
+      // buckets surfaced in the overflow_buckets accounting column
+      // (oracle pins 0 — organic band-bucket max is 10 at every probed
+      // scale incl. 100×, BucketProbe round 11).
+      val (cand, overflow) = Blocking.cappedBucketPairs(
+        banded, Seq("band"), "doc_id", Blocking.BandCap)
       verifyJaccard(cand, postings)
         .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value
+        .crossJoin(broadcast(overflow))
         .orderBy("id_a", "id_b")
     }),
 
@@ -758,17 +791,18 @@ object TextQueries {
         xxhash64(lit(b), concat_ws(",",
           (0 until 2).map(r => col(s"h${b * 2 + r}").cast("string")): _*))
       }: _*)).as("band"))
-      val ca = banded.select(col("doc_id").as("id_a"), col("band"))
-      val cb = banded.select(col("doc_id").as("id_b"), col("band"))
-      val cand = ca.join(cb, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // same capped enumeration as q_minhash_neardup (round 11): the
+      // recall gate measures the candidates a production run would use
+      val (cand, overflow) = Blocking.cappedBucketPairs(
+        banded, Seq("band"), "doc_id", Blocking.BandCap)
       val exact = jaccardPairsShared(s, d).select("id_a", "id_b")
       val nHit = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      nExact.crossJoin(nHit)
+      nExact.crossJoin(nHit).crossJoin(broadcast(overflow))
         .select(lit("minhash_b8r2").as("method"), col("n_exact"),
-          (col("n_hit") === col("n_exact")).as("recall_ok"))
+          (col("n_hit") === col("n_exact")).as("recall_ok"),
+          col("overflow_buckets"))
     }),
 
     // --- SimHash near-dup (64-bit signature, hamming ≤ 3) ---------------
@@ -797,7 +831,7 @@ object TextQueries {
       // out to blocking, audit, and verify instead of recomputing per
       // consumer (was 3 corpus passes)
       val sigs = simhashSigs(s, d).localCheckpoint()
-      val pairs = simhashPairsFromSigs(sigs)
+      val (pairs, chunkOverflow) = simhashPairsFromSigs(sigs)
       // the all-pairs completeness audit is bounded to a deterministic
       // witness sample (≤ ~1400 docs → ≤ 1M sig pairs, CONSTANT at any
       // corpus size): the pigeonhole guarantee it checks is uniform over
@@ -823,16 +857,19 @@ object TextQueries {
       val vocabOk = verifyJaccard(pairs, uniPostings).agg(
         coalesce(min("jaccard") >= 0.45, lit(true)).as("pairs_vocab_ok"))
       nBlocked.crossJoin(nAll).crossJoin(vocabOk)
+        .crossJoin(broadcast(chunkOverflow))
         .select(lit("simhash").as("method"), lit(3).as("max_hamming"),
           (col("n_blocked") === col("n_all")).as("blocking_complete"),
-          col("pairs_vocab_ok"))
+          col("pairs_vocab_ok"), col("overflow_buckets"))
     }),
 
     // --- n-gram Jaccard near-dup, inverted-index formulation -------------
     // (body in [[jaccardPairs]]; materialized once per session via
     // [[jaccardPairsShared]], shared with q_dedup_clusters and
     // q_pagerank_neardup)
-    "q_ngram_jaccard" -> ((s, d) => jaccardPairsShared(s, d).orderBy("id_a", "id_b")),
+    "q_ngram_jaccard" -> ((s, d) => jaccardPairsShared(s, d)
+      .crossJoin(broadcast(hotGrams(s, d)))
+      .orderBy("id_a", "id_b")),
 
     // --- asymmetric CONTAINMENT dedup (LSH-Ensemble / doc-in-doc): the
     // pairs the symmetric Jaccard measure structurally MISSES — a short
@@ -855,8 +892,13 @@ object TextQueries {
         .filter(col("doc_id") < 20 && size(split(col("text"), " ")) >= 50)
         .select((col("doc_id") + 9300001L).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
-      val postings = gramHashPostings(docs.unionAll(probes))
-        .distinct()
+      // same hot-gram guard as [[jaccardPairs]] (round 11): containment
+      // has no length filter, so a common gram is an even hotter join
+      // key here; df-capped with the drop count surfaced per row
+      val (kept, hotCount) = Blocking.dfCappedPostings(
+        gramHashPostings(docs.unionAll(probes)).distinct(),
+        "gh", Blocking.GramDfCap)
+      val postings = kept
         .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       val a = postings.toDF("id_a", "gh", "sz_a")
       val b = postings.toDF("id_b", "gh", "sz_b")
@@ -871,6 +913,7 @@ object TextQueries {
             (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4)
             .as("jaccard"))
         .filter(col("containment") >= 0.9 && col("jaccard") < 0.8)
+        .crossJoin(broadcast(hotCount))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1797,7 +1840,8 @@ object TextQueries {
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard,
+        |  0::BIGINT AS overflow_buckets
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
@@ -1821,7 +1865,8 @@ object TextQueries {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8)
-        |SELECT 'minhash_b8r2' AS method, count(*) AS n_exact, true AS recall_ok
+        |SELECT 'minhash_b8r2' AS method, count(*) AS n_exact, true AS recall_ok,
+        |  0::BIGINT AS overflow_buckets
         |FROM pairs""".stripMargin,
 
     "q_ppl_contrast" ->
@@ -1884,7 +1929,8 @@ object TextQueries {
     // simhash guarantee row (bits not SQL-expressible; the contract is)
     "q_simhash_neardup" ->
       """SELECT 'simhash' AS method, 3 AS max_hamming,
-        |  true AS blocking_complete, true AS pairs_vocab_ok""".stripMargin,
+        |  true AS blocking_complete, true AS pairs_vocab_ok,
+        |  0::BIGINT AS overflow_buckets""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT event_type, n_sampled, n_total FROM
@@ -2018,6 +2064,10 @@ object TextQueries {
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
         |ORDER BY 1, 2""".stripMargin,
 
+    // hot_grams mirrors the engine's common-gram accounting: DuckDB
+    // recomputes the df > 64 gram count from scratch, so the engine
+    // can neither miscount nor silently drop a gram that matters (a
+    // triggered drop would diverge the jaccard values and hash-fail)
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct([
@@ -2027,10 +2077,15 @@ object TextQueries {
         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
         |                                   t -> t <> '') AS toks
         |        FROM documents)
-        |)
+        |),
+        |hot AS (
+        |  SELECT count(*) AS hot_grams FROM (
+        |    SELECT u.g FROM sh, unnest(grams) AS u(g)
+        |    GROUP BY u.g HAVING count(*) > 64))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+        |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard,
+        |  (SELECT hot_grams FROM hot) AS hot_grams
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) >= 0.8
@@ -2053,14 +2108,19 @@ object TextQueries {
         |  ]) AS grams
         |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
         |                                   t -> t <> '') AS toks
-        |        FROM docs))
+        |        FROM docs)),
+        |hot AS (
+        |  SELECT count(*) AS hot_grams FROM (
+        |    SELECT u.g FROM sh, unnest(grams) AS u(g)
+        |    GROUP BY u.g HAVING count(*) > 64))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |        least(len(a.grams), len(b.grams))::DOUBLE, 4)
         |    AS containment,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |        len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE,
-        |        4) AS jaccard
+        |        4) AS jaccard,
+        |  (SELECT hot_grams FROM hot) AS hot_grams
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |        least(len(a.grams), len(b.grams))::DOUBLE, 4) >= 0.9

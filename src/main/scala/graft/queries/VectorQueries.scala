@@ -192,12 +192,33 @@ object VectorQueries {
     })
 
   private[graft] def graphIncremental(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Long, Long, Long, Int) = {
+      : (DataFrame, DataFrame, Long, Long, Long, Int, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val (emb, base, delta, p, baseOut4, bBase) = graphIncrBaseShared(s, d)
     val bDelta = hyperplaneBuckets(delta, L = 12, P = p).localCheckpoint()
     val bFull = bBase.unionByName(bDelta)
-    val collide = bDelta.select(col("t"), col("bucket"), col("vec_id").as("dv"))
-      .join(bFull.select(col("t"), col("bucket"), col("vec_id").as("ov")),
+    // delta-collision enumeration under the SAME LshCap semantics as
+    // the capped rebuild (round 11, ADVICE r10): rank the members of
+    // every delta-TOUCHED bucket (the semi-join keeps the fold
+    // Θ(|delta|·occ·L) — untouched base buckets are never ranked) and
+    // enumerate only pairs among the cap lowest vec_ids — exactly the
+    // pair set the capped rebuild would propose for these buckets, so
+    // a mega-bucket arriving in the delta can neither blow up the fold
+    // nor diverge the incr-vs-rebuild equality gate. Overflowing
+    // touched buckets are counted and surfaced on the verdict row.
+    val deltaKeys = bDelta.select("t", "bucket").distinct()
+    val touchedBuckets = bFull
+      .join(deltaKeys, Seq("t", "bucket"), "left_semi")
+      .select("t", "bucket", "vec_id").distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("t", "bucket").orderBy("vec_id")))
+      .localCheckpoint()
+    val foldOverflow = touchedBuckets
+      .filter(col("rk") === Blocking.LshCap + 1).count()
+    val kept = touchedBuckets.filter(col("rk") <= Blocking.LshCap)
+    val keptD = kept.join(delta.select("vec_id"), Seq("vec_id"), "left_semi")
+    val collide = keptD.select(col("t"), col("bucket"), col("vec_id").as("dv"))
+      .join(kept.select(col("t"), col("bucket"), col("vec_id").as("ov")),
         Seq("t", "bucket"))
       .filter(col("dv") =!= col("ov"))
       .select("dv", "ov").distinct().localCheckpoint()
@@ -213,7 +234,8 @@ object VectorQueries {
     val untouched = baseOut4.join(
       touched.select(col("vec_id").as("src")), Seq("src"), "left_anti")
     val edgesIncr = symmetrized(untouched.unionByName(recomputed))
-    (emb, edgesIncr, base.count(), delta.count(), touched.count(), p)
+    (emb, edgesIncr, base.count(), delta.count(), touched.count(), p,
+      foldOverflow)
   }
 
   private[graft] def graphTop10(s: SparkSession, d: String,
@@ -1251,16 +1273,20 @@ object VectorQueries {
       // enumerator (round 10): bounded per-bucket work under
       // adversarial skew (a duplicate-embedding mega-bucket). Cap 64 =
       // 8× this table's designed mean occupancy; BucketProbe measured
-      // overflow 0 at every gate scale, and the family's overflow
-      // accounting rides the q_phash_dedup / q_knn_graph rows.
-      val cand = Blocking.cappedBucketPairs(
-        buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)._1
+      // overflow 0 at every gate scale. This row carries its OWN
+      // overflow accounting (round 11, ADVICE r10): the cap keeps the
+      // LOWEST-id bucket members and the planted near-dup ids are the
+      // highest, so an overflowing bucket would drop exactly the
+      // planted pairs — the oracle-pinned column makes that loud.
+      val (cand, overflow) = Blocking.cappedBucketPairs(
+        buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)
       val ea = emb.toDF("id_a", "emb_a")
       val eb = emb.toDF("id_b", "emb_b")
       cand.join(ea, "id_a").join(eb, "id_b")
         .select(col("id_a"), col("id_b"),
           round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
+        .crossJoin(broadcast(overflow))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1311,7 +1337,8 @@ object VectorQueries {
     // (the split predicate is pure arithmetic on vec_id); the edge sets
     // themselves aren't (LSH planes), so the flag carries the gate.
     "q_graph_incremental" -> ((s, d) => {
-      val (emb, edgesIncr, nBase, nDelta, _, p) = graphIncremental(s, d)
+      val (emb, edgesIncr, nBase, nDelta, _, p, foldOverflow) =
+        graphIncremental(s, d)
       // rebuild reference: when the frozen base width equals the full
       // corpus's sizing (true at every shipped scale — the delta is 10%
       // and P is a ceil'd log2), the session-cached full graph IS the
@@ -1327,9 +1354,10 @@ object VectorQueries {
         .join(edgesIncr, Seq("src", "dst"), "left_anti").count()
       import s.implicits._
       Seq((("knn_graph_incr"), nBase, nDelta,
-          onlyIncr + onlyRebuild, onlyIncr + onlyRebuild == 0L))
+          onlyIncr + onlyRebuild, onlyIncr + onlyRebuild == 0L,
+          foldOverflow))
         .toDF("method", "n_base", "n_delta", "edge_diff",
-          "incr_equals_rebuild")
+          "incr_equals_rebuild", "fold_overflow_buckets")
     }),
 
     "q_vector_stats" -> ((s, d) => Tables.embeddings(s, d)
@@ -1754,7 +1782,8 @@ object VectorQueries {
         |   WHERE NOT (vec_id % 10 = 7 AND vec_id < 9200000)) AS n_base,
         |  (SELECT count(*) FROM embeddings
         |   WHERE vec_id % 10 = 7 AND vec_id < 9200000) AS n_delta,
-        |  0::BIGINT AS edge_diff, true AS incr_equals_rebuild""".stripMargin,
+        |  0::BIGINT AS edge_diff, true AS incr_equals_rebuild,
+        |  0::BIGINT AS fold_overflow_buckets""".stripMargin,
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
@@ -1768,7 +1797,8 @@ object VectorQueries {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim,
+        |  0::BIGINT AS overflow_buckets
         |FROM emb a JOIN emb b
         |  ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

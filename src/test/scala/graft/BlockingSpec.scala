@@ -72,4 +72,39 @@ class BlockingSpec extends AnyFunSuite {
     assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
       Set((10L, 11L)))
   }
+
+  // --- round 11: the join-form half of the skew family -----------------
+
+  test("planted mega-BAND through the capped minhash-style enumeration") {
+    // 300 docs sharing one band key (viral boilerplate) + one organic
+    // near-dup pair: the mega band is bounded at C(cap,2) and counted;
+    // the organic pair survives untouched
+    val rows = (1L to 300L).map(id => (777L, id)) ++
+      Seq((42L, 9001L), (42L, 9002L))
+    val (pairs, overflow) = Blocking.cappedBucketPairs(
+      rows.toDF("band", "doc_id"), Seq("band"), "doc_id", cap)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.count(_._1 <= 300L) === cap * (cap - 1) / 2)
+    assert(got.contains((9001L, 9002L)))
+    assert(overflow.collect()(0).getLong(0) === 1L)
+  }
+
+  test("dfCappedPostings: hot gram dropped from both sides, counted; column order preserved") {
+    // gram 100 appears in 70 docs (> cap=64) → dropped; gram 200 in 2
+    val rows = (1L to 70L).map(doc => (doc, 100L)) ++
+      Seq((1L, 200L), (2L, 200L))
+    val postings = rows.toDF("doc_id", "gh")
+    val (kept, hotCount) = Blocking.dfCappedPostings(postings, "gh", 64)
+    // caller's column order survives the anti-join (consumers rename
+    // positionally via toDF — the round-11 bug this pins)
+    assert(kept.columns.toSeq === Seq("doc_id", "gh"))
+    assert(kept.select("gh").distinct().collect().map(_.getLong(0)).toSet
+      === Set(200L))
+    assert(hotCount.collect()(0).getLong(0) === 1L)
+    // under-cap postings: nothing dropped, zero hot
+    val (k2, h2) = Blocking.dfCappedPostings(
+      Seq((1L, 5L), (2L, 5L)).toDF("doc_id", "gh"), "gh", 64)
+    assert(k2.count() === 2L)
+    assert(h2.collect()(0).getLong(0) === 0L)
+  }
 }

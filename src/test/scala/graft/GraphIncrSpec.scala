@@ -23,12 +23,15 @@ class GraphIncrSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_base") > row.getAs[Long]("n_delta"))
     assert(row.getAs[Long]("edge_diff") === 0L)
     assert(row.getAs[Boolean]("incr_equals_rebuild"))
+    assert(row.getAs[Long]("fold_overflow_buckets") === 0L,
+      "organic delta collisions must not overflow the LshCap")
   }
 
   test("fold parts: touched set is delta-driven, fold lineage excludes the base build") {
-    val (_, edgesIncr, nBase, nDelta, nTouched, _) =
+    val (_, edgesIncr, nBase, nDelta, nTouched, _, foldOverflow) =
       VectorQueries.graphIncremental(spark, sf)
     assert(nDelta > 0L && nTouched > 0L)
+    assert(foldOverflow === 0L)
     // every touched node shares a bucket with a delta vector; the fold
     // only ever recomputes touched ∪ delta, so its work is bounded by
     // the delta's collision fan-out, not the base size
