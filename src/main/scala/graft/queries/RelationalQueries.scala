@@ -658,7 +658,11 @@ object RelationalQueries {
       val joined = s2.table("li_bq")
         .join(s2.table("ord_bq"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+        // decimal-exact contract sum (the repo rule; r11 — the last
+        // plain-double holdout): order-safe regardless of partitioning
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(30,12)")), 4)
+            .cast("double").as("sum_qty"))
       val plan = joined.queryExecution.executedPlan.toString
       val zeroExchange =
         !plan.contains("Exchange hashpartitioning(l_orderkey") &&
@@ -2268,7 +2272,7 @@ object RelationalQueries {
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_quantity::DECIMAL(30,12)), 4)::DOUBLE AS sum_qty,
         |  true AS zero_exchange_join
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
