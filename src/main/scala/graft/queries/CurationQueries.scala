@@ -65,6 +65,12 @@ object CurationQueries {
     (SparkSession, String), (Seq[DataFrame], DataFrame)]()
   private def bpeRunShared(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) =
     bpeCache.computeIfAbsent((s, d), _ => {
+      // 4-piece persisted index (IndexStore, r11): the 3 per-round
+      // argmax rows + the final symbolized corpus — a second session
+      // reloads the learned merges instead of re-running the loop
+      val pieces = IndexStore.persistedMulti(s, d,
+          (1 to 3).map(r => s"bpe_top$r") :+ "bpe_corpus",
+          Seq("documents.parquet")) {
       CacheStats.recordBuild("bpe_run")
       val sep = ""
       var cur = Tables.documents(s, d).select(col("doc_id"),
@@ -87,7 +93,9 @@ object CurationQueries {
           .select("doc_id", "s")
           .localCheckpoint()
       }
-      (tops, cur)
+      tops :+ cur
+      }
+      (pieces.init, pieces.last)
     })
 
   // --- in-plan quality classifier (VERDICT r8 #3: the last missing

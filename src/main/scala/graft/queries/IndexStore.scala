@@ -1,0 +1,108 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-session persistence for the maintained shared indexes
+  * (VERDICT r10 #7). The session-scoped ConcurrentHashMap caches
+  * (postings, Jaccard pair graph, CC labels, kNN graph, k-means/BPE
+  * runs, …) amortize builds WITHIN a SparkSession; a real deployment
+  * writes the index once and every later session/job RELOADS it. This
+  * store adds that layer: each index build routes through
+  * [[persisted]], which — when an index root is configured — reloads
+  * a fingerprinted parquet copy if present and writes one after the
+  * first build. The fingerprint hashes the source tables' (name, size,
+  * mtime) leaves, so regenerating the data yields a DIFFERENT path and
+  * the stale index is never served (the ensureBucketedTables keying,
+  * generalized); stale fingerprint dirs are just orphans.
+  *
+  * Opt-in by design: with no root configured (`spark.graft.index.dir`
+  * conf or `GRAFT_INDEX_DIR` env), behavior is byte-identical to the
+  * session-scoped caches — Bench/Verify runs keep their disclosed
+  * warmup economics and never read state a previous run left behind.
+  * CrossSessionIndexSpec proves the contract: second session reloads
+  * (build counter unchanged, identical rows), touched source rebuilds.
+  *
+  * Concurrency: per-path JVM-level locks serialize racing sessions in
+  * one JVM (the CacheSoakSpec scenario). Cross-JVM racing writers are
+  * out of scope — a deployment's index build is a scheduled job, and
+  * the parquet `overwrite` + _SUCCESS protocol keeps a torn read from
+  * ever parsing (no _SUCCESS → rebuild). */
+object IndexStore {
+
+  private def root(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.graft.index.dir")
+      .orElse(sys.env.get("GRAFT_INDEX_DIR"))
+
+  /** (label, srcTables, dataset) → stable directory name. Mirrors the
+    * ensureBucketedTables fingerprint: leaf-file (name, length, mtime)
+    * of each source table, md5'd for a path-safe key. */
+  private def indexPath(s: SparkSession, d: String, label: String,
+      srcTables: Seq[String], rootDir: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val fp = srcTables.sorted.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t")
+      if (!fs.exists(p)) Seq(s"$t:missing")
+      else {
+        val st = fs.getFileStatus(p)
+        val leaves =
+          if (st.isDirectory) fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+          else Seq(st)
+        leaves.map(l =>
+          s"${l.getPath.getName}:${l.getLen}:${l.getModificationTime}")
+      }
+    }.mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "#" + fp).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"$rootDir/${label}_$md"
+  }
+
+  private val pathLocks = new ConcurrentHashMap[String, Object]()
+
+  private val reloads = new ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
+  private[graft] def recordReload(label: String): Unit =
+    reloads.computeIfAbsent(label,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+  private[graft] def reloadCount(label: String): Long = {
+    val c = reloads.get(label); if (c == null) 0L else c.get()
+  }
+
+  /** Reload-or-build-and-persist for a multi-piece index: reload iff
+    * EVERY piece directory has a _SUCCESS marker (a torn multi-piece
+    * write rebuilds); otherwise run `build` ONCE and write every piece.
+    * With no root configured, returns `build` localCheckpointed —
+    * exactly the pre-r11 session-cache materialization. `build` is
+    * expected to bump CacheStats itself, so reloads keep the build
+    * counter untouched (the CrossSessionIndexSpec assertion). */
+  private[graft] def persistedMulti(s: SparkSession, d: String,
+      labels: Seq[String], srcTables: Seq[String])
+      (build: => Seq[DataFrame]): Seq[DataFrame] = root(s) match {
+    case None => build.map(_.localCheckpoint())
+    case Some(r) =>
+      val paths = labels.map(indexPath(s, d, _, srcTables, r))
+      val lock = pathLocks.computeIfAbsent(paths.head, _ => new Object)
+      lock.synchronized {
+        val allPresent = paths.forall(p =>
+          new java.io.File(p, "_SUCCESS").isFile)
+        if (allPresent) {
+          labels.foreach(recordReload)
+          paths.map(s.read.parquet(_))
+        } else {
+          val built = build
+          built.zip(paths).map { case (df, p) =>
+            df.write.mode("overwrite").parquet(p)
+            s.read.parquet(p)
+          }
+        }
+      }
+  }
+
+  /** Single-piece convenience over [[persistedMulti]]. */
+  private[graft] def persisted(s: SparkSession, d: String, label: String,
+      srcTables: Seq[String])(build: => DataFrame): DataFrame =
+    persistedMulti(s, d, Seq(label), srcTables)(Seq(build)).head
+}

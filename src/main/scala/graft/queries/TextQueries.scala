@@ -132,10 +132,11 @@ object TextQueries {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def postingsShared(s: SparkSession, d: String): DataFrame =
-    postingsCache.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("postings")
-      postingsOf(s, d).localCheckpoint()
-    })
+    postingsCache.computeIfAbsent((s, d), _ =>
+      IndexStore.persisted(s, d, "postings", Seq("documents.parquet")) {
+        CacheStats.recordBuild("postings")
+        postingsOf(s, d)
+      })
 
   /**
    * Exact n-gram Jaccard for an (id_a, id_b) candidate pair set, via the
@@ -219,10 +220,11 @@ object TextQueries {
   private val pairGraphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
-    pairGraphCache.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("jaccard_pairs")
-      jaccardPairs(s, d).localCheckpoint()
-    })
+    pairGraphCache.computeIfAbsent((s, d), _ =>
+      IndexStore.persisted(s, d, "jaccard_pairs", Seq("documents.parquet")) {
+        CacheStats.recordBuild("jaccard_pairs")
+        jaccardPairs(s, d)
+      })
 
   /** 1-row `hot_grams` count over the shared posting index — the
     * accounting twin of [[jaccardPairs]]'s hot-gram drop (the oracle
@@ -242,20 +244,21 @@ object TextQueries {
   private val chainUnionCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def chainUnionPairs(s: SparkSession, d: String): DataFrame =
-    chainUnionCache.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("chain_union_pairs")
-      import s.implicits._
-      val chainDf = plantedChainDocs.toDF("doc_id", "text")
-      val chainPostings = gramHashPostings(chainDf).distinct()
-      val chainIds = chainDf.select(col("doc_id").as("id_a"))
-      val chainCand = chainIds
-        .crossJoin(chainDf.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      val chainPairs = verifyJaccard(chainCand, chainPostings)
-        .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
-      jaccardPairsShared(s, d).select("id_a", "id_b").unionAll(chainPairs)
-        .localCheckpoint()
-    })
+    chainUnionCache.computeIfAbsent((s, d), _ =>
+      IndexStore.persisted(s, d, "chain_union_pairs",
+          Seq("documents.parquet")) {
+        CacheStats.recordBuild("chain_union_pairs")
+        import s.implicits._
+        val chainDf = plantedChainDocs.toDF("doc_id", "text")
+        val chainPostings = gramHashPostings(chainDf).distinct()
+        val chainIds = chainDf.select(col("doc_id").as("id_a"))
+        val chainCand = chainIds
+          .crossJoin(chainDf.select(col("doc_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        val chainPairs = verifyJaccard(chainCand, chainPostings)
+          .filter(col("jaccard") >= 0.8).select("id_a", "id_b")
+        jaccardPairsShared(s, d).select("id_a", "id_b").unionAll(chainPairs)
+      })
 
   /** Connected-component labels (node → min-id cluster) over the shared
     * Jaccard ≥ 0.8 pair graph: iterative min-label propagation to a
@@ -269,7 +272,8 @@ object TextQueries {
   private val ccCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private[graft] def ccLabelsShared(s: SparkSession, d: String): DataFrame =
-    ccCache.computeIfAbsent((s, d), _ => {
+    ccCache.computeIfAbsent((s, d), _ =>
+      IndexStore.persisted(s, d, "cc_labels", Seq("documents.parquet")) {
       CacheStats.recordBuild("cc_labels")
       val pairs = jaccardPairsShared(s, d).select("id_a", "id_b")
       val edges = pairs.toDF("a", "b")

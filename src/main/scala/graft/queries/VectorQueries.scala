@@ -97,10 +97,19 @@ object VectorQueries {
     (SparkSession, String), (DataFrame, DataFrame, Long)]()
   private def knnGraphShared(s: SparkSession, d: String): (DataFrame, DataFrame, Long) =
     graphCache.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("knn_graph")
       val emb = plantedEmb(s, d).localCheckpoint()
-      val (out4, overflowN) = buildKnnOut4(emb, knnGraphP(emb.count()))
-      (emb, symmetrized(out4).localCheckpoint(), overflowN)
+      // edges + the 1-row overflow count persist as one two-piece index
+      // (IndexStore, r11): a second session reloads the graph instead
+      // of re-pairing the corpus; emb itself is a cheap table read
+      val Seq(edges, meta) = IndexStore.persistedMulti(s, d,
+          Seq("knn_graph_edges", "knn_graph_meta"),
+          Seq("embeddings.parquet")) {
+        CacheStats.recordBuild("knn_graph")
+        val (out4, overflowN) = buildKnnOut4(emb, knnGraphP(emb.count()))
+        import s.implicits._
+        Seq(symmetrized(out4), Seq(overflowN).toDF("overflow_buckets"))
+      }
+      (emb, edges, meta.collect()(0).getLong(0))
     })
 
   /** LSH hash width targeting mean bucket occupancy 64. */
@@ -180,14 +189,19 @@ object VectorQueries {
   private def graphIncrBaseShared(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, Int, DataFrame, DataFrame) =
     graphIncrBase.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("graph_incr_base")
       val emb = plantedEmb(s, d).localCheckpoint()
       val isDelta = col("vec_id") % 10 === 7 && col("vec_id") < 9200000L
       val base = emb.filter(!isDelta).localCheckpoint()
       val delta = emb.filter(isDelta).localCheckpoint()
       val p = knnGraphP(base.count()) // frozen at base-build time
-      val baseOut4 = buildKnnOut4(base, p)._1.localCheckpoint()
-      val bBase = hyperplaneBuckets(base, L = 12, P = p).localCheckpoint()
+      // the two expensive fold inputs (base out-edges + base bucket
+      // table) persist as one index; emb/base/delta are cheap filters
+      val Seq(baseOut4, bBase) = IndexStore.persistedMulti(s, d,
+          Seq("graph_incr_base_out4", "graph_incr_base_buckets"),
+          Seq("embeddings.parquet")) {
+        CacheStats.recordBuild("graph_incr_base")
+        Seq(buildKnnOut4(base, p)._1, hyperplaneBuckets(base, L = 12, P = p))
+      }
       (emb, base, delta, p, baseOut4, bBase)
     })
 
@@ -696,9 +710,13 @@ object VectorQueries {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private def kmRunShared(s: SparkSession, d: String): (DataFrame, DataFrame) =
     kmCache.computeIfAbsent((s, d), _ => {
-      CacheStats.recordBuild("km_run")
-      val (assigned, cent) = kmRun(s, d)
-      (assigned.localCheckpoint(), cent.localCheckpoint())
+      val Seq(assigned, cent) = IndexStore.persistedMulti(s, d,
+          Seq("km_assigned", "km_centroids"), Seq("embeddings.parquet")) {
+        CacheStats.recordBuild("km_run")
+        val (a, c) = kmRun(s, d)
+        Seq(a, c)
+      }
+      (assigned, cent)
     })
 
   /** Hybrid retrieval fusion (q_hybrid_retrieval / q_rag_e2e): BM25 and

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CacheStats, IndexStore, TextQueries, VectorQueries}
+
+/** Cross-session index persistence (VERDICT r10 #7): with an index root
+  * configured, the maintained shared indexes write fingerprinted
+  * parquet on first build and every LATER SparkSession reloads them —
+  * build counter untouched, identical rows. A changed source file
+  * (different mtime → different fingerprint) or a torn multi-piece
+  * write (missing _SUCCESS) rebuilds instead of serving stale state.
+  * With no root configured (the Bench/Verify default) behavior is the
+  * pre-r11 session-scoped cache — BuildCacheSpec/CacheSoakSpec still
+  * pin that path. */
+class CrossSessionIndexSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  private val sf = GraftSpark.sf
+
+  private def sessionWithRoot(dir: String) = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.index.dir", dir)
+    s
+  }
+
+  test("second session reloads the postings index: zero new builds, identical rows") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val b0 = CacheStats.buildCount("postings")
+    val r0 = IndexStore.reloadCount("postings")
+    val s1 = sessionWithRoot(dir)
+    val rows1 = TextQueries.postingsShared(s1, sf)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1, "first session builds")
+    val s2 = sessionWithRoot(dir)
+    val rows2 = TextQueries.postingsShared(s2, sf)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1,
+      "second session must RELOAD, not rebuild")
+    assert(IndexStore.reloadCount("postings") === r0 + 1)
+    assert(rows1 === rows2)
+  }
+
+  test("multi-piece index (k-means run) reloads atomically; torn write rebuilds") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val b0 = CacheStats.buildCount("km_run")
+    val s1 = sessionWithRoot(dir)
+    val cent1 = VectorQueries.queries("q_semantic_dedup")(s1, sf).collect().toSeq
+    assert(CacheStats.buildCount("km_run") === b0 + 1)
+    val s2 = sessionWithRoot(dir)
+    val cent2 = VectorQueries.queries("q_semantic_dedup")(s2, sf).collect().toSeq
+    assert(CacheStats.buildCount("km_run") === b0 + 1, "reload, not rebuild")
+    assert(cent1 === cent2)
+    // torn write: one piece loses its _SUCCESS → the whole index rebuilds
+    val torn = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("km_centroids_")).head
+    assert(new java.io.File(torn, "_SUCCESS").delete())
+    val s3 = sessionWithRoot(dir)
+    val cent3 = VectorQueries.queries("q_semantic_dedup")(s3, sf).collect().toSeq
+    assert(CacheStats.buildCount("km_run") === b0 + 2, "torn index must rebuild")
+    assert(cent1 === cent3)
+  }
+
+  test("source fingerprint change invalidates: touched file rebuilds") {
+    val dataDir = Files.createTempDirectory("graft_idx_data").toString
+    val src = Paths.get(sf, "documents.parquet")
+    val dst = Paths.get(dataDir, "documents.parquet")
+    Files.copy(src, dst)
+    val idxDir = Files.createTempDirectory("graft_idx").toString
+    val b0 = CacheStats.buildCount("postings")
+    val s1 = sessionWithRoot(idxDir)
+    val rows1 = TextQueries.postingsShared(s1, dataDir)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1)
+    // same bytes, new mtime → new fingerprint → rebuild (the
+    // regenerated-testdata scenario; content is unchanged so rows match)
+    Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() + 10000))
+    val s2 = sessionWithRoot(idxDir)
+    val rows2 = TextQueries.postingsShared(s2, dataDir)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 2,
+      "touched source must rebuild, never serve the stale index")
+    assert(rows1 === rows2)
+  }
+
+  test("no index root configured → session-scoped behavior, nothing written") {
+    val s = spark.newSession() // no spark.graft.index.dir
+    val before = CacheStats.buildCount("jaccard_pairs")
+    TextQueries.jaccardPairsShared(s, sf).count()
+    assert(CacheStats.buildCount("jaccard_pairs") === before + 1)
+    // second call on the SAME session: the in-session cache serves it
+    TextQueries.jaccardPairsShared(s, sf).count()
+    assert(CacheStats.buildCount("jaccard_pairs") === before + 1)
+  }
+}
