@@ -255,6 +255,24 @@ object VectorQueries {
   private[graft] def graphTop10(s: SparkSession, d: String,
       rounds: Int = 3): DataFrame = {
     val (emb, edges, _) = knnGraphShared(s, d)
+    graphBeam(s, d, emb, edges, rounds)
+  }
+
+  /** Raw-corpus variant for recall diagnostics (AnnRecallProbe, round
+    * 12): same beam search over a graph built from the UNplanted
+    * corpus — measures what the index finds in organic geometry
+    * (meaningful on the clustered GenClustered set; near-vacuous on
+    * the clusterless shipped corpus, which is why the GATES ride the
+    * planted cluster). Uncached: a diagnostic, not a contract query. */
+  private[graft] def graphTop10Raw(s: SparkSession, d: String,
+      rounds: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, d).localCheckpoint()
+    val (out4, _) = buildKnnOut4(emb, knnGraphP(emb.count()))
+    graphBeam(s, d, emb, symmetrized(out4).localCheckpoint(), rounds)
+  }
+
+  private def graphBeam(s: SparkSession, d: String, emb: DataFrame,
+      edges: DataFrame, rounds: Int): DataFrame = {
     // entry: the 4 lowest-id members of the query's best coarse cell —
     // fewer than k, so traversal must do the rest
     val cells = ivfpqCells(emb)
