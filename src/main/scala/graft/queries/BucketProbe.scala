@@ -21,14 +21,21 @@ object BucketProbe {
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
 
-    def stats(name: String, occ: org.apache.spark.sql.DataFrame): Unit = {
+    // one LEDGER line per site carries the APPLIED cap and the overflow
+    // the capped enumerator would surface (buckets/keys above cap) —
+    // the round-12 skew ledger: every site's overflow economics in one
+    // greppable section instead of six query rows (VERDICT r11 #7).
+    def stats(name: String, occ: org.apache.spark.sql.DataFrame,
+        cap: Int): Unit = {
       val r = occ.agg(count(lit(1)).as("n_buckets"), max("n").as("max_occ"),
         round(avg("n"), 1).as("mean_occ"),
         sum(when(col("n") > 64, 1).otherwise(0)).as("gt64"),
         sum(when(col("n") > 128, 1).otherwise(0)).as("gt128"),
-        sum(when(col("n") > 256, 1).otherwise(0)).as("gt256")).collect()(0)
+        sum(when(col("n") > 256, 1).otherwise(0)).as("gt256"),
+        sum(when(col("n") > cap, 1).otherwise(0)).as("over_cap")).collect()(0)
       println(s"PROBE $name buckets=${r.get(0)} max=${r.get(1)} " +
         s"mean=${r.get(2)} gt64=${r.get(3)} gt128=${r.get(4)} gt256=${r.get(5)}")
+      println(s"LEDGER site=$name cap=$cap overflow=${r.get(6)} max_occ=${r.get(1)}")
     }
 
     // 1. q_phash_dedup: 16-bit phash bands over documents + plants
@@ -40,7 +47,7 @@ object BucketProbe {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
-      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")), Blocking.BandCap)
 
     // 2. q_multimodal_dedup channels over documents ⋈ embeddings
     val items = Tables.documents(s, d).select(col("doc_id").as("id"), col("text"))
@@ -51,20 +58,21 @@ object BucketProbe {
     stats("minhash_bands", grams.select(col("id"),
         posexplode(array((0 until 4).map(b =>
           hash(slice(col("sig"), b * 4 + 1, 4), lit(b))): _*)).as(Seq("band", "bkey")))
-      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")), Blocking.BandCap)
     stats("sign_buckets", items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
-      .groupBy("sg").agg(count(lit(1)).as("n")))
+      .groupBy("sg").agg(count(lit(1)).as("n")), Blocking.BandCap)
     stats("payload_phash_bands", items
       .select(col("id"), phash64(encode(col("text"), "UTF-8")).as("ph"))
       .select(col("id"), posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
-      .groupBy("band", "bkey").agg(count(lit(1)).as("n")))
+      .groupBy("band", "bkey").agg(count(lit(1)).as("n")), Blocking.BandCap)
 
     // 2b. round-11 join-form sites (VERDICT r10 #3): the band/chunk/gram
     // keys whose SELF-JOINS were the uncapped half of the skew family
     val postings = TextQueries.postingsOf(s, d)
-    stats("gram_df", postings.groupBy("gh").agg(count(lit(1)).as("n")))
+    stats("gram_df", postings.groupBy("gh").agg(count(lit(1)).as("n")),
+      Blocking.GramDfCap)
     val mhSigs = postings.groupBy("doc_id")
       .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
         (1 until 16).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
@@ -73,12 +81,12 @@ object BucketProbe {
         xxhash64(lit(b), concat_ws(",",
           (0 until 2).map(r => col(s"h${b * 2 + r}").cast("string")): _*))
       }: _*)).as("band"))
-      .groupBy("band").agg(count(lit(1)).as("n")))
+      .groupBy("band").agg(count(lit(1)).as("n")), Blocking.BandCap)
     stats("simhash_chunk_buckets", TextQueries.simhashSigs(s, d)
       .select(col("doc_id"), posexplode(array((0 until 4).map(i =>
         shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("blk", "key")))
-      .groupBy("blk", "key").agg(count(lit(1)).as("n")))
+      .groupBy("blk", "key").agg(count(lit(1)).as("n")), Blocking.ChunkCap)
 
     // 3. knnGraphShared LSH buckets (same sizing arithmetic)
     val emb = VectorQueries.plantedEmb(s, d)
@@ -86,7 +94,15 @@ object BucketProbe {
     val p = math.max(4, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
     println(s"PROBE knn n=$n P=$p")
     stats("knn_lsh_buckets", VectorQueries.hyperplaneBuckets(emb, L = 12, P = p)
-      .groupBy("t", "bucket").agg(count(lit(1)).as("n")))
+      .groupBy("t", "bucket").agg(count(lit(1)).as("n")), Blocking.LshCap)
+
+    // 4. q_embed_neardup blocking buckets (L=16 x P=8 hyperplane LSH,
+    // BandCap) — the one capped site the round-10 probe missed
+    stats("embed_lsh_buckets",
+      VectorQueries.hyperplaneBuckets(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        L = 16, P = 8)
+      .groupBy("t", "bucket").agg(count(lit(1)).as("n")), Blocking.BandCap)
 
     s.stop()
   }
