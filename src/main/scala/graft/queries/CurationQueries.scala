@@ -361,13 +361,23 @@ object CurationQueries {
         col("n_uniq").cast("double") / col("n_tokens").cast("double") >= 0.3)
         .select("doc_id", "n_tokens")
       // 3. token budget: keep whole length-groups longest-first while
-      // the cumulative token mass fits 50% (bounded histogram + window
-      // over distinct lengths only)
+      // the cumulative token mass fits 50% (bounded histogram; the
+      // prefix sum is two-level — length-range buckets + partitioned
+      // within-bucket running sum, the q_token_budget round-12 pattern
+      // — so even this stage carries no partition-less WindowExec)
       val hist = quality.groupBy("n_tokens")
         .agg((col("n_tokens") * count(lit(1))).as("mass"))
-      val keepLens = hist
-        .withColumn("cmass", sum("mass").over(
-          Window.orderBy(col("n_tokens").desc)
+      val hmx = hist.agg(max("n_tokens").as("hmx"))
+      val hb = hist.crossJoin(broadcast(hmx))
+        .withColumn("lbk", expr("n_tokens div ((hmx + 32) div 32)"))
+      val bMass = hb.groupBy("lbk").agg(sum("mass").as("bm"))
+      val bOff = bMass
+        .join(bMass.select(col("lbk").as("pb"), col("bm").as("pm")),
+          col("pb") > col("lbk"), "left")
+        .groupBy("lbk").agg(coalesce(sum("pm"), lit(0L)).as("boff"))
+      val keepLens = hb.join(broadcast(bOff), "lbk")
+        .withColumn("cmass", col("boff") + sum("mass").over(
+          Window.partitionBy("lbk").orderBy(col("n_tokens").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(hist.agg(sum("mass").cast("double").as("total"))))
         .filter(col("cmass") <= col("total") * 0.5)
