@@ -367,6 +367,8 @@ object CurationQueries {
       // — so even this stage carries no partition-less WindowExec)
       val hist = quality.groupBy("n_tokens")
         .agg((col("n_tokens") * count(lit(1))).as("mass"))
+        .localCheckpoint() // bounded histogram, three consumers — one
+                           // corpus explode instead of three
       val hmx = hist.agg(max("n_tokens").as("hmx"))
       val hb = hist.crossJoin(broadcast(hmx))
         .withColumn("lbk", expr("n_tokens div ((hmx + 32) div 32)"))
@@ -789,9 +791,16 @@ object CurationQueries {
     // Equivalent to the greedy scan by construction; the oracle IS the
     // greedy scan.
     "q_token_budget" -> ((s, d) => {
+      // the narrow (id, lang, n_tok) projection is consumed by FOUR
+      // lineages (length histogram, whole-length keep, tie set, tie-set
+      // max) — materialize the tokenize pass once (the SKILL/house rule
+      // for 2+-consumer DataFrames; un-checkpointed, the round-12
+      // two-level plan re-tokenized the corpus 4×: 1.25 → 3.2 s at
+      // sf0.1, back to ~1.2 s checkpointed)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("lang"),
           size(tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint()
       // the budget (50% of corpus tokens) and the descending cumulative
       // mass both derive from the LENGTH HISTOGRAM (distinct doc
       // lengths — never corpus-sized). The prefix sum over the
