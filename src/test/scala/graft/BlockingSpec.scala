@@ -15,6 +15,26 @@ class BlockingSpec extends AnyFunSuite {
 
   private val cap = Blocking.BandCap // 64
 
+  test("both outputs read ONE materialized ranked intermediate (round 12)") {
+    // VERDICT r11 #2: consumers embedding pairs AND overflow in one
+    // plan used to re-plan the whole upstream bucket pipeline twice
+    // (rk<=cap vs rk==cap+1 carried different WindowGroupLimit params,
+    // blocking exchange reuse). cappedBucketPairs now localCheckpoints
+    // the rk<=cap+1 ranked intermediate; this pins it mechanically — a
+    // refactor that drops the checkpoint re-introduces a Window into
+    // the consumer plans and fails here, not in a bench regression.
+    val buckets = (1L to 10L).map(id => ("k1", id)).toDF("bkey", "id")
+    val (pairs, overflow) = Blocking.cappedBucketPairs(
+      buckets, Seq("bkey"), "id", cap)
+    Seq("pairs" -> pairs, "overflow" -> overflow).foreach { case (n, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$n must scan the materialized checkpoint:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$n must not re-plan the rank (it ran once at build time):\n$plan")
+    }
+  }
+
   test("planted 200-copy mega-bucket: candidates bounded at C(cap,2), overflow counted") {
     // one mega-bucket (e.g. a boilerplate document duplicated 200×
     // hashing into one band key) + two organic buckets
