@@ -122,4 +122,28 @@ object Blocking {
       .agg(count(lit(1)).as("overflow_buckets"))
     (pairs, overflow)
   }
+
+  /** Ride `overflow`'s 1-row count on every row of `rows` — and, when
+    * `rows` is EMPTY, emit one all-null sentinel row still carrying the
+    * count. Round 12: the pair-list consumers (q_embed_neardup,
+    * q_minhash_neardup) used a plain crossJoin, so in the all-overflow
+    * regime (observed at 100× on the fixed-P embed buckets: every
+    * bucket clips, every planted pair drops) the output was EMPTY and
+    * the accounting column vanished exactly when it mattered — a
+    * silent clip, the one thing the accounting exists to prevent. The
+    * presence probe is `rows.limit(1)` (a ≤1-row relation, broadcast
+    * at any scale; the 1-row-vs-1-row anti join emits the sentinel iff
+    * no result row survived). At the oracle gate scales `rows` is
+    * nonempty, the sentinel never fires, and the output is
+    * byte-identical to the crossJoin form. */
+  private[graft] def withOverflowAccounting(rows: DataFrame,
+      overflow: DataFrame): DataFrame = {
+    val withCol = rows.crossJoin(broadcast(overflow))
+    val nulls = rows.schema.fields.toSeq
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    val sentinel = overflow
+      .join(broadcast(rows.limit(1)), lit(true), "left_anti")
+      .select(nulls :+ col("overflow_buckets"): _*)
+    withCol.unionByName(sentinel)
+  }
 }

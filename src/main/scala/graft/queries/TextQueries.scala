@@ -766,9 +766,12 @@ object TextQueries {
       // scale incl. 100×, BucketProbe round 11).
       val (cand, overflow) = Blocking.cappedBucketPairs(
         banded, Seq("band"), "doc_id", Blocking.BandCap)
-      verifyJaccard(cand, postings)
+      val verified = verifyJaccard(cand, postings)
         .filter(col("jaccard") >= 0.8) // threshold on the ROUNDED value
-        .crossJoin(broadcast(overflow))
+      // sentinel-backed accounting (round 12, the q_embed_neardup
+      // rationale): an all-overflow band regime must surface its count
+      // even when every candidate pair was clipped away
+      Blocking.withOverflowAccounting(verified, overflow)
         .orderBy("id_a", "id_b")
     }),
 

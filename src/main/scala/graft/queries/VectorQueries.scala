@@ -1318,11 +1318,14 @@ object VectorQueries {
         buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)
       val ea = emb.toDF("id_a", "emb_a")
       val eb = emb.toDF("id_b", "emb_b")
-      cand.join(ea, "id_a").join(eb, "id_b")
+      val verified = cand.join(ea, "id_a").join(eb, "id_b")
         .select(col("id_a"), col("id_b"),
           round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.9)
-        .crossJoin(broadcast(overflow))
+      // sentinel-backed accounting (round 12): in the all-overflow
+      // regime (every P=8 bucket clips at 100×) the pair list is empty
+      // — the count must survive as a 1-row null sentinel, never vanish
+      Blocking.withOverflowAccounting(verified, overflow)
         .orderBy("id_a", "id_b")
     }),
 

@@ -35,6 +35,25 @@ class BlockingSpec extends AnyFunSuite {
     }
   }
 
+  test("withOverflowAccounting: empty result still surfaces the count (round 12)") {
+    // the all-overflow regime (observed live at 100×: every fixed-P
+    // embed bucket clips, every planted pair drops): the pair list is
+    // EMPTY, and a plain crossJoin would make the accounting column
+    // vanish with it — the one silent outcome the column exists to
+    // prevent. The sentinel row must carry the count; with a nonempty
+    // result it must NOT appear (byte-identical to the crossJoin form).
+    val rows = Seq((1L, 2L, 0.95)).toDF("id_a", "id_b", "score")
+    val overflow = Seq(Tuple1(7L)).toDF("overflow_buckets")
+    val nonEmpty = Blocking.withOverflowAccounting(rows, overflow).collect()
+    assert(nonEmpty.length === 1 &&
+      nonEmpty(0).getLong(0) === 1L && nonEmpty(0).getLong(3) === 7L)
+    val empty = Blocking.withOverflowAccounting(
+      rows.filter(col("score") > 2.0), overflow).collect()
+    assert(empty.length === 1, "empty result must emit the sentinel row")
+    assert(empty(0).isNullAt(0) && empty(0).isNullAt(1) && empty(0).isNullAt(2))
+    assert(empty(0).getLong(3) === 7L, "sentinel must carry the overflow count")
+  }
+
   test("planted 200-copy mega-bucket: candidates bounded at C(cap,2), overflow counted") {
     // one mega-bucket (e.g. a boilerplate document duplicated 200×
     // hashing into one band key) + two organic buckets

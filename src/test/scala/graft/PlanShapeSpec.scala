@@ -86,17 +86,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), s"expected shingle explode:\n$plan")
   }
 
-  test("q_embed_neardup: only the overflow broadcast is nested-loop; pairs stay bucket-local") {
+  test("q_embed_neardup: only the overflow accounting is nested-loop; pairs stay bucket-local") {
     val plan = planOf("q_embed_neardup")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    // at most one BNLJ: the intentional 1-row overflow-accounting
-    // broadcast. The L·P-row hyperplane broadcast runs ONCE inside the
-    // materialized blocking stage (Blocking.cappedBucketPairs
-    // localCheckpoints the ranked intermediate, round 12) and is
-    // invisible here; a second BNLJ would mean the candidate or verify
-    // stage degenerated to all-pairs — or that the blocking stage
-    // stopped materializing and re-planned per consumer.
-    assert(bnlj <= 1, s"unexpected nested-loop join (all-pairs regression):\n$plan")
+    // at most two BNLJs, both ≤1-row-side accounting joins: the
+    // overflow-count broadcast riding every result row, and the
+    // sentinel's limit(1) presence anti-probe (both sides ≤1 row). The
+    // L·P-row hyperplane broadcast runs ONCE inside the materialized
+    // blocking stage (Blocking.cappedBucketPairs localCheckpoints the
+    // ranked intermediate, round 12) and is invisible here; a third
+    // BNLJ would mean the candidate or verify stage degenerated to
+    // all-pairs — or that the blocking stage stopped materializing and
+    // re-planned per consumer.
+    assert(bnlj <= 2, s"unexpected nested-loop join (all-pairs regression):\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
     assert(plan.contains("vec_dot_native"),
       s"exact verify must use the codegen'd dot product:\n$plan")
