@@ -135,14 +135,23 @@ object Blocking {
     * at any scale; the 1-row-vs-1-row anti join emits the sentinel iff
     * no result row survived). At the oracle gate scales `rows` is
     * nonempty, the sentinel never fires, and the output is
-    * byte-identical to the crossJoin form. */
+    * byte-identical to the crossJoin form.
+    *
+    * `rows` is MATERIALIZED once (ADVICE r12): only the blocking stage
+    * upstream is checkpointed, so the un-materialized form re-executed
+    * the id-joins/cosine/jaccard VERIFY stage twice per query (result +
+    * presence probe) — and in the all-overflow regime the probe scanned
+    * the entire verify pipeline just to prove emptiness. The verify
+    * output is the query's own (cap-bounded) result set, so the
+    * checkpoint is no larger than what the query writes anyway. */
   private[graft] def withOverflowAccounting(rows: DataFrame,
       overflow: DataFrame): DataFrame = {
-    val withCol = rows.crossJoin(broadcast(overflow))
-    val nulls = rows.schema.fields.toSeq
+    val mat = rows.localCheckpoint()
+    val withCol = mat.crossJoin(broadcast(overflow))
+    val nulls = mat.schema.fields.toSeq
       .map(f => lit(null).cast(f.dataType).as(f.name))
     val sentinel = overflow
-      .join(broadcast(rows.limit(1)), lit(true), "left_anti")
+      .join(broadcast(mat.limit(1)), lit(true), "left_anti")
       .select(nulls :+ col("overflow_buckets"): _*)
     withCol.unionByName(sentinel)
   }

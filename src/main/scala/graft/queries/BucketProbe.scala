@@ -96,12 +96,17 @@ object BucketProbe {
     stats("knn_lsh_buckets", VectorQueries.hyperplaneBuckets(emb, L = 12, P = p)
       .groupBy("t", "bucket").agg(count(lit(1)).as("n")), Blocking.LshCap)
 
-    // 4. q_embed_neardup blocking buckets (L=16 x P=8 hyperplane LSH,
-    // BandCap) — the one capped site the round-10 probe missed
+    // 4. q_embed_neardup blocking buckets (L=16 hyperplane LSH,
+    // BandCap) — the one capped site the round-10 probe missed. P is
+    // data-adaptive since round 13 (the r12 fixed P=8 saturated every
+    // bucket at 100×): probe with the query's own sizing rule so the
+    // ledger row measures what the query actually runs.
+    val embNd = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val nNd = embNd.count() + 2 // the query adds 2 planted near-dup rows
+    val pNd = math.max(8, math.ceil(math.log(nNd / 64.0) / math.log(2)).toInt)
+    println(s"PROBE embed n=$nNd P=$pNd")
     stats("embed_lsh_buckets",
-      VectorQueries.hyperplaneBuckets(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-        L = 16, P = 8)
+      VectorQueries.hyperplaneBuckets(embNd, L = 16, P = pNd)
       .groupBy("t", "bucket").agg(count(lit(1)).as("n")), Blocking.BandCap)
 
     s.stop()

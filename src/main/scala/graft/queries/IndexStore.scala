@@ -53,13 +53,13 @@ object IndexStore {
     * index instead of serving stale state built by old logic. `var`
     * only so CrossSessionIndexSpec can prove the invalidation; code
     * never mutates it. */
-  private[graft] var builderVersion: String =
+  @volatile private[graft] var builderVersion: String =
     s"r12:${Blocking.BandCap}:${Blocking.LshCap}:${Blocking.ChunkCap}:${Blocking.GramDfCap}"
 
   /** (label, srcTables, dataset, builderVersion) → stable directory
     * name. Mirrors the ensureBucketedTables fingerprint: leaf-file
-    * (name, length, mtime) of each source table — enumerated
-    * recursively so a rewrite inside a partitioned table's
+    * (root-relative path, length, mtime) of each source table —
+    * enumerated recursively so a rewrite inside a partitioned table's
     * subdirectory always changes the key — md5'd for a path-safe key.
     * Every FileSystem is resolved FROM the path it probes (source
     * tables and index root can live on different filesystems). */
@@ -80,8 +80,15 @@ object IndexStore {
             while (it.hasNext) buf += it.next()
             buf.sortBy(_.getPath.toString).toSeq
           } else Seq(st)
+        // table-ROOT-RELATIVE path, not basename (ADVICE r12): partition
+        // values live in directory names (date=2024-01-01/part-0.parquet),
+        // so a basename-only fingerprint is blind to a renamed/moved
+        // partition dir or same-named part files swapped between
+        // partitions — data Spark reads changes, key doesn't, and a
+        // stale persisted index is silently served.
+        val rootStr = st.getPath.toString
         leaves.map(l =>
-          s"${l.getPath.getName}:${l.getLen}:${l.getModificationTime}")
+          s"${l.getPath.toString.stripPrefix(rootStr)}:${l.getLen}:${l.getModificationTime}")
       }
     }.mkString("|")
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -382,6 +382,56 @@ object VectorQueries {
       .groupBy("vec_id", "t").agg(sum("bitv").as("bucket"))
   }
 
+  /** q_embed_neardup's two stages, split out so PlanShapeSpec can pin
+    * the verify stage's shape (the accounted output materializes it —
+    * the final plan is an ExistingRDD scan plus the two ≤1-row
+    * accounting joins).
+    *
+    * P is DATA-ADAPTIVE (VERDICT r12 #1): the r12 fixed P = 8 saturated
+    * organically at 100× — every one of the 2^8×16 buckets exceeded
+    * BandCap (skew ledger: 4096/4096 overflow, max occupancy 2638), the
+    * cap's lowest-id rule dropped every planted pair, and the query
+    * returned only the sentinel. Loud and bounded, but not the plan
+    * you'd ship. Same rule as q_knn_join_lsh: P ≈ log2(n/64) keeps
+    * expected bucket occupancy ~constant (≈64 = BandCap/1, cap 8× the
+    * occupancy only at the shipped gate scales), with floor 8 so every
+    * gate scale (n ≤ 5002 → P = 8) keeps the calibrated buckets, the
+    * oracle-pinned overflow 0, and the pinned hashes unchanged.
+    * Identical-vector plants share every bucket at any P. Growing P
+    * narrows per-table recall for BORDERLINE pairs (cos ≈ 0.9: miss ≈
+    * (1−0.856^P)^L ≈ 10% at P = 13/L = 16) while true near-dups
+    * (cos ≥ 0.99: miss ≈ 3e-6 at P = 13) stay captured — L is the
+    * recall dial a deployment raises alongside P. */
+  private[graft] def embedNeardupStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val planted = Tables.embeddings(s, d).filter(col("vec_id") === 1)
+      .select(explode(array(lit(9000001L), lit(9000002L))).as("vec_id"),
+        col("embedding"))
+    val emb = base.unionAll(planted)
+    val n = emb.count() // one bounded agg — the documented LSH scale dial
+    val p = math.max(8, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+    val buckets = hyperplaneBuckets(emb, L = 16, P = p)
+    // within-bucket pair generation through the shared CAPPED
+    // enumerator (round 10): bounded per-bucket work under adversarial
+    // skew (a duplicate-embedding mega-bucket). Cap 64 ≈ the adaptive
+    // target mean occupancy (8× the measured gate-scale occupancy);
+    // BucketProbe measured overflow 0 at every gate scale. This row
+    // carries its OWN overflow accounting (round 11, ADVICE r10): the
+    // cap keeps the LOWEST-id bucket members and the planted near-dup
+    // ids are the highest, so an overflowing bucket would drop exactly
+    // the planted pairs — the oracle-pinned column makes that loud.
+    val (cand, overflow) = Blocking.cappedBucketPairs(
+      buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)
+    val ea = emb.toDF("id_a", "emb_a")
+    val eb = emb.toDF("id_b", "emb_b")
+    val verified = cand.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9)
+    (verified, overflow)
+  }
+
   /** IVF-style ANN: 1) per-label centroids via posexplode + avg, 2) the
     * nProbe centroids nearest the query, 3) brute-force inside those
     * cells only (multiprobe — the standard recall dial: nProbe=1 misses
@@ -1286,45 +1336,21 @@ object VectorQueries {
     // self-equi-join on (table, bucket) — occupied buckets GROW with n,
     // unlike label blocking whose fixed tiny cardinality degenerates to
     // all-pairs at 100 TB), then the few candidates are verified with the
-    // exact codegen'd cosine. L=16 × P=8 puts the miss probability of a
-    // cos ≥ 0.9 pair at (1 − 0.29)^16 ≈ 4e-3 and of a true near-dup
-    // (cos ≥ 0.99) at ~5e-10; both dials are deployment knobs.
+    // exact codegen'd cosine (stages in [[embedNeardupStages]]).
     // The scan is unioned with PLANTED near-dup rows (VERDICT r7 #2):
     // two extra ids carrying vec_id 1's exact embedding. The synthetic
     // corpus has no cos ≥ 0.9 pair at the sf0.01 gate scale, so without
     // the plant the all-pairs oracle compared empty sets — now the gate
     // has 3 known pairs (1↔9000001, 1↔9000002, 9000001↔9000002) the LSH
-    // blocking MUST surface (identical vectors share every bucket) and
-    // either engine's cosine could get wrong. Copies rather than
-    // ε-perturbations keep the 4-decimal cosine exactly 1.0 in both
-    // engines; ids sit far above any real vec_id.
+    // blocking MUST surface (identical vectors share every bucket at
+    // ANY P) and either engine's cosine could get wrong. Copies rather
+    // than ε-perturbations keep the 4-decimal cosine exactly 1.0 in
+    // both engines; ids sit far above any real vec_id.
     "q_embed_neardup" -> ((s, d) => {
-      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val planted = Tables.embeddings(s, d).filter(col("vec_id") === 1)
-        .select(explode(array(lit(9000001L), lit(9000002L))).as("vec_id"),
-          col("embedding"))
-      val emb = base.unionAll(planted)
-      val buckets = hyperplaneBuckets(emb, L = 16, P = 8)
-      // within-bucket pair generation through the shared CAPPED
-      // enumerator (round 10): bounded per-bucket work under
-      // adversarial skew (a duplicate-embedding mega-bucket). Cap 64 =
-      // 8× this table's designed mean occupancy; BucketProbe measured
-      // overflow 0 at every gate scale. This row carries its OWN
-      // overflow accounting (round 11, ADVICE r10): the cap keeps the
-      // LOWEST-id bucket members and the planted near-dup ids are the
-      // highest, so an overflowing bucket would drop exactly the
-      // planted pairs — the oracle-pinned column makes that loud.
-      val (cand, overflow) = Blocking.cappedBucketPairs(
-        buckets, Seq("t", "bucket"), "vec_id", Blocking.BandCap)
-      val ea = emb.toDF("id_a", "emb_a")
-      val eb = emb.toDF("id_b", "emb_b")
-      val verified = cand.join(ea, "id_a").join(eb, "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.9)
-      // sentinel-backed accounting (round 12): in the all-overflow
-      // regime (every P=8 bucket clips at 100×) the pair list is empty
-      // — the count must survive as a 1-row null sentinel, never vanish
+      val (verified, overflow) = embedNeardupStages(s, d)
+      // sentinel-backed accounting (round 12): an all-overflow regime
+      // empties the pair list — the count must survive as a 1-row null
+      // sentinel, never vanish
       Blocking.withOverflowAccounting(verified, overflow)
         .orderBy("id_a", "id_b")
     }),

@@ -85,6 +85,35 @@ class CrossSessionIndexSpec extends AnyFunSuite {
     assert(rows1 === rows2)
   }
 
+  test("partition-dir rename invalidates: fingerprint keys root-relative paths") {
+    // ADVICE r12 (medium): the recursive fingerprint keyed leaf
+    // BASENAMES only, so renaming/moving a partition directory (or
+    // swapping same-named part files between partitions) changed the
+    // data Spark reads while leaving the key unchanged — a stale
+    // persisted index silently served, the exact failure the recursive
+    // enumeration exists to prevent. Leaf paths are now table-root-
+    // relative: the rename moves the same leaf (identical name, length,
+    // mtime — Files.move keeps the inode) under a new subpath and MUST
+    // rebuild.
+    val dataDir = Files.createTempDirectory("graft_idx_part").toString
+    val part1 = Paths.get(dataDir, "documents.parquet", "date=1")
+    Files.createDirectories(part1)
+    Files.copy(Paths.get(sf, "documents.parquet"), part1.resolve("data.parquet"))
+    val idxDir = Files.createTempDirectory("graft_idx").toString
+    val b0 = CacheStats.buildCount("postings")
+    val s1 = sessionWithRoot(idxDir)
+    val rows1 = TextQueries.postingsShared(s1, dataDir)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 1)
+    Files.move(part1, part1.resolveSibling("date=2"))
+    val s2 = sessionWithRoot(idxDir)
+    val rows2 = TextQueries.postingsShared(s2, dataDir)
+      .orderBy("doc_id", "gh").collect().toSeq
+    assert(CacheStats.buildCount("postings") === b0 + 2,
+      "a moved partition dir must rebuild, never serve the stale index")
+    assert(rows1 === rows2) // same leaf bytes → same postings
+  }
+
   test("explicit file: URI root reloads through the Hadoop FileSystem API") {
     // the r11 regression (ADVICE r11 / VERDICT r11 #3): the _SUCCESS
     // probe used java.io.File, which cannot parse a filesystem URI —

@@ -87,21 +87,30 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q_embed_neardup: only the overflow accounting is nested-loop; pairs stay bucket-local") {
+    // the VERIFY stage (pinned pre-materialization — round 13 moved the
+    // accounting onto a localCheckpoint of it, so the final plan is an
+    // ExistingRDD scan that can't show a verify regression): exact
+    // cosine via the codegen'd dot product, id equi-joins only — a
+    // BNLJ or cartesian here means the candidate or verify stage
+    // degenerated to all-pairs.
+    val (verified, _) = graft.queries.VectorQueries
+      .embedNeardupStages(spark, GraftSpark.sf)
+    val vplan = verified.queryExecution.executedPlan.toString
+    assert(!vplan.contains("BroadcastNestedLoopJoin") &&
+      !vplan.contains("CartesianProduct"),
+      s"verify stage must stay id-equi-join only:\n$vplan")
+    assert(vplan.contains("vec_dot_native"),
+      s"exact verify must use the codegen'd dot product:\n$vplan")
+    // the accounted output: at most two BNLJs, both ≤1-row-side
+    // accounting joins (the overflow-count broadcast riding every
+    // result row + the sentinel's limit(1) presence anti-probe), over
+    // the materialized verify result.
     val plan = planOf("q_embed_neardup")
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    // at most two BNLJs, both ≤1-row-side accounting joins: the
-    // overflow-count broadcast riding every result row, and the
-    // sentinel's limit(1) presence anti-probe (both sides ≤1 row). The
-    // L·P-row hyperplane broadcast runs ONCE inside the materialized
-    // blocking stage (Blocking.cappedBucketPairs localCheckpoints the
-    // ranked intermediate, round 12) and is invisible here; a third
-    // BNLJ would mean the candidate or verify stage degenerated to
-    // all-pairs — or that the blocking stage stopped materializing and
-    // re-planned per consumer.
     assert(bnlj <= 2, s"unexpected nested-loop join (all-pairs regression):\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
-    assert(plan.contains("vec_dot_native"),
-      s"exact verify must use the codegen'd dot product:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"accounted output must scan the materialized verify result:\n$plan")
   }
 
   test("q_contamination: inverted-index equi-join, benchmark sizes broadcast") {

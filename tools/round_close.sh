@@ -9,8 +9,12 @@
 # the round closes.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-if ! git diff --quiet || ! git diff --cached --quiet; then
-  echo "round_close: tree has uncommitted changes — commit first, then gate." >&2
+# git status --porcelain, not git diff: diff ignores UNTRACKED files, so a
+# brand-new uncommitted source/spec file would pass the gate while making
+# the recorded GREEN line unreproducible from HEAD (ADVICE r12).
+if [ -n "$(git status --porcelain)" ]; then
+  echo "round_close: tree has uncommitted or untracked changes — commit first, then gate." >&2
+  git status --porcelain >&2
   exit 1
 fi
 head=$(git rev-parse --short HEAD)
