@@ -103,7 +103,7 @@ object BucketProbe {
     // ledger row measures what the query actually runs.
     val embNd = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val nNd = embNd.count() + 2 // the query adds 2 planted near-dup rows
-    val pNd = math.max(8, math.ceil(math.log(nNd / 64.0) / math.log(2)).toInt)
+    val pNd = VectorQueries.embedNeardupP(nNd)
     println(s"PROBE embed n=$nNd P=$pNd")
     stats("embed_lsh_buckets",
       VectorQueries.hyperplaneBuckets(embNd, L = 16, P = pNd)

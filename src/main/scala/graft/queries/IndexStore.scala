@@ -37,10 +37,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * silently rebuilt every session).
   *
   * Concurrency: per-path JVM-level locks serialize racing sessions in
-  * one JVM (the CacheSoakSpec scenario). Cross-JVM racing writers are
-  * out of scope — a deployment's index build is a scheduled job, and
-  * the parquet `overwrite` + _SUCCESS protocol keeps a torn read from
-  * ever parsing (no _SUCCESS → rebuild). */
+  * one JVM (the CacheSoakSpec scenario). Racing *JVMs* (VERDICT r12
+  * #4) arbitrate through rename-publish, FIRST writer wins: each
+  * builder writes to a unique sibling temp dir and renames it into
+  * place — on HDFS and local FS rename fails when the destination
+  * exists, so two jobs can never interleave writes inside one
+  * directory (the torn-`overwrite` corruption two concurrent
+  * FileOutputCommitter jobs against the same path can produce). A
+  * loser deletes its temp and serves its own in-session build; its
+  * content is interchangeable with the winner's because the
+  * fingerprinted path already keys source bytes + builder version —
+  * the determinism contract CrossSessionIndexSpec pins. On S3A,
+  * rename is a non-atomic copy; deployments there should schedule
+  * index builds as a single job (documented in README). The
+  * `_SUCCESS` probe still keeps a torn read from ever parsing. */
 object IndexStore {
 
   private def root(s: SparkSession): Option[String] =
@@ -108,15 +118,52 @@ object IndexStore {
     val c = reloads.get(label); if (c == null) 0L else c.get()
   }
 
+  /** Atomic publish: write `df` to a unique sibling temp dir, rename
+    * into place. Rename-if-absent is the cross-JVM arbitration — the
+    * FIRST writer wins; a loser deletes its temp. Returns whether this
+    * writer won.
+    *
+    * The rename goes through FileContext, NOT FileSystem.rename: the
+    * two-arg FileSystem.rename gives an existing destination DIRECTORY
+    * mv-into semantics on the local FS (the temp dir lands INSIDE the
+    * winner's published copy and the call returns true — measured, the
+    * exact interleaving this publish exists to prevent), while
+    * FileContext.rename without Rename.OVERWRITE throws
+    * FileAlreadyExistsException on every FS and is atomic server-side
+    * on HDFS. */
+  private[graft] def publishAtomic(s: SparkSession, df: DataFrame, p: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(p).getFileSystem(conf)
+    val target = fs.makeQualified(new Path(p))
+    val tmp = new Path(target.toString + ".tmp-" + java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+    try { fc.rename(tmp, target); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, true); false
+      case e: java.io.IOException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        fs.delete(tmp, true); false
+    }
+  }
+
   /** Reload-or-build-and-persist for a multi-piece index: reload iff
     * EVERY piece directory has a _SUCCESS marker (a torn multi-piece
-    * write rebuilds); otherwise run `build` ONCE and write every piece.
+    * write rebuilds); otherwise run `build` ONCE and rename-publish
+    * every piece (first JVM wins per piece — a racing loser serves its
+    * own build this session and later sessions reload the winner's).
     * With no root configured, returns `build` localCheckpointed —
     * exactly the pre-r11 session-cache materialization. `build` is
     * expected to bump CacheStats itself, so reloads keep the build
-    * counter untouched (the CrossSessionIndexSpec assertion). */
+    * counter untouched (the CrossSessionIndexSpec assertion).
+    * `onBuilt` is a test seam: it runs between the build and the
+    * publish, where a racing JVM's publish can land (the window the
+    * rename arbitration exists for). */
   private[graft] def persistedMulti(s: SparkSession, d: String,
-      labels: Seq[String], srcTables: Seq[String])
+      labels: Seq[String], srcTables: Seq[String],
+      onBuilt: () => Unit = () => ())
       (build: => Seq[DataFrame]): Seq[DataFrame] = root(s) match {
     case None => build.map(_.localCheckpoint())
     case Some(r) =>
@@ -137,10 +184,25 @@ object IndexStore {
           paths.map(s.read.parquet(_))
         } else {
           val built = build
-          built.zip(paths).map { case (df, p) =>
-            df.write.mode("overwrite").parquet(p)
-            s.read.parquet(p)
+          onBuilt()
+          val won = built.zip(paths).map { case (df, p) =>
+            val target = new Path(p)
+            val fs = target.getFileSystem(conf)
+            if (fs.exists(new Path(target, "_SUCCESS"))) true
+            // ^ a complete piece already on disk (another session of a
+            // torn set, or a racing JVM that finished first): the
+            // fingerprinted path keys its content, keep it
+            else {
+              // a torn dir (present, no _SUCCESS) blocks rename-publish:
+              // clear it first, exactly what overwrite-mode used to do
+              if (fs.exists(target)) fs.delete(target, true)
+              publishAtomic(s, df, p)
+            }
           }
+          if (won.forall(identity)) paths.map(s.read.parquet(_))
+          // a racing JVM won ≥1 piece mid-publish: serve OUR complete
+          // build this session (never a mixed read of in-flight pieces)
+          else built.map(_.localCheckpoint())
         }
       }
   }

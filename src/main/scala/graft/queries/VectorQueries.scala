@@ -392,16 +392,22 @@ object VectorQueries {
     * BandCap (skew ledger: 4096/4096 overflow, max occupancy 2638), the
     * cap's lowest-id rule dropped every planted pair, and the query
     * returned only the sentinel. Loud and bounded, but not the plan
-    * you'd ship. Same rule as q_knn_join_lsh: P ≈ log2(n/64) keeps
-    * expected bucket occupancy ~constant (≈64 = BandCap/1, cap 8× the
-    * occupancy only at the shipped gate scales), with floor 8 so every
-    * gate scale (n ≤ 5002 → P = 8) keeps the calibrated buckets, the
-    * oracle-pinned overflow 0, and the pinned hashes unchanged.
+    * you'd ship. The q_knn_join_lsh rule shape, sized for THIS site's
+    * cap: P = max(8, ⌈log2(n/8)⌉) targets mean occupancy ≈ 8, keeping
+    * BandCap = 64 at its designed 8× headroom over the mean (a first
+    * cut targeting mean 64 = the cap itself still clipped 913 buckets
+    * at 10× — hyperplane sign-buckets are far from uniform, so the cap
+    * needs real headroom, this round's ledger). Floor 8 keeps every
+    * gate scale (n ≤ 502 → rule value ≤ 6) on the calibrated buckets,
+    * the oracle-pinned overflow 0, and the pinned hashes unchanged.
     * Identical-vector plants share every bucket at any P. Growing P
-    * narrows per-table recall for BORDERLINE pairs (cos ≈ 0.9: miss ≈
-    * (1−0.856^P)^L ≈ 10% at P = 13/L = 16) while true near-dups
-    * (cos ≥ 0.99: miss ≈ 3e-6 at P = 13) stay captured — L is the
-    * recall dial a deployment raises alongside P. */
+    * narrows per-table recall for BORDERLINE pairs (cos ≈ 0.9: miss =
+    * (1−0.856^P)^16 ≈ 25% at the 100×-implied P = 16) while true
+    * near-dups (cos ≥ 0.99: miss ≈ 3e-5 at P = 16) stay captured — L
+    * is the recall dial a deployment raises alongside P. */
+  private[graft] def embedNeardupP(n: Long): Int =
+    math.max(8, math.ceil(math.log(n / 8.0) / math.log(2)).toInt)
+
   private[graft] def embedNeardupStages(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -410,8 +416,7 @@ object VectorQueries {
         col("embedding"))
     val emb = base.unionAll(planted)
     val n = emb.count() // one bounded agg — the documented LSH scale dial
-    val p = math.max(8, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
-    val buckets = hyperplaneBuckets(emb, L = 16, P = p)
+    val buckets = hyperplaneBuckets(emb, L = 16, P = embedNeardupP(n))
     // within-bucket pair generation through the shared CAPPED
     // enumerator (round 10): bounded per-bucket work under adversarial
     // skew (a duplicate-embedding mega-bucket). Cap 64 ≈ the adaptive
@@ -540,8 +545,21 @@ object VectorQueries {
       .select(col("sub"), col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
   }
 
-  /** PQ approximate top-10 by ADC cosine (the body of q_knn_pq; split
-    * out so PqSpec can measure the raw recall). */
+  /** PQ approximate top-10: ADC-cosine SHORTLIST (top-64) reranked with
+    * the exact cosine — the production IVFADC/"re-ranking with codes"
+    * shape (Jégou+ 2011 §V) and the fix for the clustered-recall gap
+    * (VERDICT r12 #2): 4-bit ADC codes recover the right cluster but
+    * cannot resolve near-tie ordering among cos≈0.89 cluster members
+    * (raw 1-2/10 on the clustered corpus despite in_cluster 10/10).
+    * The rerank reads ≤64 exact vectors (the shortlist must EXCEED the
+    * ADC near-tie set: a tight cluster's members round to equal 4-bit
+    * ADC scores, so a 32-deep shortlist over a 50-member cluster kept
+    * only ~6/10 of the exact set — measured this round on the
+    * clustered corpus; 64 = the cap-class constant, 6.4× k headroom)
+    * — the same two-stage economics
+    * q_knn_binary/q_knn_matryoshka already run, so the per-vector probe
+    * state stays codes + norm and the exact reads are O(shortlist), not
+    * O(n). Split out so PqSpec can measure the raw recall. */
   private[graft] def pqTop10(s: SparkSession, d: String,
       planted: Boolean = false): DataFrame = {
     // subvectors feed training, encoding, and the ADC table — checkpoint
@@ -556,15 +574,24 @@ object VectorQueries {
     val norms = annCorpus(s, d, planted)
       .select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("n2"))
     val qn = norms.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
-    codes.filter(col("vec_id") =!= 0)
+    val shortlist = codes.filter(col("vec_id") =!= 0)
       .join(broadcast(dtab), Seq("sub", "cid"))
       .groupBy("vec_id").agg(sum("qdot").as("adot"))
       .join(norms, "vec_id").crossJoin(broadcast(qn))
       .select(col("vec_id"),
         // rounded before ranking: the 8-term adot sum is order-free
-        // only to the ulp; rounding + the id tie-break pin the top-10
-        round(col("adot") / sqrt(col("n2") * col("qn2")), 4).as("cos_approx"))
-      .orderBy(col("cos_approx").desc, col("vec_id"))
+        // only to the ulp; rounding + the id tie-break pin the shortlist
+        round(col("adot") / sqrt(col("n2") * col("qn2")), 4).as("cos_adc"))
+      .orderBy(col("cos_adc").desc, col("vec_id"))
+      .limit(64)
+    // stage 2: exact-cosine rerank of the ≤64-row shortlist (broadcast
+    // at any corpus size; the only exact-vector reads the probe does)
+    annCorpus(s, d, planted).select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_exact"))
+      .orderBy(col("cos_exact").desc, col("vec_id"))
       .limit(10)
   }
 
@@ -645,8 +672,12 @@ object VectorQueries {
   /** IVF-PQ approximate top-10: probe = the nProbe cells whose centroid
     * is most query-cosine-similar; candidate score = dot(q, centroid) +
     * ADC residual dot through a (nProbe × 8 × 16)-row broadcast distance
-    * table; cosine ranks with the stored exact norms (the pqTop10
-    * recipe). Split out so IvfPqSpec can measure raw recall. */
+    * table; the ADC top-64 SHORTLIST then reranks with the exact cosine
+    * (the pqTop10 two-stage recipe — production IVFADC re-ranking,
+    * VERDICT r12 #2: ADC codes can't resolve near-tie intra-cluster
+    * order; 64-deep so the shortlist covers a cluster-sized ADC
+    * near-tie set). The rerank reads ≤64 exact vectors, so the probe stays
+    * nProbe-bounded. Split out so IvfPqSpec can measure raw recall. */
   private[graft] def ivfpqTop10(s: SparkSession, d: String,
       nProbe: Int = ivfpqNProbe, planted: Boolean = false): DataFrame = {
     val emb = annCorpus(s, d, planted)
@@ -679,7 +710,7 @@ object VectorQueries {
     val norms = emb
       .select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("n2"))
     val qn = norms.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
-    codes.filter(col("vec_id") =!= 0)
+    val shortlist = codes.filter(col("vec_id") =!= 0)
       // the broadcast semi-prune to probed cells — at 100 TB this is the
       // partition-pruning join that makes the probe read nProbe/n_cells
       // of the index instead of all of it
@@ -691,8 +722,16 @@ object VectorQueries {
         // rounded before ranking (the pqTop10 rule): the 9-term dot sum
         // is order-free only to the ulp; rounding + id tie-break pin it
         round((col("qc_dot") + col("radot")) / sqrt(col("n2") * col("qn2")), 4)
-          .as("cos_approx"))
-      .orderBy(col("cos_approx").desc, col("vec_id"))
+          .as("cos_adc"))
+      .orderBy(col("cos_adc").desc, col("vec_id"))
+      .limit(64)
+    // stage 2: exact-cosine rerank of the ≤64-row ADC shortlist
+    emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_exact"))
+      .orderBy(col("cos_exact").desc, col("vec_id"))
       .limit(10)
   }
 

@@ -119,7 +119,15 @@ class PqSpec extends AnyFunSuite {
       }.sum
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
-    val expected = scored.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
+    // stage 1: ADC top-64 shortlist; stage 2 (round 13): exact-cosine
+    // rerank of the shortlist — mirrors pqTop10's two-stage plan
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    val reranked = shortlist.map { id =>
+      val v = emb(id)
+      // cosine_sim divides by sqrt(n2)*sqrt(qn2), not sqrt(n2*qn2)
+      (id, r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))))
+    }
+    val expected = reranked.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
     val got = VectorQueries.pqTop10(spark, sf, planted = true).select("vec_id")
       .collect().map(_.getLong(0)).toSeq
     assert(got == expected, s"driver-side PQ differential mismatch:\n got=$got\n exp=$expected")
