@@ -49,16 +49,18 @@ object GenClustered {
   val Dim = 64
   val Sigma = 0.045
 
-  /** The 500 clustered rows, driver-side (they are tiny — the SCALE
-    * subject is the index queries, not the generator). */
-  private[graft] def rows(): Seq[(Long, Array[Float], Int)] = {
+  /** The clustered rows, driver-side (they are tiny — the SCALE
+    * subject is the index queries, not the generator). `perCluster`
+    * scales the cluster SIZE (round 13: measuring the rerank-depth
+    * recall curve needs clusters larger than the ADC shortlist). */
+  private[graft] def rows(perCluster: Int = PerCluster): Seq[(Long, Array[Float], Int)] = {
     val centers = (0 until K).map { k =>
       val raw = (0 until Dim).map(j => gauss(1000 + k, j, 0))
       val n = math.sqrt(raw.map(x => x * x).sum)
       raw.map(_ / n).toArray
     }
-    for (k <- 0 until K; i <- 0 until PerCluster) yield {
-      val id = (k * PerCluster + i).toLong
+    for (k <- 0 until K; i <- 0 until perCluster) yield {
+      val id = (k * perCluster + i).toLong
       val v = (0 until Dim).map(j =>
         (centers(k)(j) + Sigma * gauss(2000 + k, i, j)).toFloat).toArray
       (id, v, k)
@@ -68,6 +70,7 @@ object GenClustered {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.01"
     val out = if (args.length > 0) args(0) else "/tmp/sfc0.01"
+    val perCluster = if (args.length > 1) args(1).toInt else PerCluster
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
@@ -81,10 +84,10 @@ object GenClustered {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    rows().toDF("vec_id", "embedding", "label")
+    rows(perCluster).toDF("vec_id", "embedding", "label")
       .repartition(4)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    println(s"[genclustered] done: $out (${K}x$PerCluster vectors, sigma=$Sigma)")
+    println(s"[genclustered] done: $out (${K}x$perCluster vectors, sigma=$Sigma)")
     spark.stop()
   }
 }

@@ -36,6 +36,11 @@ object AnnRecallProbe {
         "int8"         -> (() => VectorQueries.quantizedTop10(spark, d)),
         "pq_m8k16"     -> (() => VectorQueries.pqTop10(spark, d)),
         "ivfpq_np2"    -> (() => VectorQueries.ivfpqTop10(spark, d)),
+        // deep-rerank twins: the recall-vs-depth curve (round 13) — a
+        // cluster LARGER than the shortlist saturates 4-bit ADC codes
+        // (near-ties rank ~randomly), so depth must cover the tie set
+        "pq_r512"      -> (() => VectorQueries.pqTop10(spark, d, rerank = 512)),
+        "ivfpq_r512"   -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 512)),
         "nsw_beam_t3"  -> (() => VectorQueries.graphTop10Raw(spark, d)))
       val labeled = graft.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("label"))

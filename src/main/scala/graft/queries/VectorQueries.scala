@@ -561,7 +561,7 @@ object VectorQueries {
     * state stays codes + norm and the exact reads are O(shortlist), not
     * O(n). Split out so PqSpec can measure the raw recall. */
   private[graft] def pqTop10(s: SparkSession, d: String,
-      planted: Boolean = false): DataFrame = {
+      planted: Boolean = false, rerank: Int = 64): DataFrame = {
     // subvectors feed training, encoding, and the ADC table — checkpoint
     // once or each consumer re-runs the Generate pass (n×8 tiny rows)
     val subs = pqSubs(s, d, planted).localCheckpoint()
@@ -583,9 +583,14 @@ object VectorQueries {
         // only to the ulp; rounding + the id tie-break pin the shortlist
         round(col("adot") / sqrt(col("n2") * col("qn2")), 4).as("cos_adc"))
       .orderBy(col("cos_adc").desc, col("vec_id"))
-      .limit(64)
-    // stage 2: exact-cosine rerank of the ≤64-row shortlist (broadcast
-    // at any corpus size; the only exact-vector reads the probe does)
+      .limit(rerank)
+    // stage 2: exact-cosine rerank of the shortlist (broadcast at any
+    // corpus size; the only exact-vector reads the probe does). The
+    // depth is THE recall dial when ADC codes saturate: it must cover
+    // the ADC near-tie set (AnnRecallProbe's _r512 rows measure the
+    // curve — 4-bit codes have ~no resolution INSIDE a σ=0.045
+    // cluster, so a 500-member cluster needs depth ≈ cluster size, or
+    // 8-bit codes; 64 covers every shipped gate corpus).
     annCorpus(s, d, planted).select(col("vec_id"), col("embedding"))
       .join(broadcast(shortlist.select("vec_id")), "vec_id")
       .crossJoin(broadcast(queryVec(s, d)))
@@ -679,7 +684,8 @@ object VectorQueries {
     * near-tie set). The rerank reads ≤64 exact vectors, so the probe stays
     * nProbe-bounded. Split out so IvfPqSpec can measure raw recall. */
   private[graft] def ivfpqTop10(s: SparkSession, d: String,
-      nProbe: Int = ivfpqNProbe, planted: Boolean = false): DataFrame = {
+      nProbe: Int = ivfpqNProbe, planted: Boolean = false,
+      rerank: Int = 64): DataFrame = {
     val emb = annCorpus(s, d, planted)
     // cells/rsubs/codebook feed training, encoding, AND the probe —
     // checkpoint once or each consumer re-runs the upstream chain
@@ -724,8 +730,9 @@ object VectorQueries {
         round((col("qc_dot") + col("radot")) / sqrt(col("n2") * col("qn2")), 4)
           .as("cos_adc"))
       .orderBy(col("cos_adc").desc, col("vec_id"))
-      .limit(64)
-    // stage 2: exact-cosine rerank of the ≤64-row ADC shortlist
+      .limit(rerank)
+    // stage 2: exact-cosine rerank of the ADC shortlist (depth = the
+    // recall dial, see pqTop10)
     emb.select(col("vec_id"), col("embedding"))
       .join(broadcast(shortlist.select("vec_id")), "vec_id")
       .crossJoin(broadcast(queryVec(s, d)))
