@@ -492,16 +492,28 @@ object VectorQueries {
     * 4× smaller than float32 (BinaryType, 1 B/dim), the probe loop is a
     * codegen'd integer dot product, and with a shared scale the quantized
     * cosine ranks without dequantizing. */
-  private[graft] def quantizedTop10(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantizedTop10(s: SparkSession, d: String,
+      rerank: Int = 64): DataFrame = {
     val scale = lit(200.0)
     val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       .select(col("vec_id"), vec_quantize_i8(col("embedding"), scale).as("code"))
     val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(vec_quantize_i8(col("embedding"), scale).as("qcode"))
-    emb.crossJoin(broadcast(qv))
+    // int8 shortlist → exact-cosine rerank (round 13, the pqTop10
+    // two-stage shape): the i8 scan ranks on 64 bytes/vector; the exact
+    // read is ≤`rerank` vectors — int8 rounding cost near-ties ~1 hit
+    // at 500-member clusters before the rerank (AnnRecallProbe r13)
+    val shortlist = emb.crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(cosine_sim_i8(col("code"), col("qcode")), 4).as("qcos"))
       .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(rerank)
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        round(cosine_sim(col("embedding"), col("qv")), 4).as("cos_exact"))
+      .orderBy(col("cos_exact").desc, col("vec_id"))
       .limit(10)
   }
 
