@@ -35,12 +35,26 @@ object AnnRecallProbe {
         "lsh_l12p4"    -> (() => VectorQueries.lshTop10(spark, d)),
         "int8"         -> (() => VectorQueries.quantizedTop10(spark, d)),
         "pq_m8k16"     -> (() => VectorQueries.pqTop10(spark, d)),
+        // 8-bit codebook (round 13): the other axis of the recall-vs-
+        // depth trade. Measured on 500-member clusters: bit-width
+        // LEFT-SHIFTS the depth curve (r128: 7 vs 3; r256: 9 vs 4) but
+        // cannot rescue a shortlist far below the tie set (r64: 3 = 3)
+        "pq8_m8k256"   -> (() => VectorQueries.pq8Top10(spark, d)),
         "ivfpq_np2"    -> (() => VectorQueries.ivfpqTop10(spark, d)),
         // deep-rerank twins: the recall-vs-depth curve (round 13) — a
         // cluster LARGER than the shortlist saturates 4-bit ADC codes
         // (near-ties rank ~randomly), so depth must cover the tie set
         "pq_r512"      -> (() => VectorQueries.pqTop10(spark, d, rerank = 512)),
         "ivfpq_r512"   -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 512)),
+        // the other two cells of the 8-bit matrix: depth-512 twin, and
+        // a 3-step-Lloyd (near-converged) codebook at depth 64 — does
+        // training quality substitute for depth inside tight clusters?
+        "pq8_r512"     -> (() => VectorQueries.pq8Top10(spark, d, rerank = 512)),
+        "pq8_s3"       -> (() => VectorQueries.pq8Top10(spark, d, steps = 3)),
+        "pq_r128"      -> (() => VectorQueries.pqTop10(spark, d, rerank = 128)),
+        "pq_r256"      -> (() => VectorQueries.pqTop10(spark, d, rerank = 256)),
+        "pq8_r128"     -> (() => VectorQueries.pq8Top10(spark, d, rerank = 128)),
+        "pq8_r256"     -> (() => VectorQueries.pq8Top10(spark, d, rerank = 256)),
         "nsw_beam_t3"  -> (() => VectorQueries.graphTop10Raw(spark, d)))
       val labeled = graft.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("label"))

@@ -536,6 +536,16 @@ object VectorQueries {
   private def pqD2 = vec_dot(col("sv"), col("sv")) +
     vec_dot(col("cv"), col("cv")) - lit(2.0) * vec_dot(col("sv"), col("cv"))
 
+  // Assignment argmin everywhere is `min_by(cid, pqD2)` — a plain
+  // double-ordered min_by so the encode stays inside HashAggregateExec
+  // (a struct-ordered min_by would be deterministic under ties BY
+  // CONSTRUCTION, but a struct aggregation buffer is not
+  // fixed-width-mutable and demotes the whole encode to SortAggregate —
+  // measured when round 13 tried it; PlanShapeSpec pins the hash agg).
+  // Determinism therefore rests on tie-FREENESS of the corpus, asserted
+  // for every codebook that argmins anywhere: PqSpec (k=16 seed +
+  // refined), Pq8Spec (k=256 seed + refined), IvfPqSpec (per-cell).
+
   /** Per-subspace K=16 codebook: seeded from the subvectors of vec_ids
     * 1..16, refined with ONE decimal-exact Lloyd step (the kmRun
     * determinism design in array form: assignment = broadcast join +
@@ -578,6 +588,14 @@ object VectorQueries {
     // once or each consumer re-runs the Generate pass (n×8 tiny rows)
     val subs = pqSubs(s, d, planted).localCheckpoint()
     val cb = pqCodebook(subs).localCheckpoint()
+    pqAdcProbe(s, d, subs, cb, planted, rerank)
+  }
+
+  /** Shared encode → ADC shortlist → exact-rerank probe body: identical
+    * for the 4-bit (k=16) and 8-bit (k=256) codebooks — only the
+    * broadcast `cb` relation differs. */
+  private def pqAdcProbe(s: SparkSession, d: String, subs: DataFrame,
+      cb: DataFrame, planted: Boolean, rerank: Int): DataFrame = {
     val codes = subs.join(broadcast(cb), "sub")
       .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     val dtab = subs.filter(col("vec_id") === 0)
@@ -617,6 +635,75 @@ object VectorQueries {
     * (bounded at 2 by the clusterless synthetic data — the worst case
     * for a 16-entry codebook) stays measured in PqSpec/NearDupProbe. */
   private val pqFloor = 8
+
+  /** Per-subspace K≤`k` codebook over a deterministic pseudo-random seed
+    * sample: seed ids = the `k` smallest non-query ids under the
+    * (xxhash64, vec_id) order — an id-distribution-INDEPENDENT sample
+    * (the q_corpus_shuffle technique), so a cluster-ordered id layout
+    * (GenClustered writes cluster 0 first) cannot starve late clusters
+    * of codes the way a lowest-id seed would. Refinement is `steps`
+    * decimal-exact Lloyd iterations (the [[pqCodebook]] recipe);
+    * assignment is the hash-aggregated min_by (tie-freeness asserted in
+    * Pq8Spec for seed AND refined). The cid-rank window runs over the
+    * ≤`k`-row seed relation only (the documented bounded-window class,
+    * ≤256 ≤ 1024); k×8 rows broadcast at any corpus size — at 100 TB
+    * the training input is a sample and k stays the literature's 256. */
+  private[graft] def pqCodebookK(subs: DataFrame, k: Int,
+      steps: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(xxhash64(lit("pq8seed"), col("vec_id")), col("vec_id"))
+    val seedIds = subs.filter(col("vec_id") =!= 0).select("vec_id").distinct()
+      .orderBy(ord: _*).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(ord: _*)) - 1).cast("int"))
+    var cb = subs.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+    // `steps` Lloyd iterations (production trains a sampled k-means to
+    // near-convergence; the gate query keeps 1 — AnnRecallProbe's _s3
+    // row measures what extra steps buy). Checkpoint per step or step r
+    // re-executes rounds 1..r-1 per consumer (the iterative-query rule).
+    for (_ <- 1 to steps) {
+      val asg = subs.join(broadcast(cb), "sub")
+        .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
+      cb = asg.join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos")
+        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("sub"), col("cid"),
+          transform(col("pc"), x => x.getField("c")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** 8-BIT PQ approximate top-10 (q_knn_pq8): the k=256 codebook of the
+    * IVFADC literature (Jégou+ 2011 use k*=256 throughout). What the
+    * extra bits buy, MEASURED (BASELINE §rerank-depth, 500-member
+    * σ=0.045 clusters): ~5× tighter reconstruction MSE and a
+    * LEFT-SHIFTED recall-vs-depth curve — 7/10 vs 3/10 at depth 128,
+    * 9/10 vs 4/10 at 256, i.e. ~2–4× shallower rerank for equal recall
+    * once the shortlist partially covers the ADC near-tie set. What
+    * they canNOT do: rescue a shortlist far below the tie-set size
+    * (depth 64 stays 3/10 for BOTH bit-widths, and a near-converged
+    * 3-step-Lloyd codebook stays 3/10 too — the intra-cluster
+    * quantization noise floor is capacity-limited, D ∝ σ²·k^(−2/8), so
+    * halving it costs 16× codes while the top-rank cosine gaps shrink
+    * with cluster size). Depth remains THE recall dial; 8-bit makes
+    * each unit of depth go further. K adapts to min(256, n−1) ONLY so
+    * the tiny gate corpora stay trainable (k > n would re-seed every
+    * vector and train nothing); at any real scale K is the fixed 256.
+    * Probe body = the same two-stage [[pqAdcProbe]]: per-vector state
+    * is 8 codes (one byte each) + the stored norm, the ADC table is
+    * ≤2048 broadcast rows, exact reads stay ≤`rerank`. */
+  private[graft] def pq8Top10(s: SparkSession, d: String,
+      planted: Boolean = false, rerank: Int = 64, steps: Int = 1): DataFrame = {
+    val subs = pqSubs(s, d, planted).localCheckpoint()
+    val k = math.min(256L, subs.count() / 8 - 1).toInt
+    val cb = pqCodebookK(subs, k, steps).localCheckpoint()
+    pqAdcProbe(s, d, subs, cb, planted, rerank)
+  }
 
   // --- IVF-PQ (IVFADC composition — Jégou/Douze/Schmid, TPAMI 2011) ----
   // Coarse cells × per-cell PQ codebooks over RESIDUALS × nProbe-bounded
@@ -1430,6 +1517,21 @@ object VectorQueries {
       recallFlag(pqTop10(s, d, planted = true), s, d, floor = pqFloor,
         method = "pq_m8k16", planted = true)),
 
+    // --- 8-bit PQ ANN (round 13): the k=256 production codebook (the
+    // IVFADC literature's standard setting — Jégou+ 2011 use k*=256
+    // throughout). Same train→encode→ADC→rerank plan as q_knn_pq; the
+    // only change is codebook size. Measured payoff (BASELINE
+    // §rerank-depth): ~5× tighter reconstruction MSE and 2–4× shallower
+    // rerank for equal recall at intermediate depths (7 vs 3 at r128,
+    // 9 vs 4 at r256 on 500-member clusters) — though no bit-width
+    // rescues a shortlist far below the near-tie set (both 3/10 at
+    // r64 there; depth stays the dial). Seeds are a deterministic
+    // hash-order sample so a cluster-ordered id layout can't starve
+    // late clusters of codes.
+    "q_knn_pq8" -> ((s, d) =>
+      recallFlag(pq8Top10(s, d, planted = true), s, d, floor = pqFloor,
+        method = "pq_m8k256", planted = true)),
+
     // --- IVF-PQ ANN (2j scale path, VERDICT r8 #1): the composition of
     // q_knn_ivf's coarse cells and q_knn_pq's product quantization —
     // per-cell codebooks trained on RESIDUALS, probe bounded to nProbe
@@ -1896,6 +1998,7 @@ object VectorQueries {
         |FROM shortlist
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "q_knn_pq" -> "SELECT 'pq_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_pq8" -> "SELECT 'pq_m8k256' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
     "q_knn_graph" -> ("SELECT 'nsw_beam_t3' AS method, 10 AS k, 8 AS min_hits, " +
       "true AS recall_ok, 0::BIGINT AS overflow_buckets"),
 
