@@ -55,6 +55,14 @@ object AnnRecallProbe {
         "pq_r256"      -> (() => VectorQueries.pqTop10(spark, d, rerank = 256)),
         "pq8_r128"     -> (() => VectorQueries.pq8Top10(spark, d, rerank = 128)),
         "pq8_r256"     -> (() => VectorQueries.pq8Top10(spark, d, rerank = 256)),
+        // 8-bit RESIDUAL codebooks (per-cell k≤256, hash-order seeds):
+        // the full IVFADC production shape — does the left-shift hold
+        // when codes quantize residuals inside coarse cells?
+        "ivfpq8_np2"   -> (() => VectorQueries.ivfpqTop10(spark, d, kCodes = 256)),
+        "ivfpq_r128"   -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 128)),
+        "ivfpq_r256"   -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 256)),
+        "ivfpq8_r128"  -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 128, kCodes = 256)),
+        "ivfpq8_r256"  -> (() => VectorQueries.ivfpqTop10(spark, d, rerank = 256, kCodes = 256)),
         "nsw_beam_t3"  -> (() => VectorQueries.graphTop10Raw(spark, d)))
       val labeled = graft.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("label"))

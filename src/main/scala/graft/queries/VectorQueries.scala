@@ -759,6 +759,30 @@ object VectorQueries {
       .filter(col("rk") <= 16)
       .select(col("cell"), col("sub"), (col("rk") - 1).cast("int").as("cid"),
         col("sv").as("cv"))
+    ivfpqLloyd(rsubs, seed)
+  }
+
+  /** Per-(cell, sub) K≤`k` codebook over residuals, seeded from a
+    * HASH-ORDER sample of each cell's members (the pqCodebookK rule;
+    * the default 16-seed codebook above keeps its lowest-id seeds for
+    * contract stability). k binds at min(k, cell size) per cell BY
+    * CONSTRUCTION (row_number ≤ k), so no corpus count is needed.
+    * Bounded: n_cells × 8 × k rows — broadcast at any corpus size. */
+  private[graft] def ivfpqCodebookK(rsubs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cell", "sub")
+      .orderBy(xxhash64(lit("ivfpq8seed"), col("vec_id")), col("vec_id"))
+    val seed = rsubs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("cell"), col("sub"), (col("rk") - 1).cast("int").as("cid"),
+        col("sv").as("cv"))
+    ivfpqLloyd(rsubs, seed)
+  }
+
+  /** The shared decimal-exact Lloyd re-estimation step over a per-cell
+    * seed relation (assignment → per-dim DECIMAL means → array rebuild). */
+  private def ivfpqLloyd(rsubs: DataFrame, seed: DataFrame): DataFrame = {
     val asg = rsubs.join(broadcast(seed), Seq("cell", "sub"))
       .groupBy("vec_id", "cell", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     asg.join(rsubs, Seq("vec_id", "cell", "sub"))
@@ -784,13 +808,17 @@ object VectorQueries {
     * nProbe-bounded. Split out so IvfPqSpec can measure raw recall. */
   private[graft] def ivfpqTop10(s: SparkSession, d: String,
       nProbe: Int = ivfpqNProbe, planted: Boolean = false,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 64, kCodes: Int = 16): DataFrame = {
     val emb = annCorpus(s, d, planted)
     // cells/rsubs/codebook feed training, encoding, AND the probe —
     // checkpoint once or each consumer re-runs the upstream chain
     val cells = ivfpqCells(emb).localCheckpoint()
     val rsubs = ivfpqResidualSubs(emb, cells).localCheckpoint()
-    val cb = ivfpqCodebook(rsubs).localCheckpoint()
+    // kCodes = 16 is the shipped contract codebook (lowest-id seeds);
+    // larger k routes through the hash-order per-cell sample — the
+    // 8-bit residual setting AnnRecallProbe's ivfpq8 rows measure
+    val cb = (if (kCodes == 16) ivfpqCodebook(rsubs)
+              else ivfpqCodebookK(rsubs, kCodes)).localCheckpoint()
     val codes = rsubs.join(broadcast(cb), Seq("cell", "sub"))
       .groupBy("vec_id", "cell", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     // nProbe best cells for the query: exact cosine against the bounded
@@ -799,16 +827,21 @@ object VectorQueries {
     val probed = cells.crossJoin(broadcast(queryVec(s, d)))
       .select(col("cell"),
         cosine_sim(col("centroid"), col("qv")).as("csim"),
-        vec_dot(col("qv"), col("centroid")).as("qc_dot"),
-        zip_with(col("qv"), col("centroid"),
-          (a, b) => a.cast("double") - b).as("rq"))
+        vec_dot(col("qv"), col("centroid")).as("qc_dot"))
       .orderBy(col("csim").desc, col("cell")).limit(nProbe)
       .localCheckpoint() // nProbe rows, read by the ADC table and the probe join
-    val dtab = probed
-      .select(col("cell"),
-        explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
-          "slice(rq, s*8+1, 8) AS qsv))")).as("e"))
-      .select(col("cell"), col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+    // ADC table dots the QUERY's own subvectors (not the query residual)
+    // against the residual codewords: score = q·c + Σ q_s·recon(v−c)_s
+    // = q·recon(v) — the UNBIASED inner-product ADC. The round-8 form
+    // dotted (q−c)_s instead, estimating q·v − c·(v−c): a per-candidate
+    // bias of order |c||v−c| that measurably cost intermediate-depth
+    // recall on tight clusters (r256: 4/10 biased vs 9/10 for flat PQ
+    // with COARSER codes — caught and fixed round 13, §rerank-depth).
+    val qsubs = queryVec(s, d)
+      .select(explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
+        "transform(slice(qv, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS qsv))")).as("e"))
+      .select(col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+    val dtab = probed.select("cell").crossJoin(broadcast(qsubs))
       .join(broadcast(cb), Seq("cell", "sub"))
       .select(col("cell"), col("sub"), col("cid"),
         vec_dot(col("qsv"), col("cv")).as("qdot"))

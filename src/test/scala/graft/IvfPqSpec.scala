@@ -162,10 +162,11 @@ class IvfPqSpec extends AnyFunSuite {
       .map { id =>
         val c = cellOf(id)
         val qcDot = dot(q, centroid(c))
-        val rq = (0 until 64).map(i => q(i) - centroid(c)(i)).toArray
+        // unbiased IP-ADC (round 13): the QUERY's subvectors against the
+        // residual codewords — q·c + Σ q_s·cv = q·recon(v)
         val radot = (0 until 8).map { s =>
           val cv = codebook((c, s))(argmin(rsub(id, s), codebook((c, s))))
-          dot(rq.slice(s * 8, s * 8 + 8), cv)
+          dot(q.slice(s * 8, s * 8 + 8), cv)
         }.sum
         val v = emb(id)
         (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
