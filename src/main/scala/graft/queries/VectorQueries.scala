@@ -1576,6 +1576,17 @@ object VectorQueries {
       recallFlag(ivfpqTop10(s, d, planted = true), s, d, floor = ivfpqFloor,
         method = "ivfpq_np2_m8k16", planted = true)),
 
+    // --- 8-bit IVFPQ ANN (round 13): cells + UNBIASED inner-product
+    // ADC + per-cell k≤256 residual codebooks — the measured winner of
+    // the whole §rerank-depth matrix (8/10 raw at the default depth-64
+    // shortlist on 500-member clusters where flat PQ sits at 3/10;
+    // 10/10 from depth 128) and the literature's production IVFADC
+    // setting. Shipped alongside the 4-bit row so both codebook sizes
+    // stay user-callable; same pigeonhole floor, same two-stage probe.
+    "q_knn_ivfpq8" -> ((s, d) =>
+      recallFlag(ivfpqTop10(s, d, planted = true, kCodes = 256), s, d,
+        floor = ivfpqFloor, method = "ivfpq_np2_m8k256", planted = true)),
+
     // --- graph-traversal ANN (round 9): cluster-seeded beam search
     // over an LSH-built kNN graph (see graphTop10) — the gate only
     // passes if edge traversal discovers the planted cluster beyond
@@ -2044,6 +2055,7 @@ object VectorQueries {
         |  0::BIGINT AS edge_diff, true AS incr_equals_rebuild,
         |  0::BIGINT AS fold_overflow_buckets""".stripMargin,
     "q_knn_ivfpq" -> "SELECT 'ivfpq_np2_m8k16' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
+    "q_knn_ivfpq8" -> "SELECT 'ivfpq_np2_m8k256' AS method, 10 AS k, 8 AS min_hits, true AS recall_ok",
 
     // blocking is LSH-bucketed in Spark; the oracle is the all-pairs
     // ground truth (cheap in DuckDB at gate scale), so any blocking miss

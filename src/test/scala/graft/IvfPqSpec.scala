@@ -42,6 +42,22 @@ class IvfPqSpec extends AnyFunSuite {
       s"recall_ok must hold: ${rows.toSeq}")
   }
 
+  test("ivfpq8 (k=256 residual codebooks) clears the same planted floor") {
+    // the production IVFADC setting (round 13): unbiased ADC + per-cell
+    // 8-bit residual codes — the §rerank-depth matrix winner
+    val approx = VectorQueries.ivfpqTop10(spark, sf, planted = true, kCodes = 256)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = VectorQueries.bruteTop10(spark, sf, planted = true)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & brute).size
+    info(s"ivfpq8 PLANTED recall@10 = $recall/10 at $sf")
+    assert(approx.forall(_ > 9200000L), s"approx top-10 not all-planted: $approx")
+    assert(recall >= 8, s"recall $recall under the pinned floor 8")
+    val rows = SparkEntry.queries("q_knn_ivfpq8")(spark, sf).collect()
+    assert(rows.length == 1 && rows(0).getBoolean(3),
+      s"recall_ok must hold: ${rows.toSeq}")
+  }
+
   test("the probe honors the nProbe cell prune, and nProbe dials coverage") {
     // pruning correctness: every returned candidate must live in one of
     // the nProbe probed cells (the partition-prune property the 100 TB
