@@ -201,4 +201,83 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got == expected,
       s"driver-side IVF-PQ differential mismatch:\n got=$got\n exp=$expected")
   }
+
+  test("ivfpq8 top-10 matches a full driver-side recomputation") {
+    // the k=256 twin of the differential above: per-cell HASH-ORDER
+    // seed sample (xxhash64("ivfpq8seed", vec_id), Spark default seed
+    // 42), k binding at cell size, and the unbiased q_s·cv ADC. At gate
+    // scale every member of a cell seeds its own code, so this also
+    // pins that the degenerate all-seeds regime ranks exactly.
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val rows = VectorQueries.plantedEmb(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+    val emb = rows.map(r => r.getLong(0) ->
+      r.getSeq[Float](2).map(_.toDouble).toArray).toMap
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], c: Array[Double]): Double =
+      dot(a, a) + dot(c, c) - 2.0 * dot(a, c)
+    def decMean(vs: Seq[Double]): Double =
+      vs.map(java.math.BigDecimal.valueOf(_)
+          .setScale(10, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue / vs.size
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val byCell = emb.keys.groupBy(cellOf)
+    val centroid: Map[Int, Array[Double]] = byCell.map { case (c, ids) =>
+      c -> (0 until 64).map(p => decMean(ids.toSeq.map(emb(_)(p)))).toArray
+    }
+    def rsub(id: Long, s: Int): Array[Double] = {
+      val v = emb(id); val c = centroid(cellOf(id))
+      (s * 8 until s * 8 + 8).map(i => v(i) - c(i)).toArray
+    }
+    def argmin(sv: Array[Double], cb: Map[Int, Array[Double]]): Int =
+      cb.toSeq.map { case (cid, cv) => (d2(sv, cv), cid) }.min._2
+    def h(id: Long): Long =
+      XxHash64(Seq(Literal("ivfpq8seed"), Literal(id)), 42L).eval(null).asInstanceOf[Long]
+    var codebook: Map[(Int, Int), Map[Int, Array[Double]]] = byCell.flatMap {
+      case (c, ids) =>
+        val seeds = ids.toSeq.sortBy(id => (h(id), id)).take(256)
+        (0 until 8).map(s =>
+          (c, s) -> seeds.zipWithIndex.map { case (id, k) => k -> rsub(id, s) }.toMap)
+    }.toMap
+    val assigned = emb.keys.toSeq.flatMap { id =>
+      val c = cellOf(id)
+      (0 until 8).map(s => (c, s, argmin(rsub(id, s), codebook((c, s))), rsub(id, s)))
+    }
+    codebook = assigned.groupBy(t => (t._1, t._2, t._3)).map { case ((c, s, cid), g) =>
+      (c, s, cid, (0 until 8).map(p => decMean(g.map(_._4(p)))).toArray)
+    }.groupBy(t => (t._1, t._2))
+      .map { case (k, m) => k -> m.map(t => t._3 -> t._4).toMap }
+    val q = emb(0L)
+    val qn2 = dot(q, q)
+    val probed = centroid.toSeq.map { case (c, cv) =>
+      (dot(cv, q) / (math.sqrt(dot(cv, cv)) * math.sqrt(qn2)), c)
+    }.sortBy { case (cs, c) => (-cs, c) }.take(2).map(_._2)
+    val scored = emb.keys.toSeq
+      .filter(id => id != 0L && probed.contains(cellOf(id)))
+      .map { id =>
+        val c = cellOf(id)
+        val qcDot = dot(q, centroid(c))
+        val radot = (0 until 8).map { s =>
+          val cv = codebook((c, s))(argmin(rsub(id, s), codebook((c, s))))
+          dot(q.slice(s * 8, s * 8 + 8), cv)
+        }.sum
+        val v = emb(id)
+        (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
+      }
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    val reranked = shortlist.map { id =>
+      val v = emb(id)
+      (id, r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))))
+    }
+    val expected = reranked.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
+    val got = VectorQueries.ivfpqTop10(spark, sf, planted = true, kCodes = 256)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected,
+      s"driver-side IVF-PQ8 differential mismatch:\n got=$got\n exp=$expected")
+  }
 }

@@ -101,6 +101,72 @@ class Pq8Spec extends AnyFunSuite {
     }
   }
 
+  test("pq8 top-10 matches a full driver-side recomputation") {
+    // independent reimplementation of the 8-bit pipeline: hash-order
+    // seed sample -> one decimal-exact Lloyd step -> encode -> ADC
+    // shortlist(64) -> exact rerank -> top-10. Mirrors the plan's
+    // arithmetic step for step (the PqSpec differential applied to the
+    // k=256 codebook; argmin ties broken (d2, cid) — the shipped
+    // corpora are tie-free so this equals the plan's min_by).
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val emb = VectorQueries.plantedEmb(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sub(v: Array[Double], s: Int): Array[Double] = v.slice(s * 8, s * 8 + 8)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def d2(a: Array[Double], c: Array[Double]): Double =
+      dot(a, a) + dot(c, c) - 2.0 * dot(a, c)
+    def argmin(sv: Array[Double], cb: Map[Int, Array[Double]]): Int =
+      cb.toSeq.map { case (cid, cv) => (d2(sv, cv), cid) }.min._2
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // seed = the k smallest non-query ids under (xxhash64, vec_id) —
+    // the exact order Column xxhash64(lit("pq8seed"), vec_id) computes
+    // (Spark's default seed 42)
+    val k = math.min(256, emb.size - 1)
+    def h(id: Long): Long =
+      XxHash64(Seq(Literal("pq8seed"), Literal(id)), 42L).eval(null).asInstanceOf[Long]
+    val seedIds = emb.keys.filter(_ != 0L).toSeq
+      .sortBy(id => (h(id), id)).take(k)
+    var codebook: Map[Int, Map[Int, Array[Double]]] = (0 until 8).map { s =>
+      s -> seedIds.zipWithIndex.map { case (id, i) => i -> sub(emb(id), s) }.toMap
+    }.toMap
+    // one Lloyd step with decimal(20,10)-rounded per-dim sums
+    val assigned = emb.toSeq.flatMap { case (id, v) =>
+      (0 until 8).map(s => (s, argmin(sub(v, s), codebook(s)), sub(v, s)))
+    }
+    codebook = assigned.groupBy(t => (t._1, t._2)).map { case ((s, cid), rows) =>
+      val n = rows.size
+      val cv = (0 until 8).map { pos =>
+        rows.map(r => java.math.BigDecimal.valueOf(r._3(pos))
+            .setScale(10, java.math.RoundingMode.HALF_UP))
+          .reduce(_ add _).doubleValue / n
+      }.toArray
+      (s, cid, cv)
+    }.groupBy(_._1).map { case (s, m) => s -> m.map(t => t._2 -> t._3).toMap }
+    // encode + ADC against the query vector (vec_id 0)
+    val q = emb(0L)
+    val qn2 = dot(q, q)
+    val scored = emb.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val adot = (0 until 8).map { s =>
+        dot(sub(q, s), codebook(s)(argmin(sub(v, s), codebook(s))))
+      }.sum
+      (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
+    }
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    val reranked = shortlist.map { id =>
+      val v = emb(id)
+      (id, r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))))
+    }
+    val expected = reranked.sortBy { case (id, cs) => (-cs, id) }.take(10).map(_._1)
+    val got = VectorQueries.pq8Top10(spark, sf, planted = true).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"driver-side PQ8 differential mismatch:\n got=$got\n exp=$expected")
+  }
+
   test("8-bit codes quantize strictly tighter than 4-bit on the gate corpus") {
     // the reason q_knn_pq8 exists: mean squared reconstruction error of
     // the k=min(256,n-1) codebook must undercut the k=16 one. On the
