@@ -315,6 +315,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"min_by encoding must stay a hash aggregate:\n$plan")
   }
 
+  test("q_knn_pq8 / q_knn_ivfpq8: same shape contract as their 4-bit twins") {
+    // the k=256 encode joins ≤2048-row codebooks — still broadcast, still
+    // a min_by HASH aggregate (a struct-ordered tie-break was tried in
+    // round 13 and demoted the encode to SortAggregate; this pin is what
+    // caught it, so it now covers the 8-bit rows too)
+    Seq("q_knn_pq8", "q_knn_ivfpq8").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: codebook/ADC joins must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: must never cartesian (1-row sides ride broadcast NLJ):\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$q: min_by encoding must stay a hash aggregate:\n$plan")
+    }
+  }
+
   test("q_importance_sample / q_ppl_contrast: model joins keyed, aggs hash-based") {
     Seq("q_importance_sample", "q_ppl_contrast").foreach { q =>
       val plan = planOf(q)
