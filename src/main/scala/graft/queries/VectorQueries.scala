@@ -648,15 +648,22 @@ object VectorQueries {
     * ≤`k`-row seed relation only (the documented bounded-window class,
     * ≤256 ≤ 1024); k×8 rows broadcast at any corpus size — at 100 TB
     * the training input is a sample and k stays the literature's 256. */
-  private[graft] def pqCodebookK(subs: DataFrame, k: Int,
-      steps: Int = 1): DataFrame = {
+  /** (vec_id, cid) seed-id relation of the k-codebook: the ≤`k` smallest
+    * non-query ids under the (xxhash64, vec_id) order. Shared by
+    * [[pqCodebookK]] and Pq8Spec's tie-free assertion so the test can
+    * never drift off the shipped seed construction. */
+  private[graft] def pqSeedIds(subs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(xxhash64(lit("pq8seed"), col("vec_id")), col("vec_id"))
-    val seedIds = subs.filter(col("vec_id") =!= 0).select("vec_id").distinct()
+    subs.filter(col("vec_id") =!= 0).select("vec_id").distinct()
       .orderBy(ord: _*).limit(k)
       .withColumn("cid",
         (row_number().over(Window.orderBy(ord: _*)) - 1).cast("int"))
-    var cb = subs.join(broadcast(seedIds), "vec_id")
+  }
+
+  private[graft] def pqCodebookK(subs: DataFrame, k: Int,
+      steps: Int = 1): DataFrame = {
+    var cb = subs.join(broadcast(pqSeedIds(subs, k)), "vec_id")
       .select(col("sub"), col("cid"), col("sv").as("cv"))
     // `steps` Lloyd iterations (production trains a sampled k-means to
     // near-convergence; the gate query keeps 1 — AnnRecallProbe's _s3
@@ -691,17 +698,21 @@ object VectorQueries {
     * quantization noise floor is capacity-limited, D ∝ σ²·k^(−2/8), so
     * halving it costs 16× codes while the top-rank cosine gaps shrink
     * with cluster size). Depth remains THE recall dial; 8-bit makes
-    * each unit of depth go further. K adapts to min(256, n−1) ONLY so
-    * the tiny gate corpora stay trainable (k > n would re-seed every
-    * vector and train nothing); at any real scale K is the fixed 256.
+    * each unit of depth go further. K binds at min(256, n−1) BY
+    * CONSTRUCTION (pqSeedIds' limit — no corpus-count job), so tiny
+    * corpora stay trainable; at any real scale K is the fixed 256.
     * Probe body = the same two-stage [[pqAdcProbe]]: per-vector state
     * is 8 codes (one byte each) + the stored norm, the ADC table is
     * ≤2048 broadcast rows, exact reads stay ≤`rerank`. */
   private[graft] def pq8Top10(s: SparkSession, d: String,
       planted: Boolean = false, rerank: Int = 64, steps: Int = 1): DataFrame = {
     val subs = pqSubs(s, d, planted).localCheckpoint()
-    val k = math.min(256L, subs.count() / 8 - 1).toInt
-    val cb = pqCodebookK(subs, k, steps).localCheckpoint()
+    // k = 256 unconditionally: pqSeedIds' limit(k) binds at the corpus
+    // size by construction (fewer than k non-query ids → every id
+    // seeds), so no corpus-count job is needed — the same no-count rule
+    // ivfpqCodebookK documents. pqCodebookK checkpoints its last Lloyd
+    // iteration, so no call-site checkpoint either.
+    val cb = pqCodebookK(subs, 256, steps)
     pqAdcProbe(s, d, subs, cb, planted, rerank)
   }
 
@@ -772,7 +783,11 @@ object VectorQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cell", "sub")
       .orderBy(xxhash64(lit("ivfpq8seed"), col("vec_id")), col("vec_id"))
-    val seed = rsubs
+    // query excluded from seeds (the pqSeedIds rule): at cell sizes > k
+    // the query's own residual must not occupy a codeword slot a corpus
+    // member would otherwise get — the trained index stays
+    // query-independent
+    val seed = rsubs.filter(col("vec_id") =!= 0)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("cell"), col("sub"), (col("rk") - 1).cast("int").as("cid"),

@@ -240,7 +240,9 @@ class IvfPqSpec extends AnyFunSuite {
       XxHash64(Seq(Literal("ivfpq8seed"), Literal(id)), 42L).eval(null).asInstanceOf[Long]
     var codebook: Map[(Int, Int), Map[Int, Array[Double]]] = byCell.flatMap {
       case (c, ids) =>
-        val seeds = ids.toSeq.sortBy(id => (h(id), id)).take(256)
+        // query excluded from seeds (mirrors ivfpqCodebookK's
+        // vec_id =!= 0 filter — the index must be query-independent)
+        val seeds = ids.toSeq.filter(_ != 0L).sortBy(id => (h(id), id)).take(256)
         (0 until 8).map(s =>
           (c, s) -> seeds.zipWithIndex.map { case (id, k) => k -> rsub(id, s) }.toMap)
     }.toMap

@@ -79,11 +79,9 @@ class Pq8Spec extends AnyFunSuite {
     val subs = VectorQueries.pqSubs(spark, sf, planted = true).localCheckpoint()
     val k = math.min(256L, subs.count() / 8 - 1).toInt
     val refined = VectorQueries.pqCodebookK(subs, k)
-    val ord = Seq(xxhash64(lit("pq8seed"), col("vec_id")), col("vec_id"))
-    val seedIds = subs.filter(col("vec_id") =!= 0).select("vec_id").distinct()
-      .orderBy(ord: _*).limit(k)
-      .withColumn("cid", (row_number().over(Window.orderBy(ord: _*)) - 1).cast("int"))
-    val literalSeed = subs.join(broadcast(seedIds), "vec_id")
+    // the SHIPPED seed builder (not a reimplementation): the assertion
+    // must cover the codebook the pipeline actually argmins against
+    val literalSeed = subs.join(broadcast(VectorQueries.pqSeedIds(subs, k)), "vec_id")
       .select(col("sub"), col("cid"), col("sv").as("cv"))
     val d2 = graft.functions.vec_dot(col("sv"), col("sv")) +
       graft.functions.vec_dot(col("cv"), col("cv")) -
