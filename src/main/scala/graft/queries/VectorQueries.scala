@@ -636,18 +636,6 @@ object VectorQueries {
     * for a 16-entry codebook) stays measured in PqSpec/NearDupProbe. */
   private val pqFloor = 8
 
-  /** Per-subspace K≤`k` codebook over a deterministic pseudo-random seed
-    * sample: seed ids = the `k` smallest non-query ids under the
-    * (xxhash64, vec_id) order — an id-distribution-INDEPENDENT sample
-    * (the q_corpus_shuffle technique), so a cluster-ordered id layout
-    * (GenClustered writes cluster 0 first) cannot starve late clusters
-    * of codes the way a lowest-id seed would. Refinement is `steps`
-    * decimal-exact Lloyd iterations (the [[pqCodebook]] recipe);
-    * assignment is the hash-aggregated min_by (tie-freeness asserted in
-    * Pq8Spec for seed AND refined). The cid-rank window runs over the
-    * ≤`k`-row seed relation only (the documented bounded-window class,
-    * ≤256 ≤ 1024); k×8 rows broadcast at any corpus size — at 100 TB
-    * the training input is a sample and k stays the literature's 256. */
   /** (vec_id, cid) seed-id relation of the k-codebook: the ≤`k` smallest
     * non-query ids under the (xxhash64, vec_id) order. Shared by
     * [[pqCodebookK]] and Pq8Spec's tie-free assertion so the test can
@@ -661,6 +649,21 @@ object VectorQueries {
         (row_number().over(Window.orderBy(ord: _*)) - 1).cast("int"))
   }
 
+  /** Per-subspace K≤`k` codebook over a deterministic pseudo-random seed
+    * sample: seed ids = the `k` smallest non-query ids under the
+    * (xxhash64, vec_id) order — an id-distribution-INDEPENDENT sample
+    * (the q_corpus_shuffle technique), so a cluster-ordered id layout
+    * (GenClustered writes cluster 0 first) cannot starve late clusters
+    * of codes the way a lowest-id seed would. Refinement is `steps`
+    * decimal-exact Lloyd iterations (the [[pqCodebook]] recipe);
+    * assignment is the hash-aggregated min_by (tie-freeness asserted in
+    * Pq8Spec for the seed AND every refined step 1..3 — each Lloyd round
+    * argmins against the previous round's codebook, so every
+    * intermediate codebook needs the guarantee, not just the final one).
+    * The cid-rank window runs over the ≤`k`-row seed relation only (the
+    * documented bounded-window class, ≤256 ≤ 1024); k×8 rows broadcast
+    * at any corpus size — at 100 TB the training input is a sample and
+    * k stays the literature's 256. */
   private[graft] def pqCodebookK(subs: DataFrame, k: Int,
       steps: Int = 1): DataFrame = {
     var cb = subs.join(broadcast(pqSeedIds(subs, k)), "vec_id")
@@ -761,7 +764,16 @@ object VectorQueries {
   /** Per-(cell, sub) K≤16 codebook over residuals: seeded from the
     * cell's 16 lowest-id members, refined with one decimal-exact Lloyd
     * step (the pqCodebook recipe, keyed by cell). Bounded: n_cells × 8
-    * × 16 rows — a broadcast relation at any corpus size. */
+    * × 16 rows — a broadcast relation at any corpus size.
+    *
+    * KNOWN query-dependence (ADVICE r13, accepted): the lowest-id seed
+    * INCLUDES vec_id 0 (the ANN family's fixed query vector), so this
+    * trained index is not query-independent the way [[ivfpqCodebookK]]
+    * is (which filters vec_id 0 from its seed sample). Fixing it here
+    * would shift every codeword of cell 0 and re-rank the q_knn_ivfpq
+    * contract output — a contract bump deferred until the 4-bit row has
+    * another reason to change; the production 8-bit path (q_knn_ivfpq8)
+    * already carries the query-independent construction. */
   private[graft] def ivfpqCodebook(rsubs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cell", "sub").orderBy("vec_id")
@@ -829,9 +841,16 @@ object VectorQueries {
     // checkpoint once or each consumer re-runs the upstream chain
     val cells = ivfpqCells(emb).localCheckpoint()
     val rsubs = ivfpqResidualSubs(emb, cells).localCheckpoint()
-    // kCodes = 16 is the shipped contract codebook (lowest-id seeds);
-    // larger k routes through the hash-order per-cell sample — the
-    // 8-bit residual setting AnnRecallProbe's ivfpq8 rows measure
+    // kCodes selects the SEED POLICY as well as the codebook size: 16 is
+    // the shipped 4-bit contract codebook (lowest-id seeds, kept for
+    // contract stability); 256 routes through the hash-order per-cell
+    // sample (query-independent). Any other value would silently pick a
+    // seed policy the caller didn't reason about, so reject it (ADVICE
+    // r13) — a deployment wanting k=32/64 adds it as an explicit matrix
+    // row first.
+    require(kCodes == 16 || kCodes == 256,
+      s"kCodes must be 16 (4-bit contract codebook, lowest-id seeds) or " +
+        s"256 (8-bit, hash-order seeds); got $kCodes")
     val cb = (if (kCodes == 16) ivfpqCodebook(rsubs)
               else ivfpqCodebookK(rsubs, kCodes)).localCheckpoint()
     val codes = rsubs.join(broadcast(cb), Seq("cell", "sub"))

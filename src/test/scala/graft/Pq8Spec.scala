@@ -78,7 +78,6 @@ class Pq8Spec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val subs = VectorQueries.pqSubs(spark, sf, planted = true).localCheckpoint()
     val k = math.min(256L, subs.count() / 8 - 1).toInt
-    val refined = VectorQueries.pqCodebookK(subs, k)
     // the SHIPPED seed builder (not a reimplementation): the assertion
     // must cover the codebook the pipeline actually argmins against
     val literalSeed = subs.join(broadcast(VectorQueries.pqSeedIds(subs, k)), "vec_id")
@@ -87,7 +86,13 @@ class Pq8Spec extends AnyFunSuite {
       graft.functions.vec_dot(col("cv"), col("cv")) -
       lit(2.0) * graft.functions.vec_dot(col("sv"), col("cv"))
     val w = Window.partitionBy("vec_id", "sub")
-    for ((label, cb) <- Seq("seed" -> literalSeed, "refined" -> refined)) {
+    // every codebook ANY pq8 path argmins against (ADVICE r13): Lloyd
+    // step r assigns against the step r−1 codebook and the probe's
+    // pq8_s3 row runs steps = 3, so the guarantee must hold for the
+    // seed and each of steps 1..3 — not just the shipped 1-step default
+    val refinedSteps = (1 to 3).map(st =>
+      s"refined_s$st" -> VectorQueries.pqCodebookK(subs, k, steps = st))
+    for ((label, cb) <- ("seed" -> literalSeed) +: refinedSteps) {
       val ties = subs.join(broadcast(cb), "sub")
         .select(col("vec_id"), col("sub"), d2.as("d2"))
         .withColumn("mind2", min("d2").over(w))

@@ -17,7 +17,9 @@ class Pq8TinyCorpusSpec extends AnyFunSuite {
 
   private def writeTiny(n: Int): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(s"pq8tiny$n").toString
+    // under target/ (ADVICE r13: createTempDirectory leaked a /tmp dir
+    // per run) — sbt clean owns the lifecycle, overwrite makes reruns safe
+    val dir = s"target/pq8tiny-scratch/n$n"
     // deterministic, tie-free float vectors (sin over distinct phases)
     val rows = (0L until n.toLong).map { id =>
       val emb = (0 until 64).map(j => math.sin(id * 64.0 + j + 1.0).toFloat).toArray
