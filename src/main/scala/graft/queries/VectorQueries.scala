@@ -502,7 +502,11 @@ object VectorQueries {
     // int8 shortlist → exact-cosine rerank (round 13, the pqTop10
     // two-stage shape): the i8 scan ranks on 64 bytes/vector; the exact
     // read is ≤`rerank` vectors — int8 rounding cost near-ties ~1 hit
-    // at 500-member clusters before the rerank (AnnRecallProbe r13)
+    // at 500-member clusters before the rerank (AnnRecallProbe r13).
+    // Depth stays FIXED at 64 while the PQ family went adaptive (r14):
+    // int8 scores keep real intra-cluster resolution (the shortlist is
+    // a full-width scan, not an ADC table), measured 10/10 at depth 64
+    // on 500-member clusters — there is no tie set to cover.
     val shortlist = emb.crossJoin(broadcast(qv))
       .select(col("vec_id"),
         round(cosine_sim_i8(col("code"), col("qcode")), 4).as("qcos"))
@@ -573,17 +577,18 @@ object VectorQueries {
     * (VERDICT r12 #2): 4-bit ADC codes recover the right cluster but
     * cannot resolve near-tie ordering among cos≈0.89 cluster members
     * (raw 1-2/10 on the clustered corpus despite in_cluster 10/10).
-    * The rerank reads ≤64 exact vectors (the shortlist must EXCEED the
-    * ADC near-tie set: a tight cluster's members round to equal 4-bit
-    * ADC scores, so a 32-deep shortlist over a 50-member cluster kept
-    * only ~6/10 of the exact set — measured this round on the
-    * clustered corpus; 64 = the cap-class constant, 6.4× k headroom)
+    * The rerank reads ≤depth exact vectors (the shortlist must EXCEED
+    * the ADC near-tie set: a tight cluster's members round to equal
+    * 4-bit ADC scores, so a 32-deep shortlist over a 50-member cluster
+    * kept only ~6/10 of the exact set — measured round 13 on the
+    * clustered corpus). Depth is DATA-ADAPTIVE since round 14
+    * (clamp(64, 512, n/8) — see [[rerankClamp]] and the pqAdcProbe doc)
     * — the same two-stage economics
     * q_knn_binary/q_knn_matryoshka already run, so the per-vector probe
     * state stays codes + norm and the exact reads are O(shortlist), not
     * O(n). Split out so PqSpec can measure the raw recall. */
   private[graft] def pqTop10(s: SparkSession, d: String,
-      planted: Boolean = false, rerank: Int = 64): DataFrame = {
+      planted: Boolean = false, rerank: Int = RerankAdaptive): DataFrame = {
     // subvectors feed training, encoding, and the ADC table — checkpoint
     // once or each consumer re-runs the Generate pass (n×8 tiny rows)
     val subs = pqSubs(s, d, planted).localCheckpoint()
@@ -591,11 +596,41 @@ object VectorQueries {
     pqAdcProbe(s, d, subs, cb, planted, rerank)
   }
 
+  /** Sentinel: resolve the rerank depth from the data (VERDICT r13 #2 —
+    * "retire the last hand-tuned ANN constant"). Callers pass a positive
+    * depth to pin it (the AnnRecallProbe matrix rows do). */
+  private[graft] val RerankAdaptive = 0
+
+  /** The depth clamp shared by every adaptive path: floor 64 (the
+    * calibrated contract depth — covers every gate corpus exactly, so
+    * gate-scale plans and the driver-side differentials are unchanged),
+    * cap 512 (the measured saturation depth of the §rerank-depth matrix:
+    * every method reads 10/10 at 512 on 500-member σ=0.045 clusters).
+    * The cap is also the COST bound: the rerank reads ≤512 exact vectors
+    * no matter what the estimate says, so adaptivity can never turn the
+    * two-stage probe back into a corpus scan. */
+  private[graft] def rerankClamp(tieSetEstimate: Long): Int =
+    math.max(64L, math.min(512L, tieSetEstimate)).toInt
+
   /** Shared encode → ADC shortlist → exact-rerank probe body: identical
     * for the 4-bit (k=16) and 8-bit (k=256) codebooks — only the
-    * broadcast `cb` relation differs. */
+    * broadcast `cb` relation differs.
+    *
+    * Adaptive depth (flat-PQ rule): the shortlist must cover the ADC
+    * near-tie set, which for a clustered corpus is the query's cluster
+    * occupancy — a quantity flat PQ has no structure to observe (no
+    * coarse cells). The envelope is therefore n_vectors/8, i.e. "assume
+    * the corpus is at least 8-way clustered", clamped to [64, 512]: a
+    * 10×500-member clustered corpus resolves to 512 (measured 10/10 for
+    * both bit-widths there) while every ≤512-vector gate corpus keeps
+    * the calibrated 64. Corpora whose true tie sets exceed the 512 cap
+    * are exactly the regime where the IVFPQ rows — whose probed-cell
+    * occupancy IS observable — are the shipped answer. One bounded
+    * count() on the already-checkpointed subs relation; no extra scan. */
   private def pqAdcProbe(s: SparkSession, d: String, subs: DataFrame,
       cb: DataFrame, planted: Boolean, rerank: Int): DataFrame = {
+    // subs holds n_vectors × 8 subvector rows → rows/64 = n_vectors/8
+    val depth = if (rerank > 0) rerank else rerankClamp(subs.count() / 64)
     val codes = subs.join(broadcast(cb), "sub")
       .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     val dtab = subs.filter(col("vec_id") === 0)
@@ -613,7 +648,7 @@ object VectorQueries {
         // only to the ulp; rounding + the id tie-break pin the shortlist
         round(col("adot") / sqrt(col("n2") * col("qn2")), 4).as("cos_adc"))
       .orderBy(col("cos_adc").desc, col("vec_id"))
-      .limit(rerank)
+      .limit(depth)
     // stage 2: exact-cosine rerank of the shortlist (broadcast at any
     // corpus size; the only exact-vector reads the probe does). The
     // depth is THE recall dial when ADC codes saturate: it must cover
@@ -708,7 +743,8 @@ object VectorQueries {
     * is 8 codes (one byte each) + the stored norm, the ADC table is
     * ≤2048 broadcast rows, exact reads stay ≤`rerank`. */
   private[graft] def pq8Top10(s: SparkSession, d: String,
-      planted: Boolean = false, rerank: Int = 64, steps: Int = 1): DataFrame = {
+      planted: Boolean = false, rerank: Int = RerankAdaptive,
+      steps: Int = 1): DataFrame = {
     val subs = pqSubs(s, d, planted).localCheckpoint()
     // k = 256 unconditionally: pqSeedIds' limit(k) binds at the corpus
     // size by construction (fewer than k non-query ids → every id
@@ -741,10 +777,16 @@ object VectorQueries {
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("cell", "pos")
       .agg((sum(col("v").cast("double").cast("decimal(20,10)")).cast("double")
-        / count(lit(1))).as("c"))
+        / count(lit(1))).as("c"),
+        // every vector contributes one row per pos, so the (cell, pos)
+        // row count IS the cell occupancy — carried through for the
+        // adaptive rerank depth (VERDICT r13 #2), free in this agg
+        count(lit(1)).as("occ"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"),
+        max("occ").as("occ"))
+      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("centroid"),
+        col("occ"))
 
   /** (vec_id, cell, sub, sv): per-vector RESIDUAL subvectors — the
     * vector minus its cell centroid, split M=8 ways in one Generate
@@ -826,16 +868,18 @@ object VectorQueries {
 
   /** IVF-PQ approximate top-10: probe = the nProbe cells whose centroid
     * is most query-cosine-similar; candidate score = dot(q, centroid) +
-    * ADC residual dot through a (nProbe × 8 × 16)-row broadcast distance
-    * table; the ADC top-64 SHORTLIST then reranks with the exact cosine
+    * ADC residual dot through a (nProbe × 8 × k)-row broadcast distance
+    * table; the ADC SHORTLIST then reranks with the exact cosine
     * (the pqTop10 two-stage recipe — production IVFADC re-ranking,
     * VERDICT r12 #2: ADC codes can't resolve near-tie intra-cluster
-    * order; 64-deep so the shortlist covers a cluster-sized ADC
-    * near-tie set). The rerank reads ≤64 exact vectors, so the probe stays
-    * nProbe-bounded. Split out so IvfPqSpec can measure raw recall. */
+    * order). Depth is DATA-ADAPTIVE since round 14: clamp(64, 512,
+    * Σ probed-cell occupancy) — covering the whole probed candidate set
+    * makes the rerank exact over the probe scope up to the 512 cost
+    * cap. The rerank reads ≤depth ≤512 exact vectors, so the probe
+    * stays nProbe-bounded. Split out so IvfPqSpec measures raw recall. */
   private[graft] def ivfpqTop10(s: SparkSession, d: String,
       nProbe: Int = ivfpqNProbe, planted: Boolean = false,
-      rerank: Int = 64, kCodes: Int = 16): DataFrame = {
+      rerank: Int = RerankAdaptive, kCodes: Int = 16): DataFrame = {
     val emb = annCorpus(s, d, planted)
     // cells/rsubs/codebook feed training, encoding, AND the probe —
     // checkpoint once or each consumer re-runs the upstream chain
@@ -861,9 +905,22 @@ object VectorQueries {
     val probed = cells.crossJoin(broadcast(queryVec(s, d)))
       .select(col("cell"),
         cosine_sim(col("centroid"), col("qv")).as("csim"),
-        vec_dot(col("qv"), col("centroid")).as("qc_dot"))
+        vec_dot(col("qv"), col("centroid")).as("qc_dot"),
+        col("occ"))
       .orderBy(col("csim").desc, col("cell")).limit(nProbe)
       .localCheckpoint() // nProbe rows, read by the ADC table and the probe join
+    // Adaptive depth (IVFPQ rule, VERDICT r13 #2): the ADC near-tie set
+    // is at most the probed candidate count, so depth = Σ occupancy of
+    // the probed cells makes the rerank EXACT over the probe scope
+    // whenever the probed cells hold ≤512 candidates — ADC resolution
+    // then only matters beyond the cap, where the measured matrix reads
+    // 10/10 at 512 on 500-member clusters. Occupancy rides the cells
+    // relation (computed in the same agg as the centroids); summing the
+    // ≤nProbe checkpointed rows is a bounded 1-row collect, the
+    // documented materialization class. Gate corpora resolve to the
+    // floor 64 (probed occ = 62), keeping plans and hashes unchanged.
+    val depth = if (rerank > 0) rerank
+      else rerankClamp(probed.agg(sum("occ")).collect()(0).getLong(0))
     // ADC table dots the QUERY's own subvectors (not the query residual)
     // against the residual codewords: score = q·c + Σ q_s·recon(v−c)_s
     // = q·recon(v) — the UNBIASED inner-product ADC. The round-8 form
@@ -896,7 +953,7 @@ object VectorQueries {
         round((col("qc_dot") + col("radot")) / sqrt(col("n2") * col("qn2")), 4)
           .as("cos_adc"))
       .orderBy(col("cos_adc").desc, col("vec_id"))
-      .limit(rerank)
+      .limit(depth)
     // stage 2: exact-cosine rerank of the ADC shortlist (depth = the
     // recall dial, see pqTop10)
     emb.select(col("vec_id"), col("embedding"))

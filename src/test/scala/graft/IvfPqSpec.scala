@@ -187,9 +187,13 @@ class IvfPqSpec extends AnyFunSuite {
         val v = emb(id)
         (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
       }
-    // stage 1: ADC top-64 shortlist; stage 2 (round 13): exact-cosine
-    // rerank of the shortlist — mirrors ivfpqTop10's two-stage plan
-    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    // stage 1: ADC shortlist at the ADAPTIVE depth (round 14 — mirror
+    // the shipped IVFPQ rule clamp(64, 512, Σ probed-cell occupancy),
+    // which resolves to the 64 floor on the gate corpus: 50 + 12 = 62);
+    // stage 2 (round 13): exact rerank — mirrors ivfpqTop10's plan
+    val probedOcc = emb.keys.count(id => probed.contains(cellOf(id)))
+    val depth = math.max(64, math.min(512, probedOcc))
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)
       // cosine_sim divides by sqrt(n2)*sqrt(qn2), not sqrt(n2*qn2)
@@ -271,7 +275,10 @@ class IvfPqSpec extends AnyFunSuite {
         val v = emb(id)
         (id, r4((qcDot + radot) / math.sqrt(dot(v, v) * qn2)))
       }
-    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    // adaptive shortlist depth (round 14): mirror the shipped rule
+    val probedOcc = emb.keys.count(id => probed.contains(cellOf(id)))
+    val depth = math.max(64, math.min(512, probedOcc))
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)
       (id, r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))))

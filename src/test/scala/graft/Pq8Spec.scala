@@ -159,7 +159,9 @@ class Pq8Spec extends AnyFunSuite {
       }.sum
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
-    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    // adaptive shortlist depth (round 14): mirror clamp(64, 512, n/8)
+    val depth = math.max(64, math.min(512, emb.size / 8))
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)
       (id, r4(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))))

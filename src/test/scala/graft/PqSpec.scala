@@ -119,9 +119,12 @@ class PqSpec extends AnyFunSuite {
       }.sum
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
-    // stage 1: ADC top-64 shortlist; stage 2 (round 13): exact-cosine
-    // rerank of the shortlist — mirrors pqTop10's two-stage plan
-    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(64).map(_._1)
+    // stage 1: ADC shortlist at the ADAPTIVE depth (round 14 — mirror
+    // the shipped flat-PQ rule clamp(64, 512, n/8), which resolves to
+    // the 64 floor on the 512-vector gate corpus); stage 2 (round 13):
+    // exact-cosine rerank of the shortlist — mirrors pqTop10's plan
+    val depth = math.max(64, math.min(512, emb.size / 8))
+    val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)
       // cosine_sim divides by sqrt(n2)*sqrt(qn2), not sqrt(n2*qn2)
