@@ -38,12 +38,20 @@ object BucketProbe {
       println(s"LEDGER site=$name cap=$cap overflow=${r.get(6)} max_occ=${r.get(1)}")
     }
 
-    // 1. q_phash_dedup: 16-bit phash bands over documents + plants
+    // 1. q_phash_dedup (round 14 shape): exact-hash classes collapse
+    // BEFORE banding, so the band site is measured over the class
+    // REPRESENTATIVES (what the shipped plan blocks on — duplication-
+    // invariant occupancy) and the class-size site carries the other
+    // cap. The r13 media-level numbers (14876 over cap, max 3264 at
+    // 100×) were exactly the exact-duplication mass this split removes.
     val media = Tables.documents(s, d)
       .select(col("doc_id").as("media_id"), col("text").as("txt"))
       .unionAll(MultimodalQueries.phPlanted.toDF("media_id", "txt"))
       .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
-    stats("phash_bands", media.select(col("media_id"),
+    stats("phash_classes", media.groupBy("ph").agg(count(lit(1)).as("n")),
+      Blocking.BandCap)
+    stats("phash_bands", media.groupBy("ph").agg(min("media_id").as("rep_id"))
+      .select(col("rep_id"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))

