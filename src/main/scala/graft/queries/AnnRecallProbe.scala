@@ -162,15 +162,15 @@ object AnnRecallProbe {
       println("\n| method | 50-member raw@10 (floor) | 500-member raw@10 (floor) |")
       println("|---|---|---|")
       results.head._2.foreach { case (name, _, _) =>
-        println(s"| $name | ${by50(name)} (≥${floors50(name)}) | " +
-          s"${by500(name)} (≥${floors500(name)}) |")
+        println(s"| $name | ${by50(name)} (>=${floors50(name)}) | " +
+          s"${by500(name)} (>=${floors500(name)}) |")
       }
       if (fails.nonEmpty) {
         fails.reverse.foreach(println)
         spark.stop()
         sys.exit(1)
       }
-      println(s"RECALLGATE ok — ${floors50.size + floors500.size} floors held")
+      println(s"RECALLGATE ok -- ${floors50.size + floors500.size} floors held")
     } else {
       val dirs = if (args.nonEmpty) args.toSeq
         else Seq("/root/testdata/sf0.01", "/tmp/sfc0.01")
