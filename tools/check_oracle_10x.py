@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""10x-scale oracle sweep (VERDICT r13 stretch): run the FULL contract
+oracle comparison at /tmp/sf1 (10x the sf0.1 gate), where the committed
+all-pairs oracle SQLs are infeasible (50k docs -> 1.25G list_intersect
+pairs; the sf0.1 gotcha already bans check_oracle there).
+
+The shared-pair-table trick, applied as a PROVABLE textual rewrite: the
+13 oracles built on `FROM sh a JOIN sh b ON a.doc_id < b.doc_id` all
+verify a positive-threshold overlap metric (jaccard >= 0.8, containment
+>= 0.9), and any pair passing such a threshold shares >= 1 bigram — so
+routing the join through an inverted-index candidate subquery (pairs
+sharing >= 1 gram, 11.3M candidates at 10x vs 1.25G all-pairs, built
+from the oracle's OWN sh CTE so probe-augmented variants stay covered)
+is EXACT, not approximate. q_dedup_incremental's dd-x-bb form gets the
+same treatment (its join predicate is literally `intersection >= 1`).
+
+Two modes:
+  prove:  python3 tools/check_oracle_10x.py --prove <dump> <sfdir>
+          runs ORIGINAL vs REWRITTEN oracle SQL at a small sf and
+          asserts identical results for every rewritten query — the
+          equivalence certificate, recorded in BASELINE.md.
+  sweep:  python3 tools/check_oracle_10x.py <dump> <sfdir> [names]
+          the check_oracle.py comparison with rewrites applied and
+          directory-parquet (glob) table views; per-query wall time
+          printed for the BASELINE 10x table.
+"""
+import json, math, os, sys, time
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# the all-pairs core shared by the 13 jaccard/containment-family
+# oracles, and its inverted-index-candidate equivalent (exact for every
+# positive-threshold overlap predicate downstream)
+PAIR_CORE = "FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+PAIR_REWRITE = """FROM (SELECT DISTINCT p1.doc_id AS cid_a, p2.doc_id AS cid_b
+    FROM (SELECT doc_id, u.g FROM sh, unnest(grams) AS u(g)) p1
+    JOIN (SELECT doc_id, u.g FROM sh, unnest(grams) AS u(g)) p2
+      ON p1.g = p2.g AND p1.doc_id < p2.doc_id) _cand
+  JOIN sh a ON a.doc_id = _cand.cid_a
+  JOIN sh b ON b.doc_id = _cand.cid_b"""
+
+INCR_CORE = "FROM dd JOIN bb ON len(list_intersect(dd.grams, bb.grams)) >= 1"
+INCR_REWRITE = """FROM (SELECT DISTINCT p1.doc_id AS cid_d, p2.doc_id AS cid_b
+    FROM (SELECT doc_id, u.g FROM dd, unnest(grams) AS u(g)) p1
+    JOIN (SELECT doc_id, u.g FROM bb, unnest(grams) AS u(g)) p2
+      ON p1.g = p2.g) _cand
+  JOIN dd ON dd.doc_id = _cand.cid_d
+  JOIN bb ON bb.doc_id = _cand.cid_b"""
+
+# q_contamination: bench x train containment (>= threshold > 0) — same
+# shared-gram argument between the two sides
+CONTAM_CORE = "FROM t JOIN b ON"
+CONTAM_REWRITE = """FROM (SELECT DISTINCT p1.doc_id AS cid_t, p2.bench_id AS cid_b
+    FROM (SELECT train_id AS doc_id, u.g FROM t, unnest(grams) AS u(g)) p1
+    JOIN (SELECT bench_id, u.g FROM b, unnest(grams) AS u(g)) p2
+      ON p1.g = p2.g) _cand
+  JOIN t ON t.train_id = _cand.cid_t
+  JOIN b ON b.bench_id = _cand.cid_b AND"""
+
+
+def rewrite(sql):
+    """Returns (rewritten_sql, was_rewritten)."""
+    out = sql
+    hit = False
+    if PAIR_CORE in out:
+        out = out.replace(PAIR_CORE, PAIR_REWRITE)
+        hit = True
+    if INCR_CORE in out:
+        out = out.replace(INCR_CORE, INCR_REWRITE)
+        hit = True
+    return out, hit
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def make_views(con, sfdir):
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+
+def frame(df):
+    df = df[sorted(df.columns)]
+    return list(df.columns), [[norm(v) for v in row]
+                              for row in df.itertuples(index=False)]
+
+
+def prove(dump, sfdir):
+    con = duckdb.connect()
+    make_views(con, sfdir)
+    oracle = json.load(open(f"{dump}/oracle_sql.json"))
+    bad = 0
+    n = 0
+    for name, sql in sorted(oracle.items()):
+        new, hit = rewrite(sql)
+        if not hit:
+            continue
+        n += 1
+        a = frame(con.execute(sql).fetchdf())
+        b = frame(con.execute(new).fetchdf())
+        if a == b:
+            print(f"PROVE ok   {name} ({len(a[1])} rows identical)")
+        else:
+            print(f"PROVE FAIL {name}: original and rewritten differ")
+            bad += 1
+    print(f"\nprove: {n - bad}/{n} rewrites identical to the originals")
+    return 1 if bad else 0
+
+
+def sweep(dump, sfdir, names=None):
+    con = duckdb.connect()
+    make_views(con, sfdir)
+    oracle = json.load(open(f"{dump}/oracle_sql.json"))
+    if names:
+        keep = set(names.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+    ok = fail = 0
+    rewritten = 0
+    for name, sql in sorted(oracle.items()):
+        sql, hit = rewrite(sql)
+        rewritten += int(hit)
+        t0 = time.time()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{dump}/{name}/*.parquet')").fetchdf()
+            want = con.execute(sql).fetchdf()
+            gc, g = frame(got)
+            wc, w = frame(want)
+            dt = time.time() - t0
+            if gc != wc:
+                print(f"FAIL {name}: columns {gc} vs {wc}")
+                fail += 1
+            elif len(g) != len(w):
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+                fail += 1
+            elif g == w:
+                tag = " (rewritten)" if hit else ""
+                print(f"OK   {name} ({len(g)} rows, {dt:.1f}s{tag})")
+                ok += 1
+            else:
+                bad = next(i for i, (x, y) in enumerate(zip(g, w)) if x != y)
+                print(f"FAIL {name}: first diff row {bad}:\n  spark={g[bad]}\n  duck ={w[bad]}")
+                fail += 1
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} fail, {len(oracle)} total ({rewritten} oracles rewritten)")
+    return 1 if fail else 0
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "--prove":
+        sys.exit(prove(sys.argv[2], sys.argv[3]))
+    sys.exit(sweep(sys.argv[1], sys.argv[2],
+                   sys.argv[3] if len(sys.argv) > 3 else None))
