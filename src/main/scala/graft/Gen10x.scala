@@ -29,9 +29,22 @@ object Gen10x {
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until n).map(c => f(df, c)).reduce(_ unionAll _)
 
+    // doc offset c*10k, NOT c*1e6 (round 14): source doc_ids are
+    // 0..4999, and a 1e6 stride put copy 9 at 9,000,000–9,004,999 —
+    // exactly on top of the 9,000,001+ planted-dedup id space the
+    // text-dedup queries union in (the same collision class the
+    // embedding offset fix below documents; measured at 10×:
+    // q_simhash_neardup / q_stream_minhash_dedup flag flips, because
+    // the colliding organic doc floods the planted pair's bucket on
+    // the capped engine side while the uncapped oracle keeps it). A
+    // 10k stride keeps even the 100× set at max 99·10k+4999 = 994,999,
+    // clear of every 9,000,001+ plant space. Regenerate /tmp/sf1 and
+    // /tmp/sf10 with --regen at the next round open; the round-14
+    // ledger/sweep artifacts were produced on the old-stride corpora
+    // (collision documented in BASELINE §round-14).
     val docs = Tables.documents(spark, src)
     copies(docs, (d, c) => d.select(
-        (col("doc_id") + c * 1000000L).as("doc_id"),
+        (col("doc_id") + c * 10000L).as("doc_id"),
         array_join(transform(split(col("text"), " "),
           t => concat(t, lit(s"x$c"))), " ").as("text"),
         col("lang"), col("source"), col("n_chars")))

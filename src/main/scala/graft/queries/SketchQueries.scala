@@ -197,12 +197,26 @@ object SketchQueries {
 
     // theta keeps raw hashes until ~4096 distinct → exact here; the
     // estimate IS count(distinct) and hash-checks against it.
+    // Contract shape is the q_bloom_cardinality guarantee flag, not the
+    // raw estimate (round 14): the 10× sweep showed the old
+    // `theta_users = exact_users` oracle was EXACT-MODE-SCOPED — below
+    // the sketch's nominal k the estimate is exact and the equality
+    // held at every gate scale, but past k the sketch correctly
+    // switches to (retained−1)/θ estimation (measured at 10×: 15047 vs
+    // 15000 exact = 0.31% error, well inside k=4096's ~1.6% RSE) and
+    // no DuckDB SQL can reproduce the library's internal hash. The
+    // bound below is ~3·RSE; the flag is scale-true instead of
+    // accidentally-exact.
     "q_theta_sketch" -> ((s, d) => {
       val ev = Tables.events(s, d)
       ev.groupBy("event_type")
         .agg(expr("theta_sketch_estimate(theta_sketch_agg(user_id))")
-            .cast("long").as("theta_users"),
+            .cast("double").as("theta_est"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("theta_est") - col("exact_users").cast("double"))
+            <= greatest(lit(3.0), lit(0.047) * col("exact_users")))
+            .as("theta_ok"))
         .orderBy("event_type")
     }),
 
@@ -713,8 +727,8 @@ object SketchQueries {
         |FROM events""".stripMargin,
 
     "q_theta_sketch" ->
-      """SELECT event_type, count(DISTINCT user_id) AS theta_users,
-        |       count(DISTINCT user_id) AS exact_users
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS theta_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_approx_quantiles" ->
@@ -723,12 +737,16 @@ object SketchQueries {
         |  round(quantile_disc(l_extendedprice, 0.99), 4) AS ap99
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // LIMIT 50 (round 14): at gate scale vocabulary ≤ 50 so the limit
+    // never binds (hashes unchanged); at 10× the vocabulary is 310 and
+    // the spark top-50 is a verified exact PREFIX of this ordering —
+    // without the limit the oracle silently assumed gate-sized vocab
     "q_heavy_hitters" ->
       """SELECT t AS word, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |                                t -> t <> '')) AS t
         |      FROM documents)
-        |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin,
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
 
     "q_bloom_cardinality" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_ndv,
@@ -754,12 +772,13 @@ object SketchQueries {
         |             (4, 1, 50, 8), (5, 33, 48, 5)) r(rid, lo, hi, nd)
         |ORDER BY r.rid""".stripMargin,
 
+    // LIMIT 50 for the same reason as q_heavy_hitters (round 14)
     "q_topk_reagg" ->
       """SELECT t AS word, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
         |                                t -> t <> '')) AS t
         |      FROM documents)
-        |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin,
+        |GROUP BY 1 ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
 
     "q_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

@@ -48,27 +48,38 @@ INCR_REWRITE = """FROM (SELECT DISTINCT p1.doc_id AS cid_d, p2.doc_id AS cid_b
   JOIN dd ON dd.doc_id = _cand.cid_d
   JOIN bb ON bb.doc_id = _cand.cid_b"""
 
-# q_contamination: bench x train containment (>= threshold > 0) — same
-# shared-gram argument between the two sides
-CONTAM_CORE = "FROM t JOIN b ON"
-CONTAM_REWRITE = """FROM (SELECT DISTINCT p1.doc_id AS cid_t, p2.bench_id AS cid_b
-    FROM (SELECT train_id AS doc_id, u.g FROM t, unnest(grams) AS u(g)) p1
+# q_contamination: train x bench coverage (>= 0.5 > 0) — the same
+# shared-gram argument between the two sides makes the candidate route
+# exact
+CONTAM_CORE = "FROM t, b\nWHERE"
+CONTAM_REWRITE = """FROM (SELECT DISTINCT p1.train_id AS cid_t, p2.bench_id AS cid_b
+    FROM (SELECT train_id, u.g FROM t, unnest(grams) AS u(g)) p1
     JOIN (SELECT bench_id, u.g FROM b, unnest(grams) AS u(g)) p2
       ON p1.g = p2.g) _cand
   JOIN t ON t.train_id = _cand.cid_t
-  JOIN b ON b.bench_id = _cand.cid_b AND"""
+  JOIN b ON b.bench_id = _cand.cid_b
+WHERE"""
 
 
 def rewrite(sql):
-    """Returns (rewritten_sql, was_rewritten)."""
+    """Returns (rewritten_sql, was_rewritten).
+
+    Besides routing the all-pairs join through the candidate subquery,
+    the sh/pairs CTEs are marked MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, so a graph oracle referencing `pairs` 3-4 times
+    would re-evaluate the candidate join and the jaccard verification
+    that many times (measured: one q_adamic_adar ran 19+ minutes at 10x
+    without the hint, ~2 minutes with it). MATERIALIZED is purely an
+    evaluation hint — results are unchanged, and prove mode asserts so.
+    """
     out = sql
-    hit = False
-    if PAIR_CORE in out:
+    hit = PAIR_CORE in out or INCR_CORE in out or CONTAM_CORE in out
+    if hit:
+        out = out.replace("sh AS (", "sh AS MATERIALIZED (", 1)
+        out = out.replace("pairs AS (", "pairs AS MATERIALIZED (", 1)
         out = out.replace(PAIR_CORE, PAIR_REWRITE)
-        hit = True
-    if INCR_CORE in out:
         out = out.replace(INCR_CORE, INCR_REWRITE)
-        hit = True
+        out = out.replace(CONTAM_CORE, CONTAM_REWRITE)
     return out, hit
 
 
@@ -78,6 +89,27 @@ def norm(v):
             return "NaN"
         return round(v, 9)
     return v
+
+
+def cells_eq(a, b):
+    """Cell comparison with DOUBLE-SUM tolerance (10x sweep only — the
+    sf0.01 driver gate stays bit-exact after round(,4)): a 600k-row
+    double sum at 1e10 magnitude accumulates order-dependent ulp error
+    ~1e-4, past the oracles' 4-decimal rounding, so engine-vs-DuckDB
+    sums differ at relative ~1e-13 (measured: 53049574168.3994 vs
+    .3998). rel_tol 1e-10 passes accumulation order and nothing else —
+    a genuinely wrong aggregate is off by far more."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b or math.isclose(a, b, rel_tol=1e-10, abs_tol=1e-9)
+    return a == b
+
+
+def rows_eq(g, w):
+    return len(g) == len(w) and all(
+        len(x) == len(y) and all(cells_eq(a, b) for a, b in zip(x, y))
+        for x, y in zip(g, w))
 
 
 def make_views(con, sfdir):
@@ -141,12 +173,14 @@ def sweep(dump, sfdir, names=None):
             elif len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
                 fail += 1
-            elif g == w:
+            elif rows_eq(g, w):
                 tag = " (rewritten)" if hit else ""
                 print(f"OK   {name} ({len(g)} rows, {dt:.1f}s{tag})")
                 ok += 1
             else:
-                bad = next(i for i, (x, y) in enumerate(zip(g, w)) if x != y)
+                bad = next(i for i, (x, y) in enumerate(zip(g, w))
+                           if not (len(x) == len(y) and
+                                   all(cells_eq(a, b) for a, b in zip(x, y))))
                 print(f"FAIL {name}: first diff row {bad}:\n  spark={g[bad]}\n  duck ={w[bad]}")
                 fail += 1
         except Exception as e:
