@@ -174,18 +174,31 @@ object IndexStore {
   private def leasePath(p: String) = new Path(p + ".lease")
   private def dataPath(p: String, id: String) = new Path(p + ".data-" + id)
 
-  /** (builderId, acquiredAtMs) of the current lease, if readable. */
+  /** (builderId, acquiredAtMs) of the current lease, if readable.
+    * Reads to EOF with a loop — a single `in.read` is allowed to return
+    * short on any FSDataInputStream, and a truncated timestamp would
+    * parse as a tiny epoch and make a LIVE lease look stale (spurious
+    * takeover of an active builder — ADVICE r14). Any content that
+    * doesn't parse as `<id> <epochMs>` (torn PUT, non-numeric ts) maps
+    * to None = "torn lease", never an exception: toLong on garbage
+    * throws NumberFormatException, which the IOException-only catch
+    * used to let crash resolvePublished on exactly the torn-lease case
+    * the protocol claims to tolerate. */
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,
       lease: Path): Option[(String, Long)] =
     try {
       val in = fs.open(lease)
       val raw = try {
+        val out = new java.io.ByteArrayOutputStream(256)
         val buf = new Array[Byte](256)
-        val n = in.read(buf)
-        if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+        var n = in.read(buf)
+        // 4 KiB cap: a well-formed lease is ~50 bytes; anything bigger
+        // is garbage and will fail the parse below anyway
+        while (n > 0 && out.size <= 4096) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toString("UTF-8")
       } finally in.close()
       raw.trim.split(' ') match {
-        case Array(id, ts) => Some((id, ts.toLong))
+        case Array(id, ts) => scala.util.Try(ts.toLong).toOption.map((id, _))
         case _ => None
       }
     } catch { case _: java.io.IOException => None }
@@ -249,7 +262,19 @@ object IndexStore {
       val data = dataPath(p, id)
       df.write.mode("overwrite").parquet(data.toString)
       if (ours) true
-      else { fs.delete(data, true); false }
+      else {
+        // Demoted by a stale takeover that landed mid-copy. Do NOT
+        // delete a copy that reached _SUCCESS (ADVICE r14): a reader
+        // that resolved the lease to OUR id in the window between our
+        // _SUCCESS and the takeover's PUT may be mid-read of this dir —
+        // deleting it fails that read. A complete loser copy is
+        // unreachable for NEW resolutions (the lease points elsewhere)
+        // and joins the documented orphan-garbage class, same as
+        // crashed losers. Only an incomplete copy (committer configured
+        // without the marker) is safe and worth reclaiming.
+        if (!fs.exists(new Path(data, "_SUCCESS"))) fs.delete(data, true)
+        false
+      }
     }
   }
 

@@ -77,13 +77,37 @@ object MultimodalQueries {
         .unionAll(phPlanted.toDF("media_id", "txt"))
         .select(col("media_id"), phash64(encode(col("txt"), "UTF-8")).as("ph"))
         .localCheckpoint() // one hash pass, fanned out to class + audit
-      // exact-hash classes: capped hamming-0 pair enumeration + min-id
-      // representative per distinct hash
-      val (classPairs, classOv) = Blocking.cappedBucketPairs(
-        media.select(col("ph"), col("media_id")), Seq("ph"), "media_id",
-        Blocking.BandCap)
-      val reps = media.groupBy("ph").agg(min("media_id").as("rep_id"))
+      // ONE class-stats pass (rep + occupancy per distinct hash) feeds
+      // everything the class route needs; a bounded 1-row collect on its
+      // max occupancy picks the route (VERDICT r14 #3 — the singleton
+      // fast path). When every exact class is a singleton (the gate
+      // corpora: organic payloads hash effectively randomly and the
+      // plants are hamming-1..3, not 0), the class collapse is an
+      // identity: reps ≡ media (a projection, no shuffle), hamming-0
+      // pairs can't exist, and the audit's per-class occupancy is
+      // uniformly 1 — so the classPairs enumeration, the clsOcc join,
+      // and the rep-resolution joins are all skipped. Behavior is
+      // provably identical (maxCls = 1 ⟹ no two distinct media share a
+      // hash), which is why one bounded agg may decide. The duplication-
+      // heavy regime (N×-replicated boilerplate: 500k media → 20.9k
+      // classes at 100×) takes the full collapse route unchanged.
+      val clsStats = media.groupBy("ph")
+        .agg(min("media_id").as("rep_id"), count(lit(1)).as("cocc"))
         .localCheckpoint() // consumed by bands, verify joins, and audit
+      val singleton = clsStats.agg(max("cocc")).head.getLong(0) == 1L
+      // exact-hash classes: capped hamming-0 pair enumeration + min-id
+      // representative per distinct hash (skipped when provably empty)
+      val (classPairs, classOv) =
+        if (singleton)
+          (media.select(col("media_id").as("id_a"),
+              col("media_id").as("id_b")).limit(0),
+            s.range(1).select(lit(0L).as("overflow_buckets")))
+        else Blocking.cappedBucketPairs(
+          media.select(col("ph"), col("media_id")), Seq("ph"), "media_id",
+          Blocking.BandCap)
+      val reps =
+        if (singleton) media.select(col("ph"), col("media_id").as("rep_id"))
+        else clsStats.select("ph", "rep_id")
       val bands = reps.select(col("rep_id"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -115,22 +139,29 @@ object MultimodalQueries {
       // is exactly the surfaced-recall-loss case overflow_buckets
       // accounts for. Constant cost at any corpus size.
       val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
-      val clsOcc = media.groupBy("ph").agg(count(lit(1)).as("cocc"))
       val step = media.agg(
         greatest(lit(1L), floor(count(lit(1)) / 1400.0).cast("long")).as("step"))
-      val sub = media.crossJoin(broadcast(step))
+      val sampled = media.crossJoin(broadcast(step))
         .filter(pmod(col("media_id"), col("step")) === 0)
-        .join(reps, "ph")
-        .select(col("media_id"), col("ph"), col("rep_id"))
+      // singleton route: every media is its own rep — no resolution join
+      val sub =
+        if (singleton) sampled
+          .select(col("media_id"), col("ph"), col("media_id").as("rep_id"))
+        else sampled.join(reps, "ph")
+          .select(col("media_id"), col("ph"), col("rep_id"))
       val sampledPairs = sub.toDF("id_a", "ph_a", "rep_a")
         .crossJoin(sub.toDF("id_b", "ph_b", "rep_b"))
         .filter(col("id_a") < col("id_b"))
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
         .localCheckpoint() // two audit routes read the sampled set
-      val refSameClass = sampledPairs.filter(col("ph_a") === col("ph_b"))
-        .join(clsOcc.withColumnRenamed("ph", "ph_a"), "ph_a")
-        .filter(col("cocc") <= Blocking.BandCap)
-        .select("id_a", "id_b").distinct()
+      // singleton route: ph_a === ph_b with id_a < id_b would need two
+      // distinct media sharing a hash — provably empty when maxCls = 1
+      val refSameClass =
+        if (singleton) sampledPairs.select("id_a", "id_b").limit(0)
+        else sampledPairs.filter(col("ph_a") === col("ph_b"))
+          .join(clsStats.select(col("ph").as("ph_a"), col("cocc")), "ph_a")
+          .filter(col("cocc") <= Blocking.BandCap)
+          .select("id_a", "id_b").distinct()
       val refCrossClass = sampledPairs.filter(col("ph_a") =!= col("ph_b"))
         .select(
           least(col("rep_a"), col("rep_b")).as("id_a"),
@@ -149,9 +180,34 @@ object MultimodalQueries {
       val nMissing = refSameClass.unionAll(refCrossClass)
         .join(pairs, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("n_missing"))
-      val plantedFound = pairs
-        .filter(col("id_a") === 9200001L && col("id_b") === 9200002L)
-        .agg((count(lit(1)) === 1).as("planted_pair_found"))
+      // planted-pair membership through REP RESOLUTION, not raw ids
+      // (ADVICE r14): filtering `pairs` for (9200001, 9200002) silently
+      // assumed each plant is its class's min-id — if a lower-id organic
+      // doc ever shared a planted hash, the emitted pair would carry the
+      // organic rep id and the flag would flip false despite correct
+      // dedup. The representative semantics the dedup itself uses (lines
+      // above): a member pair is found iff both land in the SAME exact
+      // class (class membership carries it) or their two classes' reps
+      // are linked by a hamming-≤3 rep pair.
+      val plantMembers = media.filter(col("media_id").isin(9200001L, 9200002L))
+      val plantReps = (if (singleton)
+          plantMembers.withColumn("rep_id", col("media_id"))
+        else plantMembers.join(reps, "ph"))
+        .agg(
+          max(when(col("media_id") === 9200001L, col("rep_id"))).as("r1"),
+          max(when(col("media_id") === 9200002L, col("rep_id"))).as("r2"))
+        .select(col("r1"), col("r2"),
+          least(col("r1"), col("r2")).as("id_a"),
+          greatest(col("r1"), col("r2")).as("id_b"))
+        .localCheckpoint() // 1 row, read by two consumers below
+      val plantedLinked = repPairs
+        .join(broadcast(plantReps.select("id_a", "id_b")), Seq("id_a", "id_b"))
+        .agg((count(lit(1)) >= 1).as("rep_linked"))
+      val plantedFound = plantReps
+        .select((col("r1") === col("r2")).as("same_class"))
+        .crossJoin(plantedLinked)
+        .select((col("same_class") || col("rep_linked"))
+          .as("planted_pair_found"))
       val negRejected = media.filter(col("media_id").isin(9200001L, 9200003L))
         .agg((bit_count(min("ph").bitwiseXOR(max("ph"))) > 3).as("neg_rejected"))
       media.agg(count(lit(1)).as("n_media"))

@@ -581,8 +581,9 @@ object VectorQueries {
     * the ADC near-tie set: a tight cluster's members round to equal
     * 4-bit ADC scores, so a 32-deep shortlist over a 50-member cluster
     * kept only ~6/10 of the exact set — measured round 13 on the
-    * clustered corpus). Depth is DATA-ADAPTIVE since round 14
-    * (clamp(64, 512, n/8) — see [[rerankClamp]] and the pqAdcProbe doc)
+    * clustered corpus). Depth is DATA-ADAPTIVE: the OBSERVED boundary
+    * tie-set count since round 15 (clamp(64, 512, observed ties) — see
+    * [[rerankClamp]] and the pqAdcProbe doc)
     * — the same two-stage economics
     * q_knn_binary/q_knn_matryoshka already run, so the per-vector probe
     * state stays codes + norm and the exact reads are O(shortlist), not
@@ -601,6 +602,17 @@ object VectorQueries {
     * depth to pin it (the AnnRecallProbe matrix rows do). */
   private[graft] val RerankAdaptive = 0
 
+  /** Probe seam (AnnRecallProbe --tieset evidence): the last adaptive
+    * depth resolution on this thread — flat-PQ (error-calibrated count)
+    * or IVFPQ (probed-cell occupancy) — as (clamped depth, raw observed
+    * ambiguity count). The ambiguity count ≫ the 512 cap IS the
+    * mega-tie-set regime marker — the probe pins that the estimator
+    * DETECTS the regime it cannot serve (see the tieset floors doc).
+    * Written only by the adaptive branches, read only by probes; engine
+    * logic never consults it. */
+  private[graft] val lastObservedAmbiguity =
+    new ThreadLocal[(Int, Long)] { override def initialValue() = (0, 0L) }
+
   /** The depth clamp shared by every adaptive path: floor 64 (the
     * calibrated contract depth — covers every gate corpus exactly, so
     * gate-scale plans and the driver-side differentials are unchanged),
@@ -616,21 +628,30 @@ object VectorQueries {
     * for the 4-bit (k=16) and 8-bit (k=256) codebooks — only the
     * broadcast `cb` relation differs.
     *
-    * Adaptive depth (flat-PQ rule): the shortlist must cover the ADC
-    * near-tie set, which for a clustered corpus is the query's cluster
-    * occupancy — a quantity flat PQ has no structure to observe (no
-    * coarse cells). The envelope is therefore n_vectors/8, i.e. "assume
-    * the corpus is at least 8-way clustered", clamped to [64, 512]: a
-    * 10×500-member clustered corpus resolves to 512 (measured 10/10 for
-    * both bit-widths there) while every ≤512-vector gate corpus keeps
-    * the calibrated 64. Corpora whose true tie sets exceed the 512 cap
-    * are exactly the regime where the IVFPQ rows — whose probed-cell
-    * occupancy IS observable — are the shipped answer. One bounded
-    * count() on the already-checkpointed subs relation; no extra scan. */
+    * Adaptive depth (flat-PQ rule, round 15): the shortlist must cover
+    * the ADC near-tie set. Round 14 ESTIMATED it with an n/8 envelope
+    * ("assume ≥8-way clustering") because flat PQ has no coarse cells to
+    * read occupancy from — but the ambiguity IS observable: calibrate an
+    * empirical ADC error bound from the depth-64 boundary sample's exact
+    * cosines and count the candidates whose ADC score could displace the
+    * sample's 10th-best champion within that bound, clamped to [64,
+    * 512]. Both directions the envelope got wrong are fixed: large
+    * corpora of well-separated candidates stop burning the 512 cap
+    * (n/8 = 512 from 4096 vectors up, ambiguous or not), and a sharp
+    * codebook expands by its measured noise instead of collapsing to the
+    * floor (the rounding-ulp tie count shipped 3/10 on the 3-step-Lloyd
+    * 8-bit row before this calibration — see the in-body comment).
+    * Corpora whose observed ambiguity exceeds the 512 cost cap (the
+    * AnnRecallProbe --tieset corpus: 10k-member clusters, ambiguity
+    * ≈ cluster size) are DETECTED — the probe pins the detection — but
+    * cannot be served at the cap by ANY selection rule reading 512 exact
+    * vectors (measured: 1-4/10 for every PQ family member including
+    * residual ivfpq8; the order-statistic gaps shrink with cluster size
+    * while ADC noise stays constant, so the information simply is not in
+    * the codes). That regime's production answers are structural —
+    * finer quantization or tighter clustering — not a deeper dial. */
   private def pqAdcProbe(s: SparkSession, d: String, subs: DataFrame,
       cb: DataFrame, planted: Boolean, rerank: Int): DataFrame = {
-    // subs holds n_vectors × 8 subvector rows → rows/64 = n_vectors/8
-    val depth = if (rerank > 0) rerank else rerankClamp(subs.count() / 64)
     val codes = subs.join(broadcast(cb), "sub")
       .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     val dtab = subs.filter(col("vec_id") === 0)
@@ -639,7 +660,7 @@ object VectorQueries {
     val norms = annCorpus(s, d, planted)
       .select(col("vec_id"), vec_dot(col("embedding"), col("embedding")).as("n2"))
     val qn = norms.filter(col("vec_id") === 0).select(col("n2").as("qn2"))
-    val shortlist = codes.filter(col("vec_id") =!= 0)
+    val scoredRaw = codes.filter(col("vec_id") =!= 0)
       .join(broadcast(dtab), Seq("sub", "cid"))
       .groupBy("vec_id").agg(sum("qdot").as("adot"))
       .join(norms, "vec_id").crossJoin(broadcast(qn))
@@ -647,6 +668,57 @@ object VectorQueries {
         // rounded before ranking: the 8-term adot sum is order-free
         // only to the ulp; rounding + the id tie-break pin the shortlist
         round(col("adot") / sqrt(col("n2") * col("qn2")), 4).as("cos_adc"))
+    // Adaptive depth (flat-PQ rule, VERDICT r14 #7): OBSERVED ambiguity,
+    // not the r14 n/8 envelope — and calibrated against the ADC's own
+    // measured ERROR, not the score-rounding ulp. A pure boundary-tie
+    // count (candidates whose rounded score ties rank 64) looked right
+    // but under-measures exactly when the codebook improves: the 3-step-
+    // Lloyd 8-bit codebook spreads cluster scores past 4 decimals while
+    // its estimation error still misorders them, so the tie count read
+    // ~64 and recall collapsed to 3/10 on 500-member clusters (measured
+    // here before shipping — the rounding ulp is NOT the ambiguity
+    // radius). The shipped rule derives the radius from data the probe
+    // already touches: take the depth-64 ADC shortlist (the 64 exact
+    // reads any rerank pays anyway), compute each candidate's exact
+    // cosine, and let eps = max |cos_exact − cos_adc| over that sample —
+    // an empirical error bound for THIS codebook on THIS corpus. An
+    // outside candidate can only displace the sample's 10th-best exact
+    // champion if its true cosine beats it, and cos_exact ≤ cos_adc +
+    // eps, so covering every candidate with cos_adc ≥ champion − eps
+    // covers every possible displacer up to the empirical bound. Depth =
+    // clamp(64, 512, that count): a huge corpus of well-separated
+    // candidates keeps depth ≈ 64 (n/8 burned the cap on unambiguous
+    // candidates), a saturated-ADC mega-cluster takes the cap, and a
+    // sharp codebook expands by its true noise, not its rounding. Cost:
+    // one linear checkpoint of the scored relation (the state the
+    // shortlist sort reads anyway), 64 bounded exact reads, two 1-row
+    // aggregates; total exact reads stay ≤ the 512 cap at any corpus
+    // size. Floors re-measured GREEN on all three clustered gates (50/
+    // 500/10k-member) after this change; pinned-depth callers (the
+    // AnnRecallProbe fixed-depth sentinel rows) skip all of it.
+    val (depth, scored) = if (rerank > 0) (rerank, scoredRaw) else {
+      val ck = scoredRaw.localCheckpoint()
+      val top64 = ck.orderBy(col("cos_adc").desc, col("vec_id")).limit(64)
+      val sample = annCorpus(s, d, planted)
+        .select(col("vec_id"), col("embedding"))
+        .join(broadcast(top64), "vec_id")
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("cos_adc"),
+          cosine_sim(col("embedding"), col("qv")).as("cos_exact"))
+      val r = sample.agg(
+        max(abs(col("cos_exact") - col("cos_adc"))).as("eps"),
+        sort_array(collect_list(col("cos_exact")), asc = false).as("ex")).head
+      if (r.isNullAt(0)) (64, ck)
+      else {
+        val eps = r.getDouble(0)
+        val ex = r.getSeq[Double](1)
+        val champion = ex(math.min(9, ex.size - 1))
+        val ties = ck.filter(col("cos_adc") >= champion - eps).count()
+        lastObservedAmbiguity.set((rerankClamp(ties), ties))
+        (rerankClamp(ties), ck)
+      }
+    }
+    val shortlist = scored
       .orderBy(col("cos_adc").desc, col("vec_id"))
       .limit(depth)
     // stage 2: exact-cosine rerank of the shortlist (broadcast at any
@@ -920,7 +992,11 @@ object VectorQueries {
     // documented materialization class. Gate corpora resolve to the
     // floor 64 (probed occ = 62), keeping plans and hashes unchanged.
     val depth = if (rerank > 0) rerank
-      else rerankClamp(probed.agg(sum("occ")).collect()(0).getLong(0))
+      else {
+        val occSum = probed.agg(sum("occ")).collect()(0).getLong(0)
+        lastObservedAmbiguity.set((rerankClamp(occSum), occSum))
+        rerankClamp(occSum)
+      }
     // ADC table dots the QUERY's own subvectors (not the query residual)
     // against the residual codewords: score = q·c + Σ q_s·recon(v−c)_s
     // = q·recon(v) — the UNBIASED inner-product ADC. The round-8 form

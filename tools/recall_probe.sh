@@ -30,8 +30,9 @@ cd "$(dirname "$0")/.."
 
 C50=${RECALL_PROBE_C50:-/tmp/sfc0.01}
 C500=${RECALL_PROBE_C500:-/tmp/sfc10x}
+C10K=${RECALL_PROBE_C10K:-/tmp/sfc10k}
 
-if [ "${1:-}" = "--regen" ]; then rm -rf "$C50" "$C500"; fi
+if [ "${1:-}" = "--regen" ]; then rm -rf "$C50" "$C500" "$C10K"; fi
 if [ ! -d "$C50" ]; then
   echo "recall_probe: generating 50-member clustered corpus at $C50"
   sbt -batch "runMain graft.GenClustered $C50" >/dev/null
@@ -52,4 +53,27 @@ else
   grep -aE "^\[annrecall\]|^\||^RECALLGATE" "$log" || tail -40 "$log"
   echo "recall_probe: RED — a pinned recall floor was tripped (log: $log)" >&2
   exit 1
+fi
+
+# mega-tie-set evidence rows (VERDICT r14 #7, measured): on a corpus
+# whose query cluster (10k members) dwarfs the 512 depth cap, NO
+# ≤512-exact-read selection rule can recover the exact top-10 (ADC
+# noise > the order-statistic gaps — floors pin the measured 1/2/0/4),
+# so the gate instead pins DETECTION: the observed-ambiguity estimator
+# must resolve ambiguity >> the cap there. RECALL_PROBE_TIESET=0 skips.
+if [ "${RECALL_PROBE_TIESET:-1}" = "1" ]; then
+  if [ ! -d "$C10K" ]; then
+    echo "recall_probe: generating 10k-member clustered corpus at $C10K"
+    sbt -batch "runMain graft.GenClustered $C10K 10000" >/dev/null
+  fi
+  tlog=$(mktemp /tmp/recall_tieset.XXXX.log)
+  if sbt -batch "runMain graft.queries.AnnRecallProbe --tieset $C10K" \
+      >"$tlog" 2>&1; then
+    grep -aE "^\[annrecall\]|^\||^RECALLGATE" "$tlog"
+    echo "recall_probe: tieset GREEN (full log: $tlog)"
+  else
+    grep -aE "^\[annrecall\]|^\||^RECALLGATE" "$tlog" || tail -40 "$tlog"
+    echo "recall_probe: RED — the tieset floor was tripped (log: $tlog)" >&2
+    exit 1
+  fi
 fi

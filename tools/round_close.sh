@@ -21,3 +21,7 @@ head=$(git rev-parse --short HEAD)
 echo "round_close: full sbt test on HEAD=$head (clean tree)"
 sbt -batch test
 echo "round_close: suite GREEN on $head at $(date -u +%FT%TZ) — paste this line into BASELINE.md"
+# Release-grade OPTIONAL gate (VERDICT r14 #2): the 10x full-contract
+# hash sweep — run `bash tools/sweep10x.sh` (or ROUND_CLOSE_SWEEP10X=1
+# here) when the round's BASELINE claims 10x hash evidence.
+if [ "${ROUND_CLOSE_SWEEP10X:-0}" = "1" ]; then bash tools/sweep10x.sh; fi

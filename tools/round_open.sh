@@ -24,19 +24,34 @@ cd "$(dirname "$0")/.."
 DRIVER_ARTIFACTS='^(BENCH_r[0-9]+\.json|CORRECTNESS_r[0-9]+\.json|VERDICT\.md|ADVICE\.md|COPYCHECK\.json|PROGRESS\.jsonl)$'
 RESTORE_ARTIFACTS='^(BENCH_LOCAL\.json|LEAKCHECK\.json)$'
 
-dirty=$(git status --porcelain | awk '{print $2}')
-if [ -z "$dirty" ]; then
+# Parse null-delimited porcelain (ADVICE r14): `awk '{print $2}'` over
+# the non-z form misparses renames (yields the OLD path of `R old ->
+# new`) and any path containing spaces — fatal in a script that
+# auto-commits and auto-restores. In -z form each entry is "XY PATH\0";
+# rename/copy entries are followed by a second NUL-terminated ORIGIN
+# path, which we consume and classify as hand-adjudication (a renamed
+# artifact is not a driver behavior this script knows how to handle).
+other=()
+to_commit=()
+to_restore=()
+n_entries=0
+while IFS= read -r -d '' entry; do
+  n_entries=$((n_entries + 1))
+  st=${entry:0:2}
+  f=${entry:3}
+  if [[ $st == *R* || $st == *C* ]]; then
+    IFS= read -r -d '' origin || origin='<missing origin>'
+    other+=("$f (renamed/copied from: $origin)")
+    continue
+  fi
+  if [[ $f =~ $RESTORE_ARTIFACTS ]]; then to_restore+=("$f")
+  elif [[ $f =~ $DRIVER_ARTIFACTS ]]; then to_commit+=("$f")
+  else other+=("$f")
+  fi
+done < <(git status --porcelain=v1 -z)
+if [ "$n_entries" -eq 0 ]; then
   echo "round_open: tree already clean — no driver artifacts to adjudicate"
 else
-  other=()
-  to_commit=()
-  to_restore=()
-  for f in $dirty; do
-    if [[ $f =~ $RESTORE_ARTIFACTS ]]; then to_restore+=("$f")
-    elif [[ $f =~ $DRIVER_ARTIFACTS ]]; then to_commit+=("$f")
-    else other+=("$f")
-    fi
-  done
   if [ ${#other[@]} -gt 0 ]; then
     echo "round_open: NON-driver paths are dirty — adjudicate by hand first:" >&2
     printf '  %s\n' "${other[@]}" >&2
