@@ -162,6 +162,42 @@ object TextQueries {
              - coalesce(col("inter"), lit(0L))).cast("double"), 4).as("jaccard"))
   }
 
+  /** Token-FREQUENCY cosine per candidate pair — the similarity the
+    * SimHash LSH actually estimates (Charikar 2002: each signature bit
+    * disagrees with probability θ/π, θ the angle between the two
+    * token-frequency vectors), so it is the verify metric whose floor
+    * survives every corpus (unlike an unweighted token-SET overlap,
+    * which frequency-skewed pairs push arbitrarily low while their
+    * weighted angle stays tiny — the failure the 10× sweep caught in
+    * round 15). Bounded like [[verifyJaccard]]: frequency postings are
+    * keyed joins against the (small) pair set, never all-pairs; the
+    * per-doc norms ride a groupBy over the pair members only. */
+  private[graft] def weightedCosine(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("gh"))
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    val members = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val fp = freq.join(members, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // read by both dot sides and the norms
+    val n2 = fp.groupBy("doc_id").agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val dots = pairs.select("id_a", "id_b")
+      .join(fp.toDF("id_a", "gh", "ca"), "id_a")
+      .join(fp.toDF("id_b", "gh", "cb"), Seq("id_b", "gh"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    pairs.select("id_a", "id_b")
+      .join(dots, Seq("id_a", "id_b"), "left")
+      .join(n2.toDF("id_a", "n2a"), "id_a")
+      .join(n2.toDF("id_b", "n2b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(col("n2a") > 0 && col("n2b") > 0,
+          round(coalesce(col("dot"), lit(0L)).cast("double")
+            / sqrt(col("n2a").cast("double") * col("n2b").cast("double")), 4))
+          .otherwise(lit(0.0)).as("wcos"))
+  }
+
   /**
    * Exact 3-gram Jaccard ≥ 0.8 pair set, inverted-index formulation:
    * |A ∩ B| via a shuffle join on the shingle key (co-occurrence count),
@@ -325,8 +361,29 @@ object TextQueries {
 
   /** Per-doc 64-bit simhash signatures (exploded codegen formulation,
     * bit-identical to the per-row interpreted simhash64() HOF). */
-  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
+  /** Planted batch for the q_simhash_neardup gate (round 15): a
+    * NEAR-duplicate pair and a disjoint negative control, in the
+    * untouched 9400001+ id space, vocab-disjoint from the corpus and
+    * every other plant family (`qsimz`/`qsimn` prefixes — the
+    * plantedChainDocs technique). Geometry: 1200 distinct tokens with
+    * ONE swapped — each signature bit's vote sum has σ = √1200 ≈ 34.6
+    * and the swap moves it by at most 2, so the expected bit flips are
+    * ≈ 64·P(S∈{0,2})·P(hash bits differ)/2 ≈ 1 « 3 (deterministic with
+    * the fixed xxhash64 family; the gate pins the actual outcome), while
+    * a SHORT near-dup would NOT land (one swap among 60 tokens flips ~9
+    * bits — hamming ≤ 3 of 64 is a tight radius, which is exactly why
+    * the pair contract needs plants instead of organic luck). The
+    * negative shares zero tokens → hamming ≈ 32, never a candidate. */
+  private[graft] val simPlanted: Seq[(Long, String)] = Seq(
+    (9400001L, (0 until 1200).map(i => s"qsimz$i").mkString(" ")),
+    (9400002L, ((0 until 1199).map(i => s"qsimz$i") :+ "qsimz9999").mkString(" ")),
+    (9400003L, (0 until 1200).map(i => s"qsimn$i").mkString(" ")))
+
+  /** SimHash signatures from an explicit (doc_id, text) relation —
+    * the planted-union caller's seam; [[simhashSigs]] keeps the
+    * plain-corpus reading every probe/spec uses. */
+  private[graft] def simhashSigsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val votes = toks.groupBy("doc_id").agg(
@@ -340,6 +397,9 @@ object TextQueries {
         when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
         .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
   }
+
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigsOf(Tables.documents(s, d).select("doc_id", "text"))
 
   /**
    * SimHash hamming ≤ 3 pairs: blocking on the 4 16-bit signature chunks
@@ -813,31 +873,42 @@ object TextQueries {
     }),
 
     // --- SimHash near-dup (64-bit signature, hamming ≤ 3) ---------------
-    // Pair detection in [[simhashPairs]] (pigeonhole 16-bit-chunk
-    // blocking). Simhash bits are not DuckDB-expressible, so the gate row
-    // carries the operator's CONTRACT, computed in-plan and thresholded
-    // (the literal-TRUE oracle trick of hll_ok/recall_ok):
-    // (a) blocking_complete — the chunk-blocked pair set EQUALS the
-    //     all-pairs hamming≤3 set (the pigeonhole guarantee, verified
-    //     against a sig cross join over a deterministic ≤1400-doc
-    //     witness sample — the audit cost is CONSTANT in corpus size,
-    //     only the linear blocking scales with the data);
-    // (b) pairs_vocab_ok — every emitted pair's UNIGRAM (token-set)
-    //     Jaccard ≥ 0.45: simhash measures WEIGHTED bag-of-tokens
-    //     similarity, so the vocabulary floor — not the order-sensitive
-    //     n-gram floor — is its truth, and the floor is calibrated
-    //     across every probed scale (NearDupProbe: min 0.86–0.90 at the
-    //     gate scales, 0.50 at sf0.1 where frequency-skewed 50%-overlap
-    //     pairs legitimately land within hamming 3 — the r10 sf0.1
-    //     contract sweep caught the old 0.8 floor as gate-scale-only
-    //     calibration). Random-pair vocab overlap is ~0.1; the floor
-    //     still separates signal from noise by 4×.
+    // Candidate detection in [[simhashPairsFromSigs]] (pigeonhole
+    // 16-bit-chunk blocking), then PRODUCTION verify semantics
+    // (round 15): candidates PROPOSE, the exact dedup metric DISPOSES —
+    // emitted pairs are the hamming-≤3 candidates whose unigram
+    // (token-set) Jaccard clears 0.45, exactly the q_minhash_neardup
+    // recipe (banding → exact-Jaccard filter). Round 15's 10× sweep
+    // falsified the previous contract ("every hamming-≤3 pair has
+    // vocab Jaccard ≥ floor") the same way the r10 sf0.1 sweep
+    // falsified its 0.8 predecessor: ANY posterior floor on raw
+    // candidates is corpus calibration — measured mins walked 0.86 (sf
+    // gates) → 0.50 (sf0.1) → 0.23 (10×), and the weighted-cosine
+    // reformulation fares no better (hamming ≤ 3 pairs reach wcos 0.54:
+    // with per-token ±1 hash projections the bit errors are correlated,
+    // so the Charikar θ/π tail is not a usable bound). Simhash bits are
+    // not DuckDB-expressible, so the gate row carries the operator's
+    // contract, computed in-plan (the literal-TRUE oracle trick):
+    // (a) blocking_complete — the chunk-blocked candidate set EQUALS
+    //     the all-pairs hamming≤3 set over a deterministic ≤1400-doc
+    //     witness sample (CONSTANT audit cost at any corpus size);
+    // (b) planted_pair_found / neg_rejected — the [[simPlanted]]
+    //     near-dup pair (1199/1200 shared tokens → ≤3 sig-bit flips by
+    //     construction) must survive blocking AND verify; the
+    //     vocab-disjoint control must never be emitted. Scale-TRUE
+    //     teeth: plants are corpus-independent, unlike organic-pair
+    //     floors;
+    // (c) pairs_vocab_ok — every EMITTED pair clears the verify floor
+    //     (the wiring check on the verify join itself).
     "q_simhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .unionAll(simPlanted.toDF("doc_id", "text"))
       // signatures are the expensive pass (64 bit-vote sums over every
       // token) — materialize ONCE (localCheckpoint, n×16 bytes) and fan
       // out to blocking, audit, and verify instead of recomputing per
       // consumer (was 3 corpus passes)
-      val sigs = simhashSigs(s, d).localCheckpoint()
+      val sigs = simhashSigsOf(docs).localCheckpoint()
       val (pairs, chunkOverflow) = simhashPairsFromSigs(sigs)
       // the all-pairs completeness audit is bounded to a deterministic
       // witness sample (≤ ~1400 docs → ≤ 1M sig pairs, CONSTANT at any
@@ -858,15 +929,25 @@ object TextQueries {
         .filter(pmod(col("id_a"), col("step")) === 0
           && pmod(col("id_b"), col("step")) === 0)
         .agg(count(lit(1)).as("n_blocked"))
-      val uniPostings = Tables.documents(s, d)
+      val uniPostings = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("gh")).distinct()
-      val vocabOk = verifyJaccard(pairs, uniPostings).agg(
+      val emitted = verifyJaccard(pairs, uniPostings)
+        .filter(col("jaccard") >= 0.45)
+        .localCheckpoint() // read by three flag aggregates below
+      val vocabOk = emitted.agg(
         coalesce(min("jaccard") >= 0.45, lit(true)).as("pairs_vocab_ok"))
-      nBlocked.crossJoin(nAll).crossJoin(vocabOk)
-        .crossJoin(broadcast(chunkOverflow))
+      val plantedFound = emitted
+        .filter(col("id_a") === 9400001L && col("id_b") === 9400002L)
+        .agg((count(lit(1)) === 1).as("planted_pair_found"))
+      val negRejected = emitted
+        .filter(col("id_a") === 9400003L || col("id_b") === 9400003L)
+        .agg((count(lit(1)) === 0).as("neg_rejected"))
+      nBlocked.crossJoin(nAll).crossJoin(plantedFound).crossJoin(negRejected)
+        .crossJoin(vocabOk).crossJoin(broadcast(chunkOverflow))
         .select(lit("simhash").as("method"), lit(3).as("max_hamming"),
           (col("n_blocked") === col("n_all")).as("blocking_complete"),
+          col("planted_pair_found"), col("neg_rejected"),
           col("pairs_vocab_ok"), col("overflow_buckets"))
     }),
 
@@ -1936,7 +2017,8 @@ object TextQueries {
     // simhash guarantee row (bits not SQL-expressible; the contract is)
     "q_simhash_neardup" ->
       """SELECT 'simhash' AS method, 3 AS max_hamming,
-        |  true AS blocking_complete, true AS pairs_vocab_ok,
+        |  true AS blocking_complete, true AS planted_pair_found,
+        |  true AS neg_rejected, true AS pairs_vocab_ok,
         |  0::BIGINT AS overflow_buckets""".stripMargin,
 
     "q_stratified_sample" ->
