@@ -159,8 +159,19 @@ class Pq8Spec extends AnyFunSuite {
       }.sum
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
-    // adaptive shortlist depth (round 14): mirror clamp(64, 512, n/8)
-    val depth = math.max(64, math.min(512, emb.size / 8))
+    // adaptive shortlist depth — mirror the shipped round-15
+    // error-calibrated rule (see PqSpec's differential for the recipe)
+    def exactCos(id: Long): Double = {
+      val v = emb(id)
+      dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))
+    }
+    val top64 = scored.sortBy { case (id, cs) => (-cs, id) }.take(64)
+    val eps = top64.map { case (id, cs) => math.abs(exactCos(id) - cs) }.max
+    val exDesc = top64.map { case (id, _) => exactCos(id) }
+      .sorted(Ordering[Double].reverse)
+    val champion = exDesc(math.min(9, exDesc.size - 1))
+    val depth = math.max(64, math.min(512,
+      scored.count { case (_, cs) => cs >= champion - eps }))
     val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)

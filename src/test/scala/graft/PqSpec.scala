@@ -119,11 +119,24 @@ class PqSpec extends AnyFunSuite {
       }.sum
       (id, r4(adot / math.sqrt(dot(v, v) * qn2)))
     }
-    // stage 1: ADC shortlist at the ADAPTIVE depth (round 14 — mirror
-    // the shipped flat-PQ rule clamp(64, 512, n/8), which resolves to
-    // the 64 floor on the 512-vector gate corpus); stage 2 (round 13):
-    // exact-cosine rerank of the shortlist — mirrors pqTop10's plan
-    val depth = math.max(64, math.min(512, emb.size / 8))
+    // stage 1: ADC shortlist at the ADAPTIVE depth — mirror the shipped
+    // flat-PQ rule (round 15, error-calibrated observed ambiguity):
+    // eps = max |cos_exact − cos_adc| over the ADC-top-64 sample,
+    // champion = the sample's 10th-best exact cosine (both UNrounded
+    // exact, like cosine_sim in-plan), depth = clamp(64, 512,
+    // #candidates with rounded cos_adc ≥ champion − eps); stage 2
+    // (round 13): exact-cosine rerank — mirrors pqTop10's plan
+    def exactCos(id: Long): Double = {
+      val v = emb(id)
+      dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(qn2))
+    }
+    val top64 = scored.sortBy { case (id, cs) => (-cs, id) }.take(64)
+    val eps = top64.map { case (id, cs) => math.abs(exactCos(id) - cs) }.max
+    val exDesc = top64.map { case (id, _) => exactCos(id) }
+      .sorted(Ordering[Double].reverse)
+    val champion = exDesc(math.min(9, exDesc.size - 1))
+    val depth = math.max(64, math.min(512,
+      scored.count { case (_, cs) => cs >= champion - eps }))
     val shortlist = scored.sortBy { case (id, cs) => (-cs, id) }.take(depth).map(_._1)
     val reranked = shortlist.map { id =>
       val v = emb(id)
