@@ -294,18 +294,52 @@ object MultimodalQueries {
         .filter(cosine_sim(col("emb_a"), col("emb_b")) >= 0.9)
         .select(col("id_a"), col("id_b"), lit("embed").as("channel"))
 
-      // channel 3: payload — the q_phash_dedup aHash band blocking
+      // channel 3: payload — the q_phash_dedup aHash band blocking,
+      // with the SAME exact-dedup-first rule (round 15; the r14
+      // q_phash_dedup lesson applied to this site after the regenerated
+      // 10× corpus tripped it): aHash is insensitive to the per-copy
+      // token tags, so replicated boilerplate multiplies raw-member band
+      // occupancy past the cap (3 overflowing buckets at 10×) while the
+      // DISTINCT-hash occupancy stays scale-stable. Collapse hamming-0
+      // classes first (capped pair enumeration = the same-class
+      // evidence), band the REPRESENTATIVES, verify rep pairs with the
+      // exact hamming distance, and expand cross-class rep links back to
+      // member pairs through the cap-bounded class membership (≤ cap
+      // lowest-id members per class — the over-cap classes are exactly
+      // the ones classOv already counts, so the expansion adds no silent
+      // loss).
       val phs = items.select(col("id"), phash64(col("payload")).as("ph"))
         .localCheckpoint()
-      val pbuckets = phs.select(col("id"), posexplode(array((0 until 4).map(b =>
+      val (classEvP, classOvP) = Blocking.cappedBucketPairs(
+        phs.select(col("ph"), col("id")), Seq("ph"), "id", Blocking.BandCap)
+      val repsP = phs.groupBy("ph").agg(min("id").as("rep_id"))
+        .localCheckpoint() // banding + two verify joins + member expansion
+      val pbuckets = repsP.select(col("rep_id"),
+        posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
-      val pa = phs.select(col("id").as("id_a"), col("ph").as("ph_a"))
-      val pb = phs.select(col("id").as("id_b"), col("ph").as("ph_b"))
-      val (phashCand, phashOv) = bucketPairs(pbuckets, Seq("band", "bkey"))
-      val phashEv = phashCand
-        .join(pa, "id_a").join(pb, "id_b")
+      val (phashCand, phashOv) = Blocking.cappedBucketPairs(
+        pbuckets, Seq("band", "bkey"), "rep_id", Blocking.BandCap)
+      val rpa = repsP.select(col("rep_id").as("id_a"), col("ph").as("ph_a"))
+      val rpb = repsP.select(col("rep_id").as("id_b"), col("ph").as("ph_b"))
+      val repLinksP = phashCand
+        .join(rpa, "id_a").join(rpb, "id_b")
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
+      // cap-bounded class membership for the member expansion
+      val memRk = org.apache.spark.sql.expressions.Window
+        .partitionBy("ph").orderBy("id")
+      val membersP = phs
+        .withColumn("rk", row_number().over(memRk))
+        .filter(col("rk") <= Blocking.BandCap)
+        .join(repsP, "ph")
+        .select(col("rep_id"), col("id"))
+      val crossEvP = repLinksP
+        .join(membersP.select(col("rep_id").as("rep_a"), col("id").as("ma")), "rep_a")
+        .join(membersP.select(col("rep_id").as("rep_b"), col("id").as("mb")), "rep_b")
+        .select(least(col("ma"), col("mb")).as("id_a"),
+          greatest(col("ma"), col("mb")).as("id_b"))
+      val phashEv = classEvP.unionAll(crossEvP).distinct()
         .select(col("id_a"), col("id_b"), lit("phash").as("channel"))
 
       val votes = textEv.unionByName(embedEv).unionByName(phashEv)
@@ -320,7 +354,11 @@ object MultimodalQueries {
       val overflowAll = textOv.select(col("overflow_buckets").as("o1"))
         .crossJoin(embedOv.select(col("overflow_buckets").as("o2")))
         .crossJoin(phashOv.select(col("overflow_buckets").as("o3")))
-        .select((col("o1") + col("o2") + col("o3")).as("overflow_buckets"))
+        // both capped levels of channel 3 (bands + exact-dup classes),
+        // the q_phash_dedup accounting shape
+        .crossJoin(classOvP.select(col("overflow_buckets").as("o4")))
+        .select((col("o1") + col("o2") + col("o3") + col("o4"))
+          .as("overflow_buckets"))
       votes.agg(
           coalesce(max(when(isPlanted, col("v"))), lit(0L)).as("planted_votes"),
           coalesce(max(when(isPlanted, col("tv"))), lit(false)).as("text_vote"),

@@ -1391,9 +1391,19 @@ object VectorQueries {
         .join(broadcast(cent.select(col("cid") +: kmDims.map(i => col(s"c$i")): _*)), "cid")
       // two hash aggs instead of min-over-struct (SortAggregate trap,
       // see kmRun): argmin the rep id per cluster, then fetch the rep's
-      // dims with a k-row broadcast self-join
-      val repIds = withDist.groupBy("cid")
-        .agg(min_by(col("vec_id"), kmDist).as("rep_id"))
+      // dims with a k-row broadcast self-join. The argmin is TIE-BROKEN
+      // by min vec_id (round 15): min_by has no tie-break, and the 10×
+      // corpus manufactures exact distance ties — sign-scrambled copies
+      // preserve norms, so two copies of one base vector tie whenever
+      // the centroid is ~0 in the flipped dims — which left the rep
+      // choice to aggregation order vs the oracle's arg_min. min-dist
+      // then min-id is deterministic on both engines (each compares its
+      // OWN distance expression against its own minimum, so cross-engine
+      // ulp drift cannot flip membership of the tie set it filters).
+      val minDist = withDist.groupBy("cid").agg(min(kmDist).as("md_"))
+      val repIds = withDist.join(broadcast(minDist), "cid")
+        .filter(kmDist === col("md_"))
+        .groupBy("cid").agg(min("vec_id").as("rep_id"))
       val reps = members.as("m")
         .join(broadcast(repIds.as("r")), expr("m.cid = r.cid AND m.vec_id = r.rep_id"))
         .select(col("r.cid") +: col("r.rep_id") +:
@@ -1843,9 +1853,15 @@ object VectorQueries {
     val nr = kmDims.map(i => s"r$i * r$i").mkString(" + ")
     val repCols = kmDims.map(i => s"m.x$i AS r$i").mkString(", ")
     s"""$kmeansCtes,
+       |repd AS (
+       |  SELECT asg AS cid, vec_id, $dist AS dd,
+       |         min($dist) OVER (PARTITION BY asg) AS md
+       |  FROM a3 JOIN k3 ON a3.asg = k3.cid),
        |reps AS (
-       |  SELECT asg AS cid, arg_min(vec_id, $dist) AS rep_id
-       |  FROM a3 JOIN k3 ON a3.asg = k3.cid GROUP BY 1),
+       |  -- min-dist then min-id: arg_min has no tie-break, and the 10x
+       |  -- corpus ties exactly (sign-scrambled copies preserve norms)
+       |  SELECT cid, min(vec_id) AS rep_id FROM repd
+       |  WHERE dd = md GROUP BY 1),
        |repx AS (
        |  SELECT reps.cid, reps.rep_id, $repCols
        |  FROM reps JOIN a3 m ON m.asg = reps.cid AND m.vec_id = reps.rep_id)

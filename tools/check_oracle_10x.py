@@ -26,6 +26,7 @@ Two modes:
 """
 import json, math, os, sys, time
 import duckdb
+import pandas
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -88,6 +89,13 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    # pandas NaT (a null timestamp) is != itself, like NaN — two NULL
+    # effective_to cells compared unequal and failed q_scd2_dimension at
+    # 10x despite identical frames (round 15). It is a singleton, so an
+    # identity probe normalizes it without touching array-valued cells
+    # (pd.isna on an array returns an array and would raise here).
+    if v is pandas.NaT:
+        return "NaT"
     return v
 
 
