@@ -34,8 +34,11 @@ fi
 echo "sweep10x: Verify dump at $SF10X -> $DUMP"
 rm -rf "$DUMP"
 # Verify defaults to 4 cores (the driver's gate setting); the 10x dump
-# is ~10x the work, so default to 16 here — SWEEP10X_CPUS overrides
+# is ~10x the work, so default to 16 here — SWEEP10X_CPUS overrides.
+# Heap scales with concurrent agg buffers: 16 tasks OOM'd the 8g
+# default on the 10x corpus (measured round 15), so size it up too.
 export SPARK_GRAFT_CPUS=${SWEEP10X_CPUS:-16}
+export SPARK_DRIVER_MEM=${SWEEP10X_MEM:-24g}
 sbt -batch "runMain graft.Verify $SF10X $DUMP" >/tmp/sweep10x_verify.log 2>&1 || {
   echo "sweep10x: RED — graft.Verify failed (tail of /tmp/sweep10x_verify.log):" >&2
   tail -20 /tmp/sweep10x_verify.log >&2
