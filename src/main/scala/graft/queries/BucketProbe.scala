@@ -69,9 +69,19 @@ object BucketProbe {
       .groupBy("band", "bkey").agg(count(lit(1)).as("n")), Blocking.BandCap)
     stats("sign_buckets", items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
       .groupBy("sg").agg(count(lit(1)).as("n")), Blocking.BandCap)
-    stats("payload_phash_bands", items
+    // round 15: the payload channel collapses exact-hash classes before
+    // banding (the q_phash_dedup rule carried to q_multimodal_dedup), so
+    // the ledger now mirrors BOTH shipped levels — class occupancy (the
+    // capped hamming-0 enumeration) and REP-level band occupancy (the
+    // duplication-invariant quantity the r15 collapse bought; the old
+    // raw-member site read 3 overflowing buckets at 10× / 6454 at 100×)
+    val payloadPhs = items
       .select(col("id"), phash64(encode(col("text"), "UTF-8")).as("ph"))
-      .select(col("id"), posexplode(array((0 until 4).map(b =>
+    stats("payload_phash_classes",
+      payloadPhs.groupBy("ph").agg(count(lit(1)).as("n")), Blocking.BandCap)
+    stats("payload_phash_bands", payloadPhs
+      .groupBy("ph").agg(min("id").as("rep_id"))
+      .select(col("rep_id"), posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "bkey")))
       .groupBy("band", "bkey").agg(count(lit(1)).as("n")), Blocking.BandCap)

@@ -80,17 +80,19 @@ object MultimodalQueries {
       // ONE class-stats pass (rep + occupancy per distinct hash) feeds
       // everything the class route needs; a bounded 1-row collect on its
       // max occupancy picks the route (VERDICT r14 #3 — the singleton
-      // fast path). When every exact class is a singleton (the gate
-      // corpora: organic payloads hash effectively randomly and the
-      // plants are hamming-1..3, not 0), the class collapse is an
-      // identity: reps ≡ media (a projection, no shuffle), hamming-0
-      // pairs can't exist, and the audit's per-class occupancy is
-      // uniformly 1 — so the classPairs enumeration, the clsOcc join,
-      // and the rep-resolution joins are all skipped. Behavior is
-      // provably identical (maxCls = 1 ⟹ no two distinct media share a
-      // hash), which is why one bounded agg may decide. The duplication-
-      // heavy regime (N×-replicated boilerplate: 500k media → 20.9k
-      // classes at 100×) takes the full collapse route unchanged.
+      // fast path). maxCls = 1 ⟹ the class collapse is an identity:
+      // reps ≡ media (a projection, no shuffle), hamming-0 pairs can't
+      // exist, and the rep-resolution joins are skipped — provably
+      // identical behavior, which is why one bounded agg may decide.
+      // NOTE the path is DORMANT on every shipped corpus: the planted
+      // perceptual-dup pair is hamming-0 by construction (measured —
+      // the 1-byte stripe perturbation lands on the same aHash), so
+      // maxCls ≥ 2 everywhere. The measured full-route saving instead
+      // comes from the dup-mass prefilter below: class-pair enumeration
+      // runs ONLY over classes that actually hold duplicates (cocc ≥ 2
+      // — 1 class at sf0.1, 20.9k at 100×), never the whole corpus;
+      // singleton classes yield no pairs and can never overflow, so the
+      // filter is output-exact at every scale.
       val clsStats = media.groupBy("ph")
         .agg(min("media_id").as("rep_id"), count(lit(1)).as("cocc"))
         .localCheckpoint() // consumed by bands, verify joins, and audit
@@ -103,8 +105,10 @@ object MultimodalQueries {
               col("media_id").as("id_b")).limit(0),
             s.range(1).select(lit(0L).as("overflow_buckets")))
         else Blocking.cappedBucketPairs(
-          media.select(col("ph"), col("media_id")), Seq("ph"), "media_id",
-          Blocking.BandCap)
+          media.join(broadcast(
+              clsStats.filter(col("cocc") >= 2).select("ph")), "ph")
+            .select(col("ph"), col("media_id")),
+          Seq("ph"), "media_id", Blocking.BandCap)
       val reps =
         if (singleton) media.select(col("ph"), col("media_id").as("rep_id"))
         else clsStats.select("ph", "rep_id")
@@ -310,10 +314,18 @@ object MultimodalQueries {
       // loss).
       val phs = items.select(col("id"), phash64(col("payload")).as("ph"))
         .localCheckpoint()
+      // dup-mass prefilter (the q_phash_dedup rule): class-pair
+      // enumeration and the member-rank window run only over classes
+      // that actually hold duplicates — singleton classes yield no
+      // pairs, never overflow, and their sole member IS their rep
+      val clsStatsP = phs.groupBy("ph")
+        .agg(min("id").as("rep_id"), count(lit(1)).as("cocc"))
+        .localCheckpoint() // banding + verify joins + member expansion
+      val dupPhsP = broadcast(clsStatsP.filter(col("cocc") >= 2).select("ph"))
       val (classEvP, classOvP) = Blocking.cappedBucketPairs(
-        phs.select(col("ph"), col("id")), Seq("ph"), "id", Blocking.BandCap)
-      val repsP = phs.groupBy("ph").agg(min("id").as("rep_id"))
-        .localCheckpoint() // banding + two verify joins + member expansion
+        phs.join(dupPhsP, "ph").select(col("ph"), col("id")),
+        Seq("ph"), "id", Blocking.BandCap)
+      val repsP = clsStatsP.select("ph", "rep_id")
       val pbuckets = repsP.select(col("rep_id"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("ph"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -326,14 +338,18 @@ object MultimodalQueries {
         .join(rpa, "id_a").join(rpb, "id_b")
         .filter(hamming64(col("ph_a"), col("ph_b")) <= 3)
         .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
-      // cap-bounded class membership for the member expansion
+      // cap-bounded class membership for the member expansion: dup
+      // classes rank through the window; singleton members are their
+      // own reps straight off the stats relation (no window, no join)
       val memRk = org.apache.spark.sql.expressions.Window
         .partitionBy("ph").orderBy("id")
-      val membersP = phs
+      val membersP = phs.join(dupPhsP, "ph")
         .withColumn("rk", row_number().over(memRk))
         .filter(col("rk") <= Blocking.BandCap)
         .join(repsP, "ph")
         .select(col("rep_id"), col("id"))
+        .unionAll(clsStatsP.filter(col("cocc") === 1)
+          .select(col("rep_id"), col("rep_id").as("id")))
       val crossEvP = repLinksP
         .join(membersP.select(col("rep_id").as("rep_a"), col("id").as("ma")), "rep_a")
         .join(membersP.select(col("rep_id").as("rep_b"), col("id").as("mb")), "rep_b")
