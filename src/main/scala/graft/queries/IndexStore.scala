@@ -218,7 +218,11 @@ object IndexStore {
     * PUT and the later one wins: whoever reads back a foreign id loses
     * BEFORE paying the data copy; (3) write the data dir; (4) read
     * back again — a takeover that landed mid-copy demotes this writer
-    * to loser (it deletes its copy and serves its in-session build).
+    * to loser: it serves its in-session build, deletes its copy ONLY
+    * if the copy never reached _SUCCESS, and otherwise leaves the
+    * complete copy as unreachable orphan garbage (a reader that
+    * resolved the lease to this id pre-takeover may be mid-read;
+    * see the demotion branch below).
     * Residual window, stated honestly: with S3's last-writer-wins PUT
     * and strong read-after-write consistency the race narrows to two
     * PUTs of one small object between each other's read-backs —

@@ -207,10 +207,23 @@ object MultimodalQueries {
       val plantedLinked = repPairs
         .join(broadcast(plantReps.select("id_a", "id_b")), Seq("id_a", "id_b"))
         .agg((count(lit(1)) >= 1).as("rep_linked"))
-      val plantedFound = plantReps
-        .select((col("r1") === col("r2")).as("same_class"))
+      // EMISSION witness, not structural inference (ADVICE r15): the
+      // plants are hamming-0, so a bare same-class predicate is true on
+      // every shipped corpus and would stay true through a broken
+      // classPairs/cappedBucketPairs wiring. Instead require the pair
+      // to appear in the EMITTED structure itself: the raw member pair
+      // in classPairs (the same-class route enumerates member ids, so
+      // raw-id membership is robust even if a lower-id organic doc
+      // joins the class), or the rep-resolved pair in repPairs (the
+      // cross-class route). An over-cap class correctly reads false
+      // here — that is the surfaced-recall-loss case overflow_buckets
+      // accounts for, and the honest answer.
+      val plantedClassEmit = classPairs
+        .filter(col("id_a") === 9200001L && col("id_b") === 9200002L)
+        .agg((count(lit(1)) >= 1).as("class_emitted"))
+      val plantedFound = plantedClassEmit
         .crossJoin(plantedLinked)
-        .select((col("same_class") || col("rep_linked"))
+        .select((col("class_emitted") || col("rep_linked"))
           .as("planted_pair_found"))
       val negRejected = media.filter(col("media_id").isin(9200001L, 9200003L))
         .agg((bit_count(min("ph").bitwiseXOR(max("ph"))) > 3).as("neg_rejected"))

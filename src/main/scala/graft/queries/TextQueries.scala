@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -378,6 +378,23 @@ object TextQueries {
     (9400001L, (0 until 1200).map(i => s"qsimz$i").mkString(" ")),
     (9400002L, ((0 until 1199).map(i => s"qsimz$i") :+ "qsimz9999").mkString(" ")),
     (9400003L, (0 until 1200).map(i => s"qsimn$i").mkString(" ")))
+
+  /** The simhash lane's verify floor — ONE constant shared by the
+    * emission filter and the wiring flag (ADVICE r15: two 0.45
+    * literals could silently diverge). */
+  private[graft] val SimhashVerifyFloor = 0.45
+
+  /** Id-resolution hook for the simhash lane's planted flags
+    * (VERDICT r15 #4): this lane emits RAW doc ids — there is no
+    * collapse/rep stage, so resolution is the identity. If a collapse
+    * stage is EVER added to the emission path, route its rep
+    * resolution through here so the planted-pair flag moves with the
+    * emitted-id space instead of silently matching ids that no longer
+    * appear (the exact precondition bug the phash lane fixed under
+    * ADVICE r14). [[SimhashTwinSpec]] pins the lower-id-twin scenario
+    * against this hook: a lower-id exact twin of a plant must not
+    * break the flag. */
+  private[graft] def simhashEmitId(raw: Column): Column = raw
 
   /** SimHash signatures from an explicit (doc_id, text) relation —
     * the planted-union caller's seam; [[simhashSigs]] keeps the
@@ -932,16 +949,37 @@ object TextQueries {
       val uniPostings = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .select(col("doc_id"), xxhash64(col("t")).as("gh")).distinct()
-      val emitted = verifyJaccard(pairs, uniPostings)
-        .filter(col("jaccard") >= 0.45)
+      val verified = verifyJaccard(pairs, uniPostings)
+        .localCheckpoint() // read by the emission filter + wiring flag
+      val emitted = verified
+        .filter(col("jaccard") >= SimhashVerifyFloor)
         .localCheckpoint() // read by three flag aggregates below
-      val vocabOk = emitted.agg(
-        coalesce(min("jaccard") >= 0.45, lit(true)).as("pairs_vocab_ok"))
+      // pairs_vocab_ok as a WIRING check (ADVICE r15): computed over
+      // `emitted` it was tautological (the filter already enforced the
+      // floor; only two diverging literals could flip it, and those
+      // are now one shared constant). Instead pin the relation-level
+      // identity emitted ≡ {candidates: jaccard ≥ floor} by comparing
+      // emitted-set MEMBERSHIP against the floor over the PRE-filter
+      // verify relation — a dropped join, an extra filter, or a future
+      // collapse stage inserted between verify and output flips it.
+      // Cost: one candidate-sized (band-capped, bounded) join.
+      val vocabOk = verified
+        .join(emitted.select(col("id_a"), col("id_b"), lit(true).as("em")),
+          Seq("id_a", "id_b"), "left")
+        .filter((col("jaccard") >= SimhashVerifyFloor)
+          =!= coalesce(col("em"), lit(false)))
+        .agg((count(lit(1)) === 0).as("pairs_vocab_ok"))
+      // planted membership through the lane's id-resolution hook
+      // ([[simhashEmitId]] — identity today, see its doc)
+      val pA = simhashEmitId(lit(9400001L))
+      val pB = simhashEmitId(lit(9400002L))
       val plantedFound = emitted
-        .filter(col("id_a") === 9400001L && col("id_b") === 9400002L)
+        .filter(col("id_a") === least(pA, pB)
+          && col("id_b") === greatest(pA, pB))
         .agg((count(lit(1)) === 1).as("planted_pair_found"))
+      val pN = simhashEmitId(lit(9400003L))
       val negRejected = emitted
-        .filter(col("id_a") === 9400003L || col("id_b") === 9400003L)
+        .filter(col("id_a") === pN || col("id_b") === pN)
         .agg((count(lit(1)) === 0).as("neg_rejected"))
       nBlocked.crossJoin(nAll).crossJoin(plantedFound).crossJoin(negRejected)
         .crossJoin(vocabOk).crossJoin(broadcast(chunkOverflow))

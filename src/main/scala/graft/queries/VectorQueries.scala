@@ -588,12 +588,31 @@ object VectorQueries {
     * q_knn_binary/q_knn_matryoshka already run, so the per-vector probe
     * state stays codes + norm and the exact reads are O(shortlist), not
     * O(n). Split out so PqSpec can measure the raw recall. */
+  /** Train-once-serve-many codebooks (VERDICT r15 #5): trained PQ /
+    * IVF-PQ codebooks persist through [[IndexStore]] under the opt-in
+    * index root — the production shape at 100 TB, where re-training
+    * the quantizer on every query run is the cost killer (the kNN
+    * graph and incremental base already persist this way). The label
+    * keys every training parameter (family, k, Lloyd steps, planted-
+    * corpus flag); the IndexStore fingerprint keys the source table,
+    * so a regenerated corpus invalidates instead of serving a stale
+    * quantizer (CrossSessionIndexSpec pins it). With no root
+    * configured this is exactly the session-scoped localCheckpoint
+    * the call sites had — byte-identical behavior. */
+  private def persistedCodebook(s: SparkSession, d: String, label: String)
+      (build: => DataFrame): DataFrame =
+    IndexStore.persisted(s, d, label, Seq("embeddings.parquet")) {
+      CacheStats.recordBuild(label)
+      build
+    }
+
   private[graft] def pqTop10(s: SparkSession, d: String,
       planted: Boolean = false, rerank: Int = RerankAdaptive): DataFrame = {
     // subvectors feed training, encoding, and the ADC table — checkpoint
     // once or each consumer re-runs the Generate pass (n×8 tiny rows)
     val subs = pqSubs(s, d, planted).localCheckpoint()
-    val cb = pqCodebook(subs).localCheckpoint()
+    val cb = persistedCodebook(s, d,
+      if (planted) "pq_cb16_p" else "pq_cb16")(pqCodebook(subs))
     pqAdcProbe(s, d, subs, cb, planted, rerank)
   }
 
@@ -710,7 +729,14 @@ object VectorQueries {
         sort_array(collect_list(col("cos_exact")), asc = false).as("ex")).head
       if (r.isNullAt(0)) (64, ck)
       else {
-        val eps = r.getDouble(0)
+        // the observed max-|error| is a SAMPLE max over the 64 boundary
+        // candidates — heavy-tailed ADC error outside that sample can
+        // exceed it (ADVICE r15). Pad by 25% plus one score-rounding
+        // ulp (cos_adc is rounded to 4 decimals, so 1e-4 is the floor
+        // the quantization alone justifies): padding only ever WIDENS
+        // depth (recall can't regress, cost stays ≤ the 512-read cap),
+        // and the AnnRecallProbe floors remain the measured backstop.
+        val eps = r.getDouble(0) * 1.25 + 1e-4
         val ex = r.getSeq[Double](1)
         val champion = ex(math.min(9, ex.size - 1))
         val ties = ck.filter(col("cos_adc") >= champion - eps).count()
@@ -823,7 +849,9 @@ object VectorQueries {
     // seeds), so no corpus-count job is needed — the same no-count rule
     // ivfpqCodebookK documents. pqCodebookK checkpoints its last Lloyd
     // iteration, so no call-site checkpoint either.
-    val cb = pqCodebookK(subs, 256, steps)
+    val cb = persistedCodebook(s, d,
+      s"pq_cb256_s$steps${if (planted) "_p" else ""}")(
+      pqCodebookK(subs, 256, steps))
     pqAdcProbe(s, d, subs, cb, planted, rerank)
   }
 
@@ -967,8 +995,10 @@ object VectorQueries {
     require(kCodes == 16 || kCodes == 256,
       s"kCodes must be 16 (4-bit contract codebook, lowest-id seeds) or " +
         s"256 (8-bit, hash-order seeds); got $kCodes")
-    val cb = (if (kCodes == 16) ivfpqCodebook(rsubs)
-              else ivfpqCodebookK(rsubs, kCodes)).localCheckpoint()
+    val cb = persistedCodebook(s, d,
+      s"ivfpq_cb$kCodes${if (planted) "_p" else ""}")(
+      if (kCodes == 16) ivfpqCodebook(rsubs)
+      else ivfpqCodebookK(rsubs, kCodes))
     val codes = rsubs.join(broadcast(cb), Seq("cell", "sub"))
       .groupBy("vec_id", "cell", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
     // nProbe best cells for the query: exact cosine against the bounded

