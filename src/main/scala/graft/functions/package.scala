@@ -225,6 +225,14 @@ package object functions {
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (s, x) => s + x)
 
+  /** Nearest-codeword id of a subvector against a bounded
+    * array<struct<cid,cv>> codebook in ONE codegen'd loop ([[PqArgmin]]):
+    * replaces the n×M×K join+min_by encode shape — same d2 arithmetic
+    * ((sv·sv + cv·cv) − 2·sv·cv, ascending-index dots), first strict
+    * minimum in array order. */
+  def pq_argmin(sv: Column, cbs: Column): Column =
+    Shims.column(PqArgmin(Shims.expression(sv), Shims.expression(cbs)))
+
   /** Int8 quantization codes (BinaryType, 4× smaller than float32):
     * `clamp(round(x*scale), -127, 127)` per element — see [[VecQuantizeI8]]. */
   def vec_quantize_i8(a: Column, scale: Column): Column =

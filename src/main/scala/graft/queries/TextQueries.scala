@@ -1012,25 +1012,40 @@ object TextQueries {
     // Ensemble): candidates still require a shared gram, never
     // all-pairs.
     "q_containment_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val probes = docs
         .filter(col("doc_id") < 20 && size(split(col("text"), " ")) >= 50)
         .select((col("doc_id") + 9300001L).as("doc_id"),
           array_join(slice(split(col("text"), " "), 1, 20), " ").as("text"))
-      // same hot-gram guard as [[jaccardPairs]] (round 11): containment
+      // corpus postings come from the ONE maintained index
+      // ([[postingsShared]], round 16 — this lane re-tokenized the whole
+      // corpus per run; probe ids live in a disjoint id space, so
+      // distinct(corpus ∪ probes) ≡ distinct(corpus) ∪ distinct(probes)
+      // and only the 20 probe docs are shingled here).
+      // Same hot-gram guard as [[jaccardPairs]] (round 11): containment
       // has no length filter, so a common gram is an even hotter join
       // key here; df-capped with the drop count surfaced per row
       val (kept, hotCount) = Blocking.dfCappedPostings(
-        gramHashPostings(docs.unionAll(probes)).distinct(),
+        postingsShared(s, d)
+          .unionAll(gramHashPostings(probes).distinct()),
         "gh", Blocking.GramDfCap)
-      val postings = kept
-        .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      val a = postings.toDF("id_a", "gh", "sz_a")
-      val b = postings.toDF("id_b", "gh", "sz_b")
+      // the candidate self-join carries (id, gh) ONLY — set sizes attach
+      // to the aggregated PAIR relation afterwards (round 16, guide
+      // §"shuffle fewer bytes": the pair set is tiny relative to the
+      // postings, so sizes ride two small joins instead of widening
+      // every row of the heaviest shuffle; the per-posting size window
+      // — an extra full shuffle + sort of the postings — is gone).
+      // Sizes are still counted AFTER the hot-gram drop, so containment
+      // under skew keeps the same "over non-common grams" definition.
+      val mat = kept.localCheckpoint() // self-join sides + the size agg
+      val sizes = mat.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = mat.toDF("id_a", "gh")
+      val b = mat.toDF("id_b", "gh")
       a.join(b, Seq("gh")).filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("inter"))
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
         .select(col("id_a"), col("id_b"),
           round(col("inter").cast("double") /
             least(col("sz_a"), col("sz_b")).cast("double"), 4)

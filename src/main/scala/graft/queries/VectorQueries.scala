@@ -540,15 +540,56 @@ object VectorQueries {
   private def pqD2 = vec_dot(col("sv"), col("sv")) +
     vec_dot(col("cv"), col("cv")) - lit(2.0) * vec_dot(col("sv"), col("cv"))
 
-  // Assignment argmin everywhere is `min_by(cid, pqD2)` — a plain
-  // double-ordered min_by so the encode stays inside HashAggregateExec
-  // (a struct-ordered min_by would be deterministic under ties BY
-  // CONSTRUCTION, but a struct aggregation buffer is not
-  // fixed-width-mutable and demotes the whole encode to SortAggregate —
-  // measured when round 13 tried it; PlanShapeSpec pins the hash agg).
-  // Determinism therefore rests on tie-FREENESS of the corpus, asserted
-  // for every codebook that argmins anywhere: PqSpec (k=16 seed +
-  // refined), Pq8Spec (k=256 seed + refined), IvfPqSpec (per-cell).
+  // Assignment argmin everywhere is [[graft.functions.pq_argmin]]
+  // (round 16) — one codegen'd loop per subvector row against the
+  // grouped broadcast codebook. Through round 15 it was
+  // `min_by(cid, pqD2)` over a `subs JOIN broadcast(cb)` blowup: n×M×K
+  // joined rows hash-aggregated back to n×M — at K=256 a 256× row
+  // amplification on the hottest path of every PQ query (and the
+  // dominant encode cost at 100 TB). The expression computes the SAME
+  // d2 in the same double-arithmetic order ((sv·sv + cv·cv) − 2·sv·cv,
+  // ascending-index [[VecDot]] loops) and keeps the first strict
+  // minimum in cid order; min_by gave NO tie guarantee, so on the
+  // asserted-tie-free corpora (PqSpec k=16 seed + refined, Pq8Spec
+  // k=256 seed + every Lloyd step, IvfPqSpec per-cell) the outputs are
+  // identical rows — proven by the oracle gate + recall floors.
+  // Determinism still rests on tie-FREENESS, exactly as before.
+
+  /** Grouped broadcast form of a codebook: one row per `key` with the
+    * codewords as a cid-sorted struct array — the [[pq_argmin]] input
+    * (bounded: ≤ K structs per key). */
+  private def cbGrouped(cb: DataFrame, key: Seq[String]): DataFrame =
+    cb.groupBy(key.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cbs"))
+
+  /** Assignment pass: broadcast the grouped codebook, argmin per row —
+    * n×M rows in, n×M rows out (keeps every `subs` column incl. sv, so
+    * Lloyd re-estimation no longer joins back), no aggregate, no
+    * exchange. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame,
+      key: Seq[String]): DataFrame =
+    subs.join(broadcast(cbGrouped(cb, key)), key)
+      .select(subs.columns.map(col).toIndexedSeq
+        :+ pq_argmin(col("sv"), col("cbs")).as("cid"): _*)
+
+  /** Decimal-exact Lloyd re-estimation in ONE hash agg (round 16): the
+    * posexplode → per-(key, cid, pos) agg → sorted collect_list chain
+    * ran two shuffles plus a per-group sort over n×M×8 rows; the
+    * subvector dim is fixed (8), so the per-dim decimal sums are 8
+    * aggregate columns and the codeword array is rebuilt positionally.
+    * Same decimal sums (order-free by exactness), same count, same
+    * division — bit-identical doubles. */
+  private def lloydMeans(asg: DataFrame, key: Seq[String]): DataFrame = {
+    val dims = 1 to 8
+    val aggs = dims.map(i =>
+      sum(element_at(col("sv"), i).cast("decimal(20,10)")).as(s"s_$i")) :+
+      count(lit(1)).as("n_")
+    asg.groupBy((key :+ "cid").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((key :+ "cid").map(col) :+
+        array(dims.map(i => col(s"s_$i").cast("double") / col("n_")): _*)
+          .as("cv"): _*)
+  }
 
   /** Per-subspace K=16 codebook: seeded from the subvectors of vec_ids
     * 1..16, refined with ONE decimal-exact Lloyd step (the kmRun
@@ -560,15 +601,7 @@ object VectorQueries {
   private[graft] def pqCodebook(subs: DataFrame): DataFrame = {
     val seed = subs.filter(col("vec_id").between(1, 16))
       .select(col("sub"), (col("vec_id") - 1).cast("int").as("cid"), col("sv").as("cv"))
-    val asg = subs.join(broadcast(seed), "sub")
-      .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
-    asg.join(subs, Seq("vec_id", "sub"))
-      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("sub", "cid", "pos")
-      .agg((sum(col("v").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
-      .groupBy("sub", "cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("sub"), col("cid"), transform(col("pc"), x => x.getField("c")).as("cv"))
+    lloydMeans(pqAssign(subs, seed, Seq("sub")), Seq("sub"))
   }
 
   /** PQ approximate top-10: ADC-cosine SHORTLIST (top-64) reranked with
@@ -671,8 +704,7 @@ object VectorQueries {
     * finer quantization or tighter clustering — not a deeper dial. */
   private def pqAdcProbe(s: SparkSession, d: String, subs: DataFrame,
       cb: DataFrame, planted: Boolean, rerank: Int): DataFrame = {
-    val codes = subs.join(broadcast(cb), "sub")
-      .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
+    val codes = pqAssign(subs, cb, Seq("sub")).select("vec_id", "sub", "cid")
     val dtab = subs.filter(col("vec_id") === 0)
       .join(broadcast(cb), "sub")
       .select(col("sub"), col("cid"), vec_dot(col("sv"), col("cv")).as("qdot"))
@@ -806,16 +838,7 @@ object VectorQueries {
     // row measures what extra steps buy). Checkpoint per step or step r
     // re-executes rounds 1..r-1 per consumer (the iterative-query rule).
     for (_ <- 1 to steps) {
-      val asg = subs.join(broadcast(cb), "sub")
-        .groupBy("vec_id", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
-      cb = asg.join(subs, Seq("vec_id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "cid", "pos")
-        .agg((sum(col("v").cast("decimal(20,10)")).cast("double") / count(lit(1))).as("c"))
-        .groupBy("sub", "cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("sub"), col("cid"),
-          transform(col("pc"), x => x.getField("c")).as("cv"))
+      cb = lloydMeans(pqAssign(subs, cb, Seq("sub")), Seq("sub"))
         .localCheckpoint()
     }
     cb
@@ -872,6 +895,13 @@ object VectorQueries {
     * every downstream code assignment and ADC score, so the sums get
     * the kmRun treatment. At 100 TB the coarse quantizer is a sampled
     * k-means; the cell relation stays this same bounded broadcast. */
+  // NOTE (round 16): a 64-agg-column single-shuffle form (the lloydMeans
+  // rewrite at embedding width) was tried and MEASURED SLOWER (0.63 →
+  // 0.99 s warm noop at sf0.1): 65 aggregate columns exceeds the
+  // whole-stage-codegen field limit, so the agg runs interpreted and
+  // burns ~20 CPU-s across the scan tasks. The posexplode chain stays —
+  // it is codegen'd end to end; the fixed-width fusion only pays at the
+  // M=8 subvector width (see [[lloydMeans]]).
   private[graft] def ivfpqCells(emb: DataFrame): DataFrame =
     emb.select(col("label").as("cell"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -951,20 +981,8 @@ object VectorQueries {
 
   /** The shared decimal-exact Lloyd re-estimation step over a per-cell
     * seed relation (assignment → per-dim DECIMAL means → array rebuild). */
-  private def ivfpqLloyd(rsubs: DataFrame, seed: DataFrame): DataFrame = {
-    val asg = rsubs.join(broadcast(seed), Seq("cell", "sub"))
-      .groupBy("vec_id", "cell", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
-    asg.join(rsubs, Seq("vec_id", "cell", "sub"))
-      .select(col("cell"), col("sub"), col("cid"),
-        posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("cell", "sub", "cid", "pos")
-      .agg((sum(col("v").cast("decimal(20,10)")).cast("double")
-        / count(lit(1))).as("c"))
-      .groupBy("cell", "sub", "cid")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("cell"), col("sub"), col("cid"),
-        transform(col("pc"), x => x.getField("c")).as("cv"))
-  }
+  private def ivfpqLloyd(rsubs: DataFrame, seed: DataFrame): DataFrame =
+    lloydMeans(pqAssign(rsubs, seed, Seq("cell", "sub")), Seq("cell", "sub"))
 
   /** IVF-PQ approximate top-10: probe = the nProbe cells whose centroid
     * is most query-cosine-similar; candidate score = dot(q, centroid) +
@@ -999,8 +1017,8 @@ object VectorQueries {
       s"ivfpq_cb$kCodes${if (planted) "_p" else ""}")(
       if (kCodes == 16) ivfpqCodebook(rsubs)
       else ivfpqCodebookK(rsubs, kCodes))
-    val codes = rsubs.join(broadcast(cb), Seq("cell", "sub"))
-      .groupBy("vec_id", "cell", "sub").agg(min_by(col("cid"), pqD2).as("cid"))
+    val codes = pqAssign(rsubs, cb, Seq("cell", "sub"))
+      .select("vec_id", "cell", "sub", "cid")
     // nProbe best cells for the query: exact cosine against the bounded
     // centroid relation, carrying dot(q, centroid) and the residual
     // query (q − centroid) each probed cell needs

@@ -232,7 +232,18 @@ object WarehouseQueries {
           col("l_suppkey").bitwiseAND(lit(255L)).as("s8"))
         .withColumn("bucket", shiftright(zkey8(col("p8"), col("s8")), 12))
       val isDelta = col("p8") < 16
-      rows.filter(!isDelta).write.mode("overwrite")
+      // cluster by the partition column before the partitioned write
+      // (round 16, guide-standard layout hygiene): without it every
+      // input task writes one file into every bucket directory it sees
+      // (~tasks × 16 tiny files), and every downstream audit read pays
+      // the listing + per-file open cost twice over. REBALANCE is the
+      // scale-adaptive form — AQE sizes the write tasks (coalescing
+      // small buckets, splitting a skewed one), so at 100 TB a hot
+      // bucket still fans out across writers instead of serializing
+      // into one task. Result columns are unchanged: the audit compares
+      // file INVENTORIES before/after, never file counts.
+      rows.filter(!isDelta).hint("rebalance", col("bucket"))
+        .write.mode("overwrite")
         .partitionBy("bucket").parquet(basePath)
       // snapshot the pre-merge file inventory NOW (lazy plans would read
       // the post-merge directory)
@@ -256,7 +267,8 @@ object WarehouseQueries {
       val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       try {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        rewritten.write.mode("overwrite").partitionBy("bucket").parquet(basePath)
+        rewritten.hint("rebalance", col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(basePath)
       } finally prior match {
         case Some(p) => s.conf.set("spark.sql.sources.partitionOverwriteMode", p)
         case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
