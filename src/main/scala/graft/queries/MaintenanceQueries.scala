@@ -66,7 +66,7 @@ object MaintenanceQueries {
     // dataflow. Guarantee flags make the audit oracle-checkable from
     // the base table alone.
     "q_compaction" -> ((s, d) => {
-      val basePath = "/tmp/graft_io/compaction"
+      val basePath = graft.GraftIO.root + "/compaction"
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
       li.repartition(64).write.mode("overwrite").parquet(s"$basePath/frag")
       val frag = s.read.parquet(s"$basePath/frag")
@@ -229,7 +229,7 @@ object MaintenanceQueries {
     // minimal form — at 100 TB, time travel costs one partition
     // rewrite, never a table copy.
     "q_time_travel" -> ((s, d) => {
-      val base = "/tmp/graft_io/time_travel"
+      val base = graft.GraftIO.root + "/time_travel"
       val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .withColumn("p", (col("o_orderkey") % 4).cast("int"))
       (0 to 3).foreach { p =>
@@ -273,7 +273,7 @@ object MaintenanceQueries {
     // read would fail outright if it had).
     "q_vacuum" -> ((s, d) => {
       import s.implicits._
-      val base = "/tmp/graft_io/vacuum"
+      val base = graft.GraftIO.root + "/vacuum"
       val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
         .withColumn("p", (col("o_orderkey") % 4).cast("int"))
       (0 to 3).foreach { p =>

@@ -517,7 +517,7 @@ object MultimodalQueries {
     // AND phash64 agreement with the in-plan encode — tying the intake
     // to the perceptual-dedup lane), lengths equal source sizes.
     "q_binaryfile_scan" -> ((s, d) => {
-      val io = "/tmp/graft_io/binfiles"
+      val io = graft.GraftIO.root + "/binfiles"
       val conf = new org.apache.spark.util.SerializableConfiguration(
         s.sparkContext.hadoopConfiguration)
       val fsRoot = org.apache.hadoop.fs.FileSystem.get(

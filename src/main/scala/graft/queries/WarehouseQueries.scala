@@ -225,7 +225,7 @@ object WarehouseQueries {
     // structurally ≤ ~1/4 of the table — the bounded-maintenance
     // property a 100 TB z-table relies on every ingest cycle.
     "q_zorder_incremental" -> ((s, d) => {
-      val basePath = "/tmp/graft_io/zorder_incr"
+      val basePath = graft.GraftIO.root + "/zorder_incr"
       val rows = Tables.lineitem(s, d).select(
           col("l_orderkey"),
           col("l_partkey").bitwiseAND(lit(255L)).as("p8"),
@@ -394,7 +394,7 @@ object WarehouseQueries {
     // result provably equals the full-scan filter (the oracle), and the
     // pruning verdict (files_scanned < files_total) rides in-plan.
     "q_manifest_prune" -> ((s, d) => {
-      val base = "/tmp/graft_io/manifest"
+      val base = graft.GraftIO.root + "/manifest"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -450,7 +450,7 @@ object WarehouseQueries {
     // present key, so a missing output row is impossible unless the
     // index build itself is wrong — which the equality catches).
     "q_bloom_skip_index" -> ((s, d) => {
-      val base = "/tmp/graft_io/bloom_skip"
+      val base = graft.GraftIO.root + "/bloom_skip"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -503,7 +503,7 @@ object WarehouseQueries {
     // small by design (q_compaction is the eventual rewrite that folds
     // them in, q_vacuum the cleanup — this row is the read-path merge).
     "q_deletion_vectors" -> ((s, d) => {
-      val base = "/tmp/graft_io/delvec"
+      val base = graft.GraftIO.root + "/delvec"
       val fs = org.apache.hadoop.fs.FileSystem
         .get(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)

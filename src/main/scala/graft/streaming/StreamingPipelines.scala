@@ -214,6 +214,27 @@ object StreamingPipelines {
     spark.table(name)
   }
 
+  /** Run a foreachBatch-style streaming execution under the same shrunken
+    * state/shuffle partition count as [[runToMemory]] (round 17, guide §2
+    * fixed-cost removal): the five explicit-sink pipelines (observe, cdc,
+    * quality filter, ivf ingest, dim refresh) ran their micro-batches at
+    * the session's 32 shuffle partitions, so every stateful/aggregating
+    * batch stage paid 32 state-store instances + 32-task scheduling for
+    * kilobytes of rows. StateStallProbe measured the stall directly:
+    * 3.09 s at 32 partitions vs 1.69 s at 4 on the identical 3-batch
+    * stateful stream (~0.7 s/task of zero-CPU wait in every 32-task
+    * stateful stage). Same dial, same restoration discipline, and the
+    * same scale story as runToMemory: a real deployment sizes the count
+    * UP with state volume — it tracks state size, not executor count.
+    * Results are partition-count-independent (every per-batch sum these
+    * pipelines run is exact-decimal or integer). */
+  private def withBatchParts[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try body finally spark.conf.set(key, prior)
+  }
+
   /** Tumbling 1-day window counts per event type (DStream
     * `reduceByKeyAndWindow(w, w)` twin). */
   def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -607,7 +628,7 @@ object StreamingPipelines {
    */
   def streamMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val io = "/tmp/graft_io/stream_minhash"
+    val io = graft.GraftIO.root + "/stream_minhash"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -676,7 +697,7 @@ object StreamingPipelines {
    */
   def streamPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val io = "/tmp/graft_io/stream_phash"
+    val io = graft.GraftIO.root + "/stream_phash"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -756,9 +777,10 @@ object StreamingPipelines {
    * quality model, where the batch query is the train/backfill twin.
    * Each foreachBatch invocation derives the batch's sparse features
    * map-side, joins them against the STATIC (bucket, weight) relation
-   * on the bucket key (stream-static join — the model is never
-   * broadcast and never in the state store; per-batch state is zero,
-   * so the pipeline admits unbounded streams), and appends
+   * on the bucket key (stream-static broadcast join — the model is
+   * bounded at ≤ 2^22+1 rows by construction and never in the state
+   * store; per-batch state is zero, so the pipeline admits unbounded
+   * streams), and appends
    * (doc_id, margin, keep) to the scored sink. Because the margin is
    * the exact-decimal dot product, the streamed scores are
    * BIT-IDENTICAL to the batch twin under any batch split — which the
@@ -767,7 +789,7 @@ object StreamingPipelines {
    * against the batch twin finds zero disagreements).
    */
   def streamQualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val io = "/tmp/graft_io/stream_qc"
+    val io = graft.GraftIO.root + "/stream_qc"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -776,20 +798,25 @@ object StreamingPipelines {
     writeIdSplitBatches(spark, docs, s"$io/in", 3)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$io/in/b*.parquet")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.CurationQueries.qcScore(batch, w)
-          .write.mode("append").parquet(s"$io/scored")
-      }
-      .option("checkpointLocation", s"$io/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withBatchParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/in/b*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.queries.CurationQueries.qcScore(batch, w)
+            .write.mode("append").parquet(s"$io/scored")
+        }
+        .option("checkpointLocation", s"$io/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val streamed = spark.read.parquet(s"$io/scored")
-    val batchTwin = graft.queries.CurationQueries.qcScore(docs, w)
+    // batch twin scores from the trained feature relation (round 17):
+    // identical (doc_id, m, keep) rows to qcScore(docs, w) — feats IS the
+    // corpus's sparse feature set — without re-deriving features
+    val batchTwin = graft.queries.CurationQueries.qcScoreCorpus(spark, sfDir)
     val disagree = streamed.withColumnRenamed("m", "ms")
       .withColumnRenamed("keep", "ks")
       .join(batchTwin, Seq("doc_id"), "full_outer")
@@ -819,7 +846,7 @@ object StreamingPipelines {
    * the two share one oracle.
    */
   def streamCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
-    val io = "/tmp/graft_io/stream_cdc"
+    val io = graft.GraftIO.root + "/stream_cdc"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -849,25 +876,27 @@ object StreamingPipelines {
       StructField("seq", LongType), StructField("op", StringType)))
     var cur = s"$io/v0"
     var ver = 0
-    val q = spark.readStream.schema(chSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$io/changes/c*.parquet")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val merged = spark.read.parquet(cur).unionByName(batch)
-          .groupBy("key")
-          .agg(max_by(struct(col("price"), col("op")), col("seq")).as("b"),
-            max("seq").as("seq"))
-          .select(col("key"), col("b.price").as("price"), col("seq"),
-            col("b.op").as("op"))
-        ver += 1
-        val next = s"$io/v$ver"
-        merged.write.parquet(next)
-        cur = next
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withBatchParts(spark) {
+      val q = spark.readStream.schema(chSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/changes/c*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = spark.read.parquet(cur).unionByName(batch)
+            .groupBy("key")
+            .agg(max_by(struct(col("price"), col("op")), col("seq")).as("b"),
+              max("seq").as("seq"))
+            .select(col("key"), col("b.price").as("price"), col("seq"),
+              col("b.op").as("op"))
+          ver += 1
+          val next = s"$io/v$ver"
+          merged.write.parquet(next)
+          cur = next
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(cur).agg(
       count(when(col("op") =!= "D", lit(1))).as("n_rows"),
       count(when(col("op") === "U" && col("seq") === 1, lit(1))).as("n_updated"),
@@ -895,7 +924,7 @@ object StreamingPipelines {
    */
   def streamDimRefresh(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val io = "/tmp/graft_io/dim_refresh"
+    val io = graft.GraftIO.root + "/dim_refresh"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -915,21 +944,23 @@ object StreamingPipelines {
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("event_type", StringType)))
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$io/in/b*.parquet")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val seen = spark.read.parquet(s"$io/dim")
-          .filter(col("residue") >= 0).count()
-        val res = batch.select(pmod(col("event_id"), lit(3)).as("r"))
-          .head().getLong(0)
-        acc.add((batch.count(), seen))
-        Seq(res).toDF("residue").write.mode("append").parquet(s"$io/dim")
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withBatchParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/in/b*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val seen = spark.read.parquet(s"$io/dim")
+            .filter(col("residue") >= 0).count()
+          val res = batch.select(pmod(col("event_id"), lit(3)).as("r"))
+            .head().getLong(0)
+          acc.add((batch.count(), seen))
+          Seq(res).toDF("residue").write.mode("append").parquet(s"$io/dim")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     import scala.jdk.CollectionConverters._
     acc.asScala.toSeq.toDF("n_events", "n_seen")
       .agg(count(lit(1)).as("n_batches"),
@@ -957,7 +988,7 @@ object StreamingPipelines {
    */
   def streamIvfIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.queries.VectorQueries
-    val io = "/tmp/graft_io/stream_ivf"
+    val io = graft.GraftIO.root + "/stream_ivf"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -990,27 +1021,29 @@ object StreamingPipelines {
         (1 to 8).map(i => StructField(s"x$i", DoubleType)))
     var cur = s"$io/v0"
     var ver = 0
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$io/arrivals/b*.parquet")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val assigned = VectorQueries.ivfIncrAssign(batch, cent)
-          .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nd"))
-        val merged = spark.read.parquet(cur)
-          .join(assigned, Seq("cid"), "full_outer")
-          .select(col("cid"),
-            coalesce(col("n_base"), lit(0L)).as("n_base"),
-            (coalesce(col("n_delta"), lit(0L)) + coalesce(col("nd"), lit(0L)))
-              .as("n_delta"))
-        ver += 1
-        val next = s"$io/v$ver"
-        merged.write.parquet(next)
-        cur = next // pointer swap AFTER the full write: readers of the
-        ()         // previous version never see a torn snapshot
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withBatchParts(spark) {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/arrivals/b*.parquet")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val assigned = VectorQueries.ivfIncrAssign(batch, cent)
+            .groupBy(col("asg").as("cid")).agg(count(lit(1)).as("nd"))
+          val merged = spark.read.parquet(cur)
+            .join(assigned, Seq("cid"), "full_outer")
+            .select(col("cid"),
+              coalesce(col("n_base"), lit(0L)).as("n_base"),
+              (coalesce(col("n_delta"), lit(0L)) + coalesce(col("nd"), lit(0L)))
+                .as("n_delta"))
+          ver += 1
+          val next = s"$io/v$ver"
+          merged.write.parquet(next)
+          cur = next // pointer swap AFTER the full write: readers of the
+          ()         // previous version never see a torn snapshot
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.read.parquet(cur)
       .select(col("cid"), col("n_base"), col("n_delta"),
         (col("n_base") + col("n_delta")).as("n_total"))
@@ -1034,7 +1067,7 @@ object StreamingPipelines {
    */
   def streamEwma(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val io = "/tmp/graft_io/stream_ewma"
+    val io = graft.GraftIO.root + "/stream_ewma"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -1137,7 +1170,7 @@ object StreamingPipelines {
    * ZERO extra passes and no extra stateful operator.
    */
   def streamObserve(spark: SparkSession, sfDir: String): DataFrame = {
-    val io = "/tmp/graft_io/stream_observe"
+    val io = graft.GraftIO.root + "/stream_observe"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
@@ -1158,21 +1191,24 @@ object StreamingPipelines {
     val finalCounts =
       new java.util.concurrent.atomic.AtomicReference[Array[(String, Long)]](
         Array.empty)
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$io/in/b*.parquet")
-      .observe("qa", count(lit(1)).as("rows"),
-        sum(col("value").cast("decimal(30,12)")).as("val_sum"))
-      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-      .writeStream.outputMode(OutputMode.Complete())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // complete mode: each batch carries the FULL state; keep the last
-        finalCounts.set(batch.collect()
-          .map(r => (r.getString(0), r.getLong(1))))
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val q = withBatchParts(spark) {
+      val started = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$io/in/b*.parquet")
+        .observe("qa", count(lit(1)).as("rows"),
+          sum(col("value").cast("decimal(30,12)")).as("val_sum"))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode(OutputMode.Complete())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // complete mode: each batch carries the FULL state; keep the last
+          finalCounts.set(batch.collect()
+            .map(r => (r.getString(0), r.getLong(1))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      started.awaitTermination()
+      started
+    }
     val qa = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("qa")))
     val nonEmpty = qa.filter(_.getAs[Long]("rows") > 0)

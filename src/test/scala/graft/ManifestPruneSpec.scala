@@ -20,7 +20,7 @@ class ManifestPruneSpec extends AnyFunSuite {
     val got = WarehouseQueries.queries("q_manifest_prune")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     // re-derive the manifest from the directory the query just wrote
-    val manifest = spark.read.parquet("/tmp/graft_io/manifest/data")
+    val manifest = spark.read.parquet(graft.GraftIO.root + "/manifest/data")
       .groupBy(col("_metadata.file_path").as("fp"))
       .agg(min(col("o_orderdate")).cast("date").cast("string").as("lo"),
         max(col("o_orderdate")).cast("date").cast("string").as("hi"))

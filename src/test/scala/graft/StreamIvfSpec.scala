@@ -22,7 +22,7 @@ class StreamIvfSpec extends AnyFunSuite {
     // versions past v0 (a single mega-batch would hide ordering bugs)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path("/tmp/graft_io/stream_ivf/v3")),
+    assert(fs.exists(new org.apache.hadoop.fs.Path(graft.GraftIO.root + "/stream_ivf/v3")),
       "expected 3 versioned merges (one per arrival batch)")
     val batch = SparkEntry.queries("q_ivf_incremental")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq

@@ -234,17 +234,17 @@ class WarehouseSpec extends AnyFunSuite {
       val path = new org.apache.hadoop.fs.Path(p)
       fs.listStatus(path).filter(_.isFile).map(_.getLen).sum
     }
-    val baseSz = bytesUnder("/tmp/graft_io/delvec/data")
-    val dvSz = bytesUnder("/tmp/graft_io/delvec/deletes")
+    val baseSz = bytesUnder(graft.GraftIO.root + "/delvec/data")
+    val dvSz = bytesUnder(graft.GraftIO.root + "/delvec/deletes")
     assert(dvSz * 20 < baseSz, s"sidecar $dvSz not small vs base $baseSz")
     // merge-on-read, not rewrite: the BASE still physically holds every
     // deleted row, and the sidecar covers exactly that set
     val nDeleted = rows.head.getLong(3)
-    val stillInBase = spark.read.parquet("/tmp/graft_io/delvec/data")
+    val stillInBase = spark.read.parquet(graft.GraftIO.root + "/delvec/data")
       .filter(col("o_orderkey") % 1000 === 7).count()
     assert(stillInBase === nDeleted,
       "deleted rows missing from base — a rewrite happened")
-    assert(spark.read.parquet("/tmp/graft_io/delvec/deletes").count() === nDeleted)
+    assert(spark.read.parquet(graft.GraftIO.root + "/delvec/deletes").count() === nDeleted)
     val nLive = rows.map(_.getLong(1)).sum
     val total = Tables.orders(spark, sf).count()
     assert(nLive + nDeleted === total, "live + deleted != base rows")

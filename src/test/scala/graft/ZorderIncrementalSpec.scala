@@ -34,7 +34,7 @@ class ZorderIncrementalSpec extends AnyFunSuite {
 
   test("the merged table answers queries identically to the logical union") {
     // post-merge table == base ∪ delta (same multiset of (orderkey, p8, s8))
-    val after = spark.read.parquet("/tmp/graft_io/zorder_incr")
+    val after = spark.read.parquet(graft.GraftIO.root + "/zorder_incr")
       .groupBy("l_orderkey").agg(count(lit(1)).as("n"),
         sum("p8").as("sp"), sum("s8").as("ss"))
     val expected = Tables.lineitem(spark, sf).select(
