@@ -572,24 +572,49 @@ object StreamingPipelines {
     }
   }
 
+  /** Write a relation as `n` single-file parquet replay batches
+    * `dir/<prefix><i>.parquet` in ONE Spark job (round 17, guide §2.6/§6):
+    * the sequential form — n× (filter + coalesce(1) write + rename) —
+    * re-scanned the source per batch and serialized n write jobs into
+    * every timed streaming pipeline's setup. Here the bucket column
+    * rides a `partitionBy` write (each bucket value lives in exactly one
+    * task after the bucket repartition, so each value emits exactly one
+    * part file), then the files are renamed into place. mtimes are
+    * pinned strictly increasing — the file source orders its initial
+    * listing by modification time, so batch arrival order stays
+    * bucket 0 < 1 < … unconditionally (same-millisecond writes could
+    * otherwise tie; streamEwma's fold is ORDER-sensitive and the others
+    * get determinism for free). Within-file row order may differ from
+    * the coalesce(1) form; no consumer is row-order-sensitive (state
+    * folds sort their group slice; everything else is additive). */
+  private def writeSplitFiles(spark: SparkSession, df: DataFrame,
+      bucket: org.apache.spark.sql.Column, dir: String, n: Int,
+      prefix: String = "b", idxOffset: Int = 0): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val tmp = s"$dir/tmp_split"
+    df.withColumn("__b", bucket.cast("int"))
+      .repartition(n, col("__b"))
+      .write.partitionBy("__b").parquet(tmp)
+    (0 until n).foreach { b =>
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$tmp/__b=$b/part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(
+        s"$dir/$prefix${b + idxOffset}.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1700000000000L + b * 60000L, -1)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
   /** Split a (doc_id, …) relation into `n` single-file parquet batches
     * under `dir` (batch b = ids ≡ b mod n) — the replayable micro-batch
     * fixture the file-stream pipelines consume with maxFilesPerTrigger=1.
     */
   private def writeIdSplitBatches(spark: SparkSession, df: DataFrame,
-      dir: String, n: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    (0 until n).foreach { b =>
-      val tmp = s"$dir/tmp_b$b"
-      df.filter(col("doc_id") % n === b).coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/b$b.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-  }
+      dir: String, n: Int): Unit =
+    writeSplitFiles(spark, df, pmod(col("doc_id"), lit(n)), dir, n)
 
   /** Per-row MinHash signature hash (k=16 coordinates over 3-gram
     * hashes), computed WITHOUT any shuffle: the token-mode
@@ -670,8 +695,15 @@ object StreamingPipelines {
         .join(members.select(col("sig"), col("doc_id").as("id_b")), "sig")
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val postings = graft.queries.TextQueries.gramHashPostings(docs)
-        .distinct().localCheckpoint()
+      // verification postings from the MAINTAINED index (round 17 — the
+      // q_containment_dedup reuse pattern): planted ids live in a
+      // disjoint id space, so distinct(grams(docs ∪ planted)) ≡
+      // postingsShared ∪ distinct(grams(planted)) — identical rows
+      // without re-shingling the corpus
+      val postings = graft.queries.TextQueries.postingsShared(spark, sfDir)
+        .unionAll(graft.queries.TextQueries.gramHashPostings(planted.toDF(
+          "doc_id", "text")).distinct())
+        .localCheckpoint()
       graft.queries.TextQueries.verifyJaccard(cand, postings)
         .filter(col("jaccard") >= 1.0)
         .orderBy("id_a", "id_b")
@@ -855,22 +887,16 @@ object StreamingPipelines {
     val k = col("key")
     ord.select(k, col("price"), lit(0L).as("seq"), lit("U").as("op"))
       .write.parquet(s"$io/v0")
-    // three single-file change sets: update / delete / insert
-    def oneFile(df: DataFrame, name: String): Unit = {
-      val tmp = s"$io/tmp_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/changes/$name.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/changes"))
-    oneFile(ord.filter(k % 10 === 0).select(k,
-      (col("price") * 1.1).as("price"), lit(1L).as("seq"), lit("U").as("op")), "c1")
-    oneFile(ord.filter(k % 10 === 1).select(k,
-      lit(null).cast("double").as("price"), lit(2L).as("seq"), lit("D").as("op")), "c2")
-    oneFile(ord.filter(k % 10 === 2).select((k + 100000000L).as("key"),
-      col("price"), lit(3L).as("seq"), lit("I").as("op")), "c3")
+    // three single-file change sets (update / delete / insert), written
+    // in ONE job: the seq column doubles as the split bucket
+    val changes = ord.filter(k % 10 === 0).select(k,
+        (col("price") * 1.1).as("price"), lit(1L).as("seq"), lit("U").as("op"))
+      .unionAll(ord.filter(k % 10 === 1).select(k,
+        lit(null).cast("double").as("price"), lit(2L).as("seq"), lit("D").as("op")))
+      .unionAll(ord.filter(k % 10 === 2).select((k + 100000000L).as("key"),
+        col("price"), lit(3L).as("seq"), lit("I").as("op")))
+    writeSplitFiles(spark, changes, col("seq") - 1, s"$io/changes", 3,
+      prefix = "c", idxOffset = 1)
     val chSchema = StructType(Seq(
       StructField("key", LongType), StructField("price", DoubleType),
       StructField("seq", LongType), StructField("op", StringType)))
@@ -930,15 +956,7 @@ object StreamingPipelines {
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
     // 3 single-file batches: events with event_id ≡ b (mod 3)
     val ev = graft.Tables.events(spark, sfDir).select("event_id", "event_type")
-    (0 until 3).foreach { b =>
-      val tmp = s"$io/tmp_b$b"
-      ev.filter(pmod(col("event_id"), lit(3)) === b)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/b$b.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+    writeSplitFiles(spark, ev, pmod(col("event_id"), lit(3)), s"$io/in", 3)
     // dim seeded with a sentinel so the first fresh read has a file
     Seq(-1L).toDF("residue").write.parquet(s"$io/dim")
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
@@ -1003,19 +1021,10 @@ object StreamingPipelines {
       .agg(count(lit(1)).as("n_base"))
       .withColumn("n_delta", lit(0L))
       .write.parquet(s"$io/v0")
-    // the delta as 3 single-file arrival batches
-    def oneFile(df: DataFrame, name: String): Unit = {
-      val tmp = s"$io/tmp_$name"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/arrivals/$name.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$io/arrivals"))
-    (0 until 3).foreach(b => oneFile(
-      // integer decade (col / 10 alone is DOUBLE division in Spark)
-      delta.filter(pmod((col("vec_id") / 10).cast("long"), lit(3)) === b), s"b$b"))
+    // the delta as 3 single-file arrival batches, written in ONE job;
+    // integer decade (col / 10 alone is DOUBLE division in Spark)
+    writeSplitFiles(spark, delta,
+      pmod((col("vec_id") / 10).cast("long"), lit(3)), s"$io/arrivals", 3)
     val schema = StructType(
       StructField("vec_id", LongType) +: StructField("label", IntegerType) +:
         (1 to 8).map(i => StructField(s"x$i", DoubleType)))
@@ -1086,24 +1095,14 @@ object StreamingPipelines {
         org.apache.spark.sql.expressions.Window
           .partitionBy()))
       .withColumn("b", ((col("rn") - 1) * 3 / col("cnt")).cast("int"))
-      .localCheckpoint() // three file writes consume it — sort ONCE
-    (0 until 3).foreach { b =>
-      val tmp = s"$io/tmp_b$b"
-      ranked.filter(col("b") === b)
-        .select("user_id", "event_id", "ts_us", "value")
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in_b$b.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      // the fold is batch-order-SENSITIVE (unlike every other pipeline
-      // here, which is additive) and the file source orders by
-      // modification time — a rename preserves the part file's mtime,
-      // so same-millisecond writes could tie. Pin strictly increasing
-      // mtimes so arrival order is b0 < b1 < b2 unconditionally.
-      fs.setTimes(new org.apache.hadoop.fs.Path(s"$io/in_b$b.parquet"),
-        1700000000000L + b * 60000L, -1)
-    }
+      .localCheckpoint() // the split write consumes it — sort ONCE
+    // the fold is batch-order-SENSITIVE (unlike every other pipeline
+    // here, which is additive); writeSplitFiles pins strictly increasing
+    // mtimes so arrival order is b0 < b1 < b2 unconditionally
+    writeSplitFiles(spark,
+      ranked.select(col("user_id"), col("event_id"), col("ts_us"),
+        col("value"), col("b")),
+      col("b"), io, 3, prefix = "in_b")
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_id", LongType),
       StructField("ts_us", LongType), StructField("value", DoubleType)))
@@ -1176,15 +1175,7 @@ object StreamingPipelines {
     fs.delete(new org.apache.hadoop.fs.Path(io), true)
     val ev = graft.Tables.events(spark, sfDir)
       .select("event_id", "event_type", "value")
-    (0 until 3).foreach { b =>
-      val tmp = s"$io/tmp_b$b"
-      ev.filter(pmod(col("event_id"), lit(3)) === b)
-        .coalesce(1).write.parquet(tmp)
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(s"$io/in/b$b.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
+    writeSplitFiles(spark, ev, pmod(col("event_id"), lit(3)), s"$io/in", 3)
     val schema = StructType(Seq(StructField("event_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType)))
