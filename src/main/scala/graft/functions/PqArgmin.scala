@@ -36,6 +36,11 @@ import org.apache.spark.sql.types._
  * null d2 that `min_by` ignored — here it is skipped; no valid entry →
  * null (the old aggregate emitted no row only when the JOIN emitted
  * none, which the caller's inner join on the group key still enforces).
+ * A NaN d2 is skipped too (round 17, ADVICE r16): Spark's double
+ * ordering treats NaN as greatest, so `min_by` could never select it;
+ * only reachable with non-finite embedding values. Interpreted and
+ * generated paths are asserted identical over the whole edge-case
+ * matrix in PqArgminSpec.
  */
 case class PqArgmin(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -110,7 +115,13 @@ case class PqArgmin(left: Expression, right: Expression)
             }
             if (ok) {
               val d2 = (svv + cvv) - 2.0 * svc
-              if (!found || d2 < best) { best = d2; bestCid = cid; found = true }
+              // skip NaN candidates (ADVICE r16): min_by under Spark's
+              // double ordering treats NaN as greatest, so a NaN d2 could
+              // never win there — without this guard a NaN on the FIRST
+              // candidate would be kept forever (!found selects it and
+              // `d2 < NaN` is false for every later candidate)
+              if (!java.lang.Double.isNaN(d2) &&
+                  (!found || d2 < best)) { best = d2; bestCid = cid; found = true }
             }
           }
         }
@@ -179,7 +190,7 @@ case class PqArgmin(left: Expression, right: Expression)
          |    }
          |    if (!$ok) continue;
          |    double $d2 = ($svv + $cvv) - 2.0 * $svc;
-         |    if (!$found || $d2 < $best) {
+         |    if (!Double.isNaN($d2) && (!$found || $d2 < $best)) {
          |      $best = $d2; $bestCid = $row.getInt(0); $found = true;
          |    }
          |  }

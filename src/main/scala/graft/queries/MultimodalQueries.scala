@@ -297,7 +297,7 @@ object MultimodalQueries {
       // overflow counts sum into one accounting column on the flag row
       def bucketPairs(buckets: DataFrame, key: Seq[String]): (DataFrame, DataFrame) =
         Blocking.cappedBucketPairs(buckets, key, "id", Blocking.BandCap)
-      val fText = Future {
+      val fText = Future { scala.concurrent.blocking {
         val grams = items.select(col("id"),
             array_distinct(shingles(tokens(col("text")), 3)).as("g"))
           .withColumn("sig", minhash_signature(col("g"), 16))
@@ -313,12 +313,12 @@ object MultimodalQueries {
             lit(0.8) * size(array_union(col("ga"), col("gb"))))
           .select(col("id_a"), col("id_b"), lit("text").as("channel"))
         (textEv, textOv)
-      }
+      } }
 
       // channel 2: embedding — block on the full packed sign pattern
       // (the cos≈1 near-dup regime; the general-θ dial is the L×P
       // hyperplane machinery of q_embed_neardup), verify exact cosine
-      val fEmbed = Future {
+      val fEmbed = Future { scala.concurrent.blocking {
         val signs = items.select(col("id"), sign_pack32(col("embedding")).as("sg"))
         val ea = items.select(col("id").as("id_a"), col("embedding").as("emb_a"))
         val eb = items.select(col("id").as("id_b"), col("embedding").as("emb_b"))
@@ -329,7 +329,7 @@ object MultimodalQueries {
           .filter(cosine_sim(col("emb_a"), col("emb_b")) >= 0.9)
           .select(col("id_a"), col("id_b"), lit("embed").as("channel"))
         (embedEv, embedOv)
-      }
+      } }
 
       // channel 3: payload — the q_phash_dedup aHash band blocking,
       // with the SAME exact-dedup-first rule (round 15; the r14
@@ -345,7 +345,7 @@ object MultimodalQueries {
       // lowest-id members per class — the over-cap classes are exactly
       // the ones classOv already counts, so the expansion adds no silent
       // loss).
-      val fPhash = Future {
+      val fPhash = Future { scala.concurrent.blocking {
       val phs = items.select(col("id"), phash64(col("payload")).as("ph"))
         .localCheckpoint()
       // dup-mass prefilter (the q_phash_dedup rule): class-pair
@@ -392,11 +392,18 @@ object MultimodalQueries {
       val phashEv = classEvP.unionAll(crossEvP).distinct()
         .select(col("id_a"), col("id_b"), lit("phash").as("channel"))
       (phashEv, phashOv, classOvP)
-      }
+      } }
 
-      val (textEv, textOv) = Await.result(fText, Duration.Inf)
-      val (embedEv, embedOv) = Await.result(fEmbed, Duration.Inf)
-      val (phashEv, phashOv, classOvP) = Await.result(fPhash, Duration.Inf)
+      // one await over the zipped futures (ADVICE r16): a channel failure
+      // surfaces as soon as it happens instead of after the earlier
+      // channels drain, and the blocking{} markers above let the global
+      // pool spawn compensating threads so blocked Spark actions can't
+      // serialize the channels on a low-core machine
+      val (textEv, textOv, embedEv, embedOv, phashEv, phashOv, classOvP) =
+        Await.result(
+          fText.zip(fEmbed).zip(fPhash).map { case (((tE, tO), (eE, eO)),
+              (pE, pO, cO)) => (tE, tO, eE, eO, pE, pO, cO) },
+          Duration.Inf)
 
       val votes = textEv.unionByName(embedEv).unionByName(phashEv)
         .groupBy("id_a", "id_b")

@@ -531,8 +531,8 @@ object VectorQueries {
   private[graft] def pqSubs(s: SparkSession, d: String,
       planted: Boolean = false): DataFrame =
     annCorpus(s, d, planted).select(col("vec_id"),
-        explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
-          "transform(slice(embedding, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS sv))")).as("e"))
+        explode(expr(s"transform(sequence(0, ${SubDim - 1}), s -> struct(s AS sub, " +
+          s"transform(slice(embedding, s*$SubDim+1, $SubDim), x -> CAST(x AS DOUBLE)) AS sv))")).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
 
   /** Squared L2 between subvector `sv` and centroid `cv`, all through the
@@ -579,12 +579,26 @@ object VectorQueries {
     * aggregate columns and the codeword array is rebuilt positionally.
     * Same decimal sums (order-free by exactness), same count, same
     * division — bit-identical doubles. */
+  /** Subvector width shared by every PQ lane ([[pqSubs]],
+    * `ivfpqResidualSubs`, the ADC query-subvector split) and by
+    * [[lloydMeans]]' fixed-width aggregate columns (ADVICE r16: a width
+    * divergence would make element_at past the array end return null and
+    * silently skip dims — deriving both from one constant plus the
+    * in-plan width guard below makes a mismatch fail loudly instead). */
+  private val SubDim = 8
+
   private def lloydMeans(asg: DataFrame, key: Seq[String]): DataFrame = {
-    val dims = 1 to 8
+    val dims = 1 to SubDim
     val aggs = dims.map(i =>
       sum(element_at(col("sv"), i).cast("decimal(20,10)")).as(s"s_$i")) :+
       count(lit(1)).as("n_")
-    asg.groupBy((key :+ "cid").map(col): _*)
+    asg
+      // loud width guard: assert_true raises on the first row whose
+      // subvector width diverges from SubDim (null on success keeps the
+      // row) — without it element_at past the end returns null and the
+      // sums silently skip dims
+      .filter(assert_true(size(col("sv")) === lit(SubDim)).isNull)
+      .groupBy((key :+ "cid").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select((key :+ "cid").map(col) :+
         array(dims.map(i => col(s"s_$i").cast("double") / col("n_")): _*)
@@ -929,8 +943,8 @@ object VectorQueries {
         zip_with(col("embedding"), col("centroid"),
           (a, b) => a.cast("double") - b).as("resid"))
       .select(col("vec_id"), col("cell"),
-        explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
-          "slice(resid, s*8+1, 8) AS sv))")).as("e"))
+        explode(expr(s"transform(sequence(0, ${SubDim - 1}), s -> struct(s AS sub, " +
+          s"slice(resid, s*$SubDim+1, $SubDim) AS sv))")).as("e"))
       .select(col("vec_id"), col("cell"), col("e.sub").as("sub"), col("e.sv").as("sv"))
 
   /** Per-(cell, sub) K≤16 codebook over residuals: seeded from the
@@ -1053,8 +1067,8 @@ object VectorQueries {
     // recall on tight clusters (r256: 4/10 biased vs 9/10 for flat PQ
     // with COARSER codes — caught and fixed round 13, §rerank-depth).
     val qsubs = queryVec(s, d)
-      .select(explode(expr("transform(sequence(0, 7), s -> struct(s AS sub, " +
-        "transform(slice(qv, s*8+1, 8), x -> CAST(x AS DOUBLE)) AS qsv))")).as("e"))
+      .select(explode(expr(s"transform(sequence(0, ${SubDim - 1}), s -> struct(s AS sub, " +
+        s"transform(slice(qv, s*$SubDim+1, $SubDim), x -> CAST(x AS DOUBLE)) AS qsv))")).as("e"))
       .select(col("e.sub").as("sub"), col("e.qsv").as("qsv"))
     val dtab = probed.select("cell").crossJoin(broadcast(qsubs))
       .join(broadcast(cb), Seq("cell", "sub"))
