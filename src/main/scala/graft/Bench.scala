@@ -65,9 +65,10 @@ object Bench {
     * .json (streaming re-time rule) — absent file, absent key, or a
     * file recorded at a DIFFERENT sf (e.g. a smoke run at sf0.001) →
     * no rule. */
-  private def committedRef(sfDir: String): Map[String, Double] =
+  private[graft] def committedRef(sfDir: String,
+      path: String = "BENCH_LOCAL.json"): Map[String, Double] =
     try {
-      val txt = Files.readString(Paths.get("BENCH_LOCAL.json"))
+      val txt = Files.readString(Paths.get(path))
       if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
       else {
         // extract from the "queries":{...} object ONLY (ADVICE r11):

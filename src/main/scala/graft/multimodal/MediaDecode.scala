@@ -220,6 +220,14 @@ object MediaDecode {
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"))
       .as[(Long, String)]
+      // the decode is CPU-bound and the id relation is tiny in BYTES, so
+      // the scan arrives in 1-2 partitions and the whole decode ran on
+      // one task (ProfileQ round 17: 2.1 s single-task stage, 31 cores
+      // idle). One explicit round-robin spread sizes the stage to the
+      // cluster's cores — defaultParallelism, not a local constant; AQE
+      // byte-based coalescing would fold tiny-byte/heavy-CPU rows back
+      // to one task, which is why this is not a repartition(col).
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     val decoded = ids.mapPartitions { rows =>
       ImageIO.setUseCache(false) // once per partition, not per row
       rows.map { case (id, kind) =>
@@ -271,6 +279,10 @@ object MediaDecode {
     import spark.implicits._
     val vids = documents.filter(col("doc_id") % 3 === 2)
       .select(col("doc_id").as("media_id")).as[Long]
+      // same CPU-bound spread as decodeStats: one id expands to all of
+      // its frames inside one task, so per-media aggregates stay
+      // deterministic under any partitioning
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
     val frames = vids.mapPartitions { rows =>
       ImageIO.setUseCache(false)
       rows.flatMap { id =>

@@ -130,19 +130,48 @@ object VectorQueries {
     val (capped, overflowDf) = Blocking.cappedBucketPairs(
       buckets, Seq("t", "bucket"), "vec_id", Blocking.LshCap)
     val overflowN = overflowDf.collect()(0).getLong(0)
-    val cand = capped.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(capped.select(col("id_b").as("src"), col("id_a").as("dst")))
-    (top4From(cand, emb), overflowN)
+    // Score each UNDIRECTED pair once, then emit both directions (round
+    // 17): cosine is exactly symmetric in IEEE arithmetic (a_i·b_i ≡
+    // b_i·a_i term by term, same ascending-index sum; the norms swap
+    // roles under the same multiplication), so scoring the swapped
+    // direction repeated every join and every 64-dim cosine — half the
+    // event-log-heaviest stage of both graph builds (guide §1.2 "don't
+    // compute things you throw away").
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val pairScored = capped.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs"))
+    // both directions from ONE generator over the scored pair (a union
+    // of two projections would re-execute the join+cosine lineage per
+    // branch — there is no exchange below it for reuse to grab)
+    val directed = pairScored.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"),
+        col("cs"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cs"))
+    (top4Ranked(directed), overflowN)
   }
 
   /** Exact-cosine rank of directed candidates → top-4 per src. */
   private def top4From(cand: DataFrame, emb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ea = emb.select(col("vec_id").as("src"), col("embedding").as("emb_a"))
     val eb = emb.select(col("vec_id").as("dst"), col("embedding").as("emb_b"))
-    val scored = cand.join(ea, "src").join(eb, "dst")
+    top4Ranked(cand.join(ea, "src").join(eb, "dst")
       .select(col("src"), col("dst"),
-        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs"))
+        round(cosine_sim(col("emb_a"), col("emb_b")), 4).as("cs")))
+  }
+
+  /** Top-4 per src of a scored directed relation via the rank window's
+    * ENSURE_REQUIREMENTS exchange — deliberately NOT an explicit
+    * repartition (round 17, measured): a user-specified repartition by
+    * src satisfies the window's clustering, but it also removes the
+    * planner's PARTIAL WindowGroupLimit below the exchange, so every
+    * candidate row (instead of ≤4 per src per map task) crossed the
+    * shuffle and the final per-partition sort — taskTime 47 s → 166 s on
+    * the incremental-fold profile before this was reverted. */
+  private def top4Ranked(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("src").orderBy(col("cs").desc, col("dst"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 4).select("src", "dst")

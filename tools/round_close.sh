@@ -18,6 +18,17 @@ if [ -n "$(git status --porcelain)" ]; then
   exit 1
 fi
 head=$(git rev-parse --short HEAD)
+# Retime-contract check (VERDICT r16 #6): the committed BENCH_LOCAL.json
+# must carry the disclosing retime fields — a bench line without them
+# either predates the bounded-retime rule or silently dropped the
+# disclosure, and the next round's PERF comparison would lose the
+# ability to see the rule fire. (BenchRetimeSpec, run in the suite
+# below, additionally pins that the rule goes inert on an sf mismatch.)
+if ! grep -q '"stream_retimed":' BENCH_LOCAL.json || \
+   ! grep -q '"batch_retimed":' BENCH_LOCAL.json; then
+  echo "round_close: BENCH_LOCAL.json is missing stream_retimed/batch_retimed — regenerate with the current Bench before closing." >&2
+  exit 1
+fi
 echo "round_close: full sbt test on HEAD=$head (clean tree)"
 sbt -batch test
 echo "round_close: suite GREEN on $head at $(date -u +%FT%TZ) — paste this line into BASELINE.md"
